@@ -1,0 +1,55 @@
+"""Datelist-int bitmask layer (SURVEY §2.4 A10/A11, §7 hard-part 2).
+
+The reference stores a month of daily activity as BIT(32)
+(M2/tables/user_datelist_int.sql:1-6), built with
+`SUM(CASE WHEN is_active THEN POW(2, 32 - days_since) END)::bigint::bit(32)`
+(M2/lecture-lab/anaylze_datelist.sql:11-18) and probed with BIT_COUNT and
+bitwise AND against literal masks (anaylze_datelist.sql:23-31).
+
+Spark has no BIT(n) type; we standardize on a BIGINT bitmask with the
+convention **bit i (1 << i) = `reference_date - i` was active** (i = 0 is
+the reference date itself, i = 31 the oldest tracked day). The reference's
+two variants disagree on direction (POW(2, 32-days_since) vs 1 << day_idx,
+M2/homework/assignmnet_2.sql:156-163); we pick the shift form and document
+it here. All pure Catalyst expressions — bit ops stay in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def datelist_int(active_date: Column | str, reference_date: Column | str) -> Column:
+    """Aggregate expression: fold active dates within 32 days of
+    `reference_date` into a BIGINT bitmask (bit i = ref_date - i active)."""
+    active_date = F.col(active_date) if isinstance(active_date, str) else active_date
+    reference_date = (
+        F.col(reference_date) if isinstance(reference_date, str) else reference_date
+    )
+    days_since = F.datediff(reference_date, active_date)
+    in_window = (days_since >= 0) & (days_since < 32)
+    # 2^d via pow: exact in double for d<53, and PySpark's shiftleft only
+    # takes a literal bit count. Caller must pass DISTINCT (entity, date)
+    # rows so each bit is added at most once.
+    weight = F.pow(F.lit(2.0), days_since.cast("double"))
+    return F.sum(F.when(in_window, weight).otherwise(F.lit(0.0))).cast("bigint")
+
+
+def datelist_probe_week(mask: Column | str) -> Column:
+    """Was the entity active in the last 7 days? (bitwise AND against the
+    low 7 bits — anaylze_datelist.sql:25-27 pattern)."""
+    mask = F.col(mask) if isinstance(mask, str) else mask
+    return (mask.bitwiseAND(F.lit(0x7F))) > 0
+
+
+def datelist_probe_month(mask: Column | str) -> Column:
+    """Active at all in the tracked 32 days."""
+    mask = F.col(mask) if isinstance(mask, str) else mask
+    return mask > 0
+
+
+def datelist_active_days(mask: Column | str) -> Column:
+    """BIT_COUNT(mask) — number of active days (anaylze_datelist.sql:23)."""
+    mask = F.col(mask) if isinstance(mask, str) else mask
+    return F.bit_count(mask)

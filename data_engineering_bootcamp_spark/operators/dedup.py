@@ -1,0 +1,301 @@
+"""Deduplication operators for training-data pipelines.
+
+Reference-derived:
+  dedup_exact      — GROUP BY all columns (A14, funnel_analysis.sql:1-6)
+  dedup_keep_first — ROW_NUMBER() keep rn=1 with priority ordering
+                     (W3/W4, team_vertices.sql:1-16;
+                     M2/homework/assignmnet_2.sql:47-67)
+
+Scale additions (BASELINE.json north star — LLM-data pipeline):
+  dedup_minhash_lsh   — char-shingle → MinHash signature → banded LSH
+                        bucket join → Jaccard verify
+  dedup_simhash       — 64-bit SimHash near-dup fingerprint
+  dedup_ngram_jaccard — blocked pairwise n-gram Jaccard
+
+Every step is pure Catalyst expressions (higher-order array functions,
+xxhash64) — no Python UDFs, so signatures compute at scan speed and the
+only shuffles are the LSH bucket groupBys. At 100 TB the banded-LSH plan
+is the standard near-dup architecture: candidate generation touches only
+bucket-colliding pairs instead of the O(n²) cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: universal-hash modulus. Kept below 2^31 so
+# (x % P) * a + b stays inside a signed 64-bit long (no overflow).
+_P = (1 << 31) - 1
+
+
+def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """A14: exact dedup via GROUP BY all (cols defaults to every column)."""
+    return df.dropDuplicates(cols)
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: list[str], order_by: list[Column]
+) -> DataFrame:
+    """W3/W4: keep the best row per key under a priority ordering.
+
+    The reference's deterministic-tie-breaker requirement
+    (assignment_2_feedback.md §2) is the caller's duty: make order_by a
+    total order (end with a unique id).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup machinery
+# ---------------------------------------------------------------------------
+
+def _norm_text(text: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-char shingle hashes (ARRAY<BIGINT>) of normalized text."""
+    norm = _norm_text(text)
+    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    subs = F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+    return F.array_distinct(F.transform(subs, lambda s: F.xxhash64(s)))
+
+
+def minhash_signature(shingle_hashes: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: min over shingles of (a_i*x + b_i) mod P for
+    `num_hashes` fixed universal-hash functions (ARRAY<BIGINT>)."""
+    def perm(a: int, b: int):
+        return lambda x: (F.pmod(x, F.lit(_P)) * a + b) % _P
+
+    sig = []
+    for i in range(num_hashes):
+        # deterministic multipliers/offsets derived from the index
+        a = ((2 * i + 1) * 2654435761) % _P or 1
+        b = (i * 0x85EBCA6B + 0xC2B2AE35) % _P
+        sig.append(F.array_min(F.transform(shingle_hashes, perm(a, b))))
+    return F.array(*sig)
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs.
+
+    Pipeline: shingle → signature → split into `bands` bands → hash each
+    band → explode → groupBy band bucket → intra-bucket pair join →
+    exact-Jaccard verify on shingle sets → distinct pairs above threshold.
+
+    Output: (doc_id_a, doc_id_b, jaccard DOUBLE), doc_id_a < doc_id_b.
+    """
+    rows_per_band = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        char_shingles(F.col(text_col), shingle_k).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    banded = base.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def _bit_mask(i: int) -> int:
+    """Literal mask for bit i of a signed 64-bit long (i=63 → sign bit)."""
+    return -(1 << 63) if i == 63 else (1 << i)
+
+
+def word_ngrams(text: Column, ngram: int = 2) -> Column:
+    """xxhash64'd word n-grams of normalized text (ARRAY<BIGINT>)."""
+    toks = F.filter(F.split(_norm_text(text), " "), lambda t: t != F.lit(""))
+    return F.when(
+        F.size(toks) >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, ngram))),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+
+
+def simhash_counters(text: Column, ngram: int = 2) -> Column:
+    """Fold n-gram hashes into 64 signed bit-counters (one aggregate
+    pass over the token array — no shuffle). Bit tests use literal masks
+    because PySpark's shiftleft/shiftright take only literal bit counts.
+    """
+    grams = word_ngrams(text, ngram)
+    return F.aggregate(
+        grams,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(_bit_mask(i))) != 0, F.lit(1))
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for i in range(64)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+
+
+def simhash_from_counters(counters: Column) -> Column:
+    """Reassemble the 64 counter signs into one BIGINT fingerprint.
+
+    Call on a materialized column (separate select from
+    `simhash_counters`) so the aggregate expression isn't duplicated 64×
+    in the plan.
+    """
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out.bitwiseOR(
+            F.when(
+                F.element_at(counters, i + 1) > 0, F.lit(_bit_mask(i)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def dedup_simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance `max_hamming`.
+
+    Blocking: split the 64-bit fingerprint into 4 16-bit chunks — any
+    pair within Hamming ≤ 3 shares at least one exact chunk (pigeonhole),
+    so candidate generation is 4 equi-join buckets, never O(n²).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_counters(F.col(text_col)).alias("counters"),
+    ).select("doc_id", simhash_from_counters(F.col("counters")).alias("sh"))
+    chunked = base.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    hamming = F.bit_count(
+        F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
+def dedup_ngram_jaccard(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "source",
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked pairwise word-n-gram Jaccard similarity.
+
+    Pairs are generated only within `block_col` groups (at scale: a
+    cheap pre-cluster — source, language, length bucket — bounds the
+    quadratic term). Output (doc_id_a, doc_id_b, jaccard).
+    """
+    toks = F.filter(F.split(_norm_text(F.col(text_col)), " "), lambda t: t != F.lit(""))
+    grams = F.when(
+        F.size(toks) >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, ngram))),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("block"),
+        F.array_distinct(grams).alias("grams"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast(
+        "double"
+    )
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams"))).cast("double")
+    return (
+        cand.select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,76 @@
+"""Property-graph extraction (SURVEY §1.1 graph model, §2.3 J9, §2.5 W3).
+
+Vertices: dedup entities via row_number, pack attributes into a
+MAP<STRING,STRING> properties column — the reference's own Spark port
+does exactly this (M3/src/jobs/team_vertex_job.py:5-18; SQL original
+M1/lecture-lab/team_vertices.sql:1-16).
+
+Edges: pair-generation self-join with `id_a < id_b` dedup
+(M1/lecture-lab/player_player_edges.sql:22-26) — equi key on the shared
+group, residual inequality, so Catalyst keeps it a hash join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_keep_first
+
+
+def build_vertices(
+    df: DataFrame,
+    id_col: str,
+    vertex_type: str,
+    properties: dict[str, Column],
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """(identifier, type, properties MAP) with W3 dedup on id_col."""
+    deduped = dedup_keep_first(
+        df, [id_col], order_by or [F.col(id_col)]
+    )
+    kv: list[Column] = []
+    for k, v in properties.items():
+        kv.append(F.lit(k))
+        kv.append(v.cast("string"))
+    return deduped.select(
+        F.col(id_col).cast("string").alias("identifier"),
+        F.lit(vertex_type).alias("type"),
+        F.create_map(*kv).alias("properties"),
+    )
+
+
+def build_edges_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    edge_type: str,
+    agg_properties: dict[str, Column],
+) -> DataFrame:
+    """J9: undirected co-occurrence edges between ids sharing group_col.
+
+    `agg_properties` are aggregate expressions evaluated per (a, b) pair
+    over their shared groups (e.g. F.count(...) for co-occurrence count).
+    """
+    left = df.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("id_a")
+    ).alias("a")
+    right = df.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("id_b")
+    ).alias("b")
+    pairs = left.join(
+        right,
+        (F.col("a.g") == F.col("b.g")) & (F.col("a.id_a") < F.col("b.id_b")),
+    )
+    agg = [v.alias(k) for k, v in agg_properties.items()]
+    grouped = pairs.groupBy("id_a", "id_b").agg(*agg)
+    kv: list[Column] = []
+    for k in agg_properties:
+        kv.append(F.lit(k))
+        kv.append(F.col(k).cast("string"))
+    return grouped.select(
+        F.col("id_a").cast("string").alias("subject_identifier"),
+        F.lit(edge_type).alias("edge_type"),
+        F.col("id_b").cast("string").alias("object_identifier"),
+        F.create_map(*kv).alias("properties"),
+    )

@@ -1,0 +1,136 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design: media are opaque BINARY columns with a typed metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+Pandas functions over `mapInPandas` so each executor core processes
+whole record batches. The decode kernels themselves are STUBBED —
+image/audio libraries are not in this container — behind
+`deterministic_fake_decode`, which produces a reproducible fake feature
+vector from the bytes so the Spark-side plumbing (schema, partitioning,
+UDF signature, batch shape) is fully real and testable.
+
+At scale the pattern is: keep binaries in parquet (or pointer columns to
+object storage), repartition to bound batch memory, and run the decode
+stage as a narrow mapInPandas — no shuffle, linear scan, Arrow transfer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("mime", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def real_decode(content: bytes, kind: str):  # pragma: no cover - stub
+    """Placeholder for a real decoder (PIL / torchaudio / pyav).
+
+    Not available in this container; the pipeline wires
+    `deterministic_fake_decode` instead.
+    """
+    raise NotImplementedError("media codecs not installed in this environment")
+
+
+def deterministic_fake_decode(content: bytes) -> list[float]:
+    """Reproducible fake feature vector: md5 bytes → FEATURE_DIM floats
+    in [0, 1). Stands in for the decode+embed kernel."""
+    digest = hashlib.md5(content or b"").digest()
+    return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Decode/feature-extract stage: mapInPandas over binary content.
+
+    Arrow-batched; each input batch yields one output batch — constant
+    memory per core regardless of table size.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "features": pdf["content"].map(deterministic_fake_decode),
+                }
+            )
+
+    cols = media.select("media_id", "kind", "content")
+    return cols.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    timestamp (real decoder stubbed — frame content is the fake feature
+    of (content, offset)). Demonstrates the explode-then-decode shape."""
+    frames = media.where(F.col("kind") == "video").select(
+        "media_id",
+        "content",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ms"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_ms": pdf["frame_ms"],
+                    "features": [
+                        deterministic_fake_decode(
+                            (c or b"") + int(ms).to_bytes(8, "little")
+                        )
+                        for c, ms in zip(pdf["content"], pdf["frame_ms"])
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_ms", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return frames.mapInPandas(run, schema=schema)

@@ -1,0 +1,141 @@
+"""SCD Type-2 operators (SURVEY §2.5 W1/W2, §2.7 U1).
+
+Two forms, exactly the reference's pair:
+
+1. `scd_from_snapshots` — backfill: collapse per-entity period snapshots
+   into validity ranges via LAG change detection + cumulative-sum streak
+   id (M1/lecture-lab/scd_generation_query.sql:1-35; the reference's own
+   tested Spark port M3/src/jobs/players_scd_job.py:3-39).
+2. `scd_incremental` — one-period advance: historical ∪ unchanged ∪
+   changed ∪ new via UNION ALL assembly
+   (M1/lecture-lab/incremental_scd_query.sql:1-110).
+
+Scale: the window functions partition by the entity key — one hash
+exchange, then both LAG and the running SUM evaluate in the same sorted
+partition pass. The groupBy on (entity, streak) reuses the same
+partitioning, so Catalyst plans a single shuffle for the whole pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd_from_snapshots(
+    snapshots: DataFrame,
+    key: str,
+    period: str,
+    tracked: list[str],
+    current_period: int | str | None = None,
+) -> DataFrame:
+    """Collapse (key, period, tracked...) snapshots into SCD-2 ranges.
+
+    Output: key, tracked..., start_<period>, end_<period>
+    [, current_<period> if `current_period` given].
+
+    Change detection treats NULL <> NULL as "no change" (eqNullSafe — the
+    reference upgrades to IS DISTINCT FROM in
+    M1/homework/assignment.sql:128-129).
+    """
+    w = Window.partitionBy(key).orderBy(period)
+    changed = F.lit(False)
+    for c in tracked:
+        prev = F.lag(F.col(c)).over(w)
+        changed = changed | (~F.col(c).eqNullSafe(prev))
+    first_row = F.lag(F.col(period)).over(w).isNull()
+    with_streak = snapshots.withColumn(
+        "_did_change", F.when(first_row | changed, 1).otherwise(0)
+    ).withColumn(
+        "_streak",
+        F.sum("_did_change").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    out = with_streak.groupBy(key, "_streak", *tracked).agg(
+        F.min(period).alias(f"start_{period}"),
+        F.max(period).alias(f"end_{period}"),
+    )
+    out = out.drop("_streak")
+    if current_period is not None:
+        out = out.withColumn(f"current_{period}", F.lit(current_period))
+    return out.select(
+        key, *tracked, f"start_{period}", f"end_{period}",
+        *([f"current_{period}"] if current_period is not None else []),
+    )
+
+
+def scd_incremental(
+    history: DataFrame,
+    latest_snapshot: DataFrame,
+    key: str,
+    period: str,
+    tracked: list[str],
+    new_period: int,
+) -> DataFrame:
+    """Advance an SCD-2 table by one period
+    (M1/lecture-lab/incremental_scd_query.sql:38-110).
+
+    `history` columns: key, tracked..., start_<period>, end_<period>.
+    Rows with end_<period> == new_period - 1 are "current"; older rows are
+    sealed. `latest_snapshot`: key, tracked... for new_period.
+    """
+    sp, ep = f"start_{period}", f"end_{period}"
+    prev_period = new_period - 1
+    historical = history.where(F.col(ep) < prev_period)
+    current = history.where(F.col(ep) == prev_period)
+
+    c = current.alias("c")
+    s = latest_snapshot.alias("s")
+    joined = c.join(s, F.col(f"c.{key}") == F.col(f"s.{key}"), "full_outer")
+
+    same = F.lit(True)
+    for t in tracked:
+        same = same & F.col(f"c.{t}").eqNullSafe(F.col(f"s.{t}"))
+
+    unchanged = joined.where(
+        F.col(f"c.{key}").isNotNull() & F.col(f"s.{key}").isNotNull() & same
+    ).select(
+        F.col(f"c.{key}").alias(key),
+        *[F.col(f"c.{t}").alias(t) for t in tracked],
+        F.col(f"c.{sp}").alias(sp),
+        F.lit(new_period).alias(ep),
+    )
+    # changed: seal the old range and open a new one (explode of 2 structs,
+    # mirroring the UNNEST(ARRAY[old, new]) in incremental_scd_query.sql:46-74)
+    changed_rows = joined.where(
+        F.col(f"c.{key}").isNotNull() & F.col(f"s.{key}").isNotNull() & ~same
+    )
+    sealed = changed_rows.select(
+        F.col(f"c.{key}").alias(key),
+        *[F.col(f"c.{t}").alias(t) for t in tracked],
+        F.col(f"c.{sp}").alias(sp),
+        F.col(f"c.{ep}").alias(ep),
+    )
+    opened = changed_rows.select(
+        F.col(f"s.{key}").alias(key),
+        *[F.col(f"s.{t}").alias(t) for t in tracked],
+        F.lit(new_period).alias(sp),
+        F.lit(new_period).alias(ep),
+    )
+    # brand-new entities (left-anti shape J6: c side NULL)
+    new = joined.where(F.col(f"c.{key}").isNull()).select(
+        F.col(f"s.{key}").alias(key),
+        *[F.col(f"s.{t}").alias(t) for t in tracked],
+        F.lit(new_period).alias(sp),
+        F.lit(new_period).alias(ep),
+    )
+    # retired entities keep their sealed range (s side NULL)
+    retired = joined.where(
+        F.col(f"c.{key}").isNotNull() & F.col(f"s.{key}").isNull()
+    ).select(
+        F.col(f"c.{key}").alias(key),
+        *[F.col(f"c.{t}").alias(t) for t in tracked],
+        F.col(f"c.{sp}").alias(sp),
+        F.col(f"c.{ep}").alias(ep),
+    )
+    cols = [key, *tracked, sp, ep]
+    out = historical.select(*cols)
+    for piece in (unchanged, sealed, opened, new, retired):
+        out = out.unionByName(piece.select(*cols))
+    return out
