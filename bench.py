@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall-clock seconds across the headline queries (each
+executed to completion with a cheap count-style action; results are not
+collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from data_engineering_bootcamp_spark.plans.catalog import QUERIES
+from data_engineering_bootcamp_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "top_customers",
+    "region_revenue",
+    "grouping_sets",
+    "rolling_revenue",
+    "top_supplier_per_nation",
+    "customer_order_spine",
+    "part_pair_edges",
+    "funnel_conversion",
+    "retention_curve",
+    "growth_accounting",
+    "scd_streaks",
+    "datelist_int",
+    "array_metrics",
+    "sessionization",
+    "tumbling_hits",
+    "doc_dedup_exact",
+    "doc_token_stats",
+    "doc_quality",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers with the cheapest query so per-query
+    # numbers measure execution, not session startup
+    QUERIES["pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # force full execution without driver-side collection
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

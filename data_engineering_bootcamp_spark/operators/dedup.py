@@ -59,12 +59,27 @@ def _norm_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
 
 
-def char_shingles(text: Column, k: int = 5) -> Column:
-    """Distinct k-char shingle hashes (ARRAY<BIGINT>) of normalized text."""
-    norm = _norm_text(text)
+def _shingles_of_norm(norm: Column, k: int = 5) -> Column:
+    """Distinct k-char shingle hashes (ARRAY<BIGINT>) of already-
+    normalized text.
+
+    `norm` MUST be a plain column reference, not a compound expression:
+    it is referenced once per character position inside the transform
+    lambda, and Catalyst inlines (re-evaluates) the full expression at
+    every reference — passing `_norm_text(...)` directly here runs the
+    regex once per shingle and is ~7x slower end-to-end. Callers
+    project the normalized text into a column first.
+    """
     n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
     subs = F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
     return F.array_distinct(F.transform(subs, lambda s: F.xxhash64(s)))
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-char shingle hashes of raw text (convenience form —
+    inlines normalization per element; prefer projecting `_norm_text`
+    to a column and calling `_shingles_of_norm` in hot paths)."""
+    return _shingles_of_norm(_norm_text(text), k)
 
 
 def minhash_signature(shingle_hashes: Column, num_hashes: int = 64) -> Column:
@@ -90,6 +105,8 @@ def dedup_minhash_lsh(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     shingle_k: int = 5,
+    broadcast_verify: bool = True,
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs.
 
@@ -100,13 +117,34 @@ def dedup_minhash_lsh(
     Output: (doc_id_a, doc_id_b, jaccard DOUBLE), doc_id_a < doc_id_b.
     """
     rows_per_band = num_hashes // bands
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        char_shingles(F.col(text_col), shingle_k).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    # projection barriers: normalize once per doc, shingle once per doc
+    # (see _shingles_of_norm on why these must be separate selects)
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            _norm_text(F.col(text_col)).alias("_norm"),
+        )
+        .select(
+            "doc_id", _shingles_of_norm(F.col("_norm"), shingle_k).alias("shingles")
+        )
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    )
+    # the signature subplan feeds BOTH sides of the candidate self-join
+    # plus the verify side; without a persist Spark re-evaluates it up
+    # to 3x (AQE broadcasts the small join side, so no exchange reuse).
+    # ~(2 KB shingles + 512 B sig)/doc: ~2.5 GB per million docs,
+    # spilling to executor disk beyond memory — far cheaper than the
+    # triple recompute, and it halves the wall clock here.
+    if cache_signatures:
+        base = base.persist()
+
+    # Candidate generation carries ONLY (doc_id, band, band_hash): when
+    # background similarity makes bands collide broadly, the pair set is
+    # quadratic in bucket size, so pair rows must stay at id width (16 B)
+    # until after dropDuplicates — shuffling the shingle arrays through
+    # the pair join is what kills this at scale (multi-GB per 1M pairs).
     banded = base.select(
         "doc_id",
-        "shingles",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -128,15 +166,36 @@ def dedup_minhash_lsh(
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+
+    # Exact-Jaccard verification: join the deduped id pairs back to the
+    # compact (doc_id, shingles) side. The doc side is ~2-3 KB/doc, so
+    # broadcasting it keeps the arrays out of the shuffle entirely and
+    # the verify stage is map-side; above the broadcast threshold Spark
+    # falls back to a shuffled join on doc_id automatically (drop the
+    # hint by passing broadcast_verify=False for a >8 GB corpus).
+    sh = base.select("doc_id", "shingles")
+    sh = F.broadcast(sh) if broadcast_verify else sh
+    verified = (
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")
+            ),
+            "doc_id_b",
+        )
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
@@ -147,9 +206,15 @@ def _bit_mask(i: int) -> int:
     return -(1 << 63) if i == 63 else (1 << i)
 
 
-def word_ngrams(text: Column, ngram: int = 2) -> Column:
-    """xxhash64'd word n-grams of normalized text (ARRAY<BIGINT>)."""
-    toks = F.filter(F.split(_norm_text(text), " "), lambda t: t != F.lit(""))
+def _tokens(text: Column) -> Column:
+    """Non-empty whitespace tokens of normalized text."""
+    return F.filter(F.split(_norm_text(text), " "), lambda t: t != F.lit(""))
+
+
+def _ngrams_of_toks(toks: Column, ngram: int = 2) -> Column:
+    """xxhash64'd word n-grams from an already-projected token column
+    (same inlining hazard as _shingles_of_norm: `toks` is referenced
+    per n-gram position, so it must be a plain column reference)."""
     return F.when(
         F.size(toks) >= ngram,
         F.transform(
@@ -159,12 +224,18 @@ def word_ngrams(text: Column, ngram: int = 2) -> Column:
     ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
 
 
-def simhash_counters(text: Column, ngram: int = 2) -> Column:
-    """Fold n-gram hashes into 64 signed bit-counters (one aggregate
-    pass over the token array — no shuffle). Bit tests use literal masks
-    because PySpark's shiftleft/shiftright take only literal bit counts.
+def word_ngrams(text: Column, ngram: int = 2) -> Column:
+    """xxhash64'd word n-grams of raw text (convenience form; hot paths
+    project `_tokens` to a column and call `_ngrams_of_toks`)."""
+    return _ngrams_of_toks(_tokens(text), ngram)
+
+
+def simhash_counters(grams: Column) -> Column:
+    """Fold an n-gram-hash array column into 64 signed bit-counters (one
+    aggregate pass over the array — no shuffle). Bit tests use literal
+    masks because PySpark's shiftleft/shiftright take only literal bit
+    counts. `grams` should be a projected column (see _ngrams_of_toks).
     """
-    grams = word_ngrams(text, ngram)
     return F.aggregate(
         grams,
         F.array_repeat(F.lit(0).cast("long"), 64),
@@ -212,10 +283,16 @@ def dedup_simhash(
     pair within Hamming ≤ 3 shares at least one exact chunk (pigeonhole),
     so candidate generation is 4 equi-join buckets, never O(n²).
     """
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        simhash_counters(F.col(text_col)).alias("counters"),
-    ).select("doc_id", simhash_from_counters(F.col("counters")).alias("sh"))
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("_toks")
+        )
+        .select("doc_id", _ngrams_of_toks(F.col("_toks"), 2).alias("_grams"))
+        .select("doc_id", simhash_counters(F.col("_grams")).alias("counters"))
+        .select("doc_id", simhash_from_counters(F.col("counters")).alias("sh"))
+    )
+    # fingerprints are single longs, so unlike the MinHash path the
+    # pair join can carry them inline — rows stay 32 B wide
     chunked = base.select(
         "doc_id",
         "sh",
@@ -229,27 +306,25 @@ def dedup_simhash(
         ).alias("chunk_idx", "chunk"),
     )
     a, b = chunked.alias("a"), chunked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    cand = a.join(
+        b,
+        (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        F.col("a.sh").alias("sh_a"),
+        F.col("b.sh").alias("sh_b"),
     )
-    hamming = F.bit_count(
-        F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
+        # filter on hamming BEFORE the pair dedup: the predicate is a
+        # cheap map-side bit op and shrinks the distinct's shuffle to
+        # just the near-dup pairs instead of every chunk collision
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
         .select("doc_id_a", "doc_id_b", "hamming")
     )
 
@@ -268,18 +343,14 @@ def dedup_ngram_jaccard(
     cheap pre-cluster — source, language, length bucket — bounds the
     quadratic term). Output (doc_id_a, doc_id_b, jaccard).
     """
-    toks = F.filter(F.split(_norm_text(F.col(text_col)), " "), lambda t: t != F.lit(""))
-    grams = F.when(
-        F.size(toks) >= ngram,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, ngram))),
-        ),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col else F.lit(1)).alias("block"),
-        F.array_distinct(grams).alias("grams"),
+        _tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
+        "block",
+        F.array_distinct(_ngrams_of_toks(F.col("_toks"), ngram)).alias("grams"),
     )
     a, b = base.alias("a"), base.alias("b")
     cand = a.join(

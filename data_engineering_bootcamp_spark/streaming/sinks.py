@@ -1,0 +1,82 @@
+"""Streaming sinks (SURVEY §2.1 S13/S14, §2.9 T7/T8).
+
+The reference pipes to JDBC (Postgres) and Kafka sinks with 10-second
+checkpointing (M4F/src/job/start_job.py:38-54,120-121; aggregation_job.py
+:10-46). Spark-side the JDBC path is foreachBatch (Structured Streaming
+has no first-class JDBC sink); checkpointing is the mandatory
+`checkpointLocation` option — state recovery on restart is what makes
+the pipeline exactly-once into idempotent sinks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def start_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """File sink with checkpoint (T7/T8). `available_now=True` drains all
+    pending input then stops — the deterministic mode tests use."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_foreach_batch(
+    df: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    output_mode: str = "append",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """S13-equivalent: per-micro-batch handler, e.g.
+    `lambda b, _id: b.write.jdbc(url, table, mode="append")`.
+
+    foreachBatch re-executes a failed batch after restart, so the handler
+    must be idempotent (delete-then-insert keyed on batch window, or a
+    MERGE) — same contract the reference's JDBC sink relies on.
+    """
+    writer = (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_to_kafka(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """S14: mirror a stream to Kafka as JSON, the Spark form of the
+    reference's processed-events topic sink (start_job.py:12-30).
+    Requires the kafka connector package (production clusters)."""
+    payload = df.select(
+        F.to_json(F.struct(*df.columns)).alias("value")
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,262 @@
+"""Structured Streaming suite tests (SURVEY §2.9 T1-T8).
+
+Strategy: replay deterministic JSON events through the file-based
+micro-batch source with trigger(availableNow=True) — the same physical
+plan a Kafka source would feed — and assert the streaming results equal
+the batch run of the identical pipeline functions.
+"""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from data_engineering_bootcamp_spark.streaming import (
+    avg_events_per_session,
+    enrich_events,
+    json_file_stream,
+    sessionize_stream,
+    start_foreach_batch,
+    start_to_parquet,
+    tumbling_counts,
+    with_event_time,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("ip", StringType()),
+        StructField("host", StringType()),
+        StructField("url", StringType()),
+        StructField("event_time", StringType()),
+        StructField("user_id", LongType()),
+    ]
+)
+
+# two hosts, three ips; events spanning three 5-minute windows and a
+# >5-minute gap that must split ip 10.0.0.1's activity into 2 sessions
+EVENTS = [
+    ("10.0.0.1", "www.a.com", "/", "2024-01-01T00:00:01.000Z", 1),
+    ("10.0.0.1", "www.a.com", "/x", "2024-01-01T00:02:30.000Z", 1),
+    ("10.0.0.2", "www.a.com", "/", "2024-01-01T00:03:10.000Z", 2),
+    ("10.0.0.1", "www.a.com", "/y", "2024-01-01T00:09:00.000Z", 1),
+    ("10.0.0.3", "www.b.org", "/", "2024-01-01T00:04:20.000Z", 3),
+    ("10.0.0.3", "www.b.org", "/z", "2024-01-01T00:11:45.000Z", 3),
+    ("10.0.0.2", "www.a.com", "/w", "2024-01-01T00:14:59.000Z", 2),
+]
+
+# late sentinel: advances the watermark past every real window/session so
+# append mode flushes them; its own window stays open and is excluded
+# from assertions
+SENTINEL = ("10.0.0.9", "www.a.com", "/end", "2024-01-01T00:30:00.000Z", 9)
+ALL_EVENTS = EVENTS + [SENTINEL]
+
+GEO = {
+    "10.0.0.1": ("US", "Boston"),
+    "10.0.0.2": ("DE", "Berlin"),
+    # 10.0.0.3 intentionally missing → NULL enrichment (left join)
+}
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_in")
+    # three files → distinct micro-batch inputs under maxFilesPerTrigger;
+    # the sentinel arrives last so the watermark advance happens after
+    # all real data (the no-data finalization batch then evicts state)
+    now = time.time()
+    for i, chunk in enumerate((EVENTS[:4], EVENTS[4:], [SENTINEL])):
+        path = d / f"part-{i}.json"
+        with open(path, "w") as f:
+            for ip, host, url, et, uid in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "ip": ip,
+                            "host": host,
+                            "url": url,
+                            "event_time": et,
+                            "user_id": uid,
+                        }
+                    )
+                    + "\n"
+                )
+        # Spark's file source orders micro-batches by modification time;
+        # identical mtimes would make the sentinel's arrival order — and
+        # therefore the watermark advance — nondeterministic
+        os.utime(path, (now + i, now + i))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, events_dir):
+    return with_event_time(spark.read.schema(EVENT_SCHEMA).json(events_dir))
+
+
+def _drain(stream_df, tmp_path, name):
+    out = os.path.join(str(tmp_path), f"{name}_out")
+    ckpt = os.path.join(str(tmp_path), f"{name}_ckpt")
+    q = start_to_parquet(stream_df, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    return out
+
+
+def test_event_time_parse(batch_events):
+    row = batch_events.where(F.col("url") == "/").orderBy("ip").first()
+    assert str(row["ts"]) == "2024-01-01 00:00:01"
+
+
+def test_tumbling_counts_stream_matches_batch(spark, events_dir, tmp_path):
+    # file 2 contains an event 4m40s older than file 1's max, so the
+    # watermark delay must cover that disorder for stream == batch
+    stream = with_event_time(
+        json_file_stream(spark, events_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+    )
+    out = _drain(
+        tumbling_counts(stream, ["host"], watermark="5 minutes"), tmp_path, "tumble"
+    )
+    got = {
+        (str(r["window_start"]), r["host"]): r["num_hits"]
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        ("2024-01-01 00:00:00", "www.a.com"): 3,
+        ("2024-01-01 00:00:00", "www.b.org"): 1,
+        ("2024-01-01 00:05:00", "www.a.com"): 1,
+        ("2024-01-01 00:10:00", "www.b.org"): 1,
+        ("2024-01-01 00:10:00", "www.a.com"): 1,
+    }
+    assert got == expected
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """T2/T9: an event behind the watermark must be dropped from the
+    aggregation — Spark's (and the Flink reference's) late-data policy.
+
+    Spark filters late events against the PREVIOUS micro-batch's
+    watermark (two-watermark model for chained stateful operators), so
+    the late row must arrive two batches after the event that advanced
+    the watermark past it: batch0 advances event time to 00:09, batch1
+    locks in watermark 00:08:45, batch2's 00:04:20 row (window end
+    00:05 <= 00:08:45) is then dropped.
+    """
+    d = tmp_path / "late_in"
+    d.mkdir()
+    files = [
+        [("10.0.0.1", "www.a.com", "/", "2024-01-01T00:09:00.000Z", 1)],
+        [SENTINEL],
+        [("10.0.0.3", "www.b.org", "/", "2024-01-01T00:04:20.000Z", 3)],
+    ]
+    now = time.time()
+    for i, chunk in enumerate(files):
+        path = d / f"part-{i}.json"
+        with open(path, "w") as f:
+            for ip, host, url, et, uid in chunk:
+                f.write(
+                    json.dumps(
+                        {"ip": ip, "host": host, "url": url,
+                         "event_time": et, "user_id": uid}
+                    )
+                    + "\n"
+                )
+        os.utime(path, (now + i, now + i))
+    stream = with_event_time(
+        json_file_stream(spark, str(d), EVENT_SCHEMA, max_files_per_trigger=1)
+    )
+    out = _drain(
+        tumbling_counts(stream, ["host"], watermark="15 seconds"),
+        tmp_path,
+        "tumble_late",
+    )
+    got = {
+        (str(r["window_start"]), r["host"]): r["num_hits"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ("2024-01-01 00:00:00", "www.b.org") not in got  # dropped
+    assert got[("2024-01-01 00:05:00", "www.a.com")] == 1
+
+
+def test_session_windows_5min_gap(spark, events_dir, tmp_path):
+    stream = with_event_time(json_file_stream(spark, events_dir, EVENT_SCHEMA))
+    out = _drain(
+        sessionize_stream(stream, ["ip", "host"]), tmp_path, "sessions"
+    )
+    sessions = spark.read.parquet(out)
+    per_ip = {
+        r["ip"]: r["n_sessions"]
+        for r in sessions.groupBy("ip")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .collect()
+    }
+    # 10.0.0.1: 00:00-00:02:30 then 00:09 → gap >5min ⇒ 2 sessions
+    # 10.0.0.3: 00:04:20 then 00:11:45 → 2 sessions
+    # 10.0.0.2: 00:03:10 then 00:14:59 → 2 sessions
+    assert per_ip == {"10.0.0.1": 2, "10.0.0.2": 2, "10.0.0.3": 2}
+
+    avg = avg_events_per_session(sessions, ["host"]).collect()
+    by_host = {r["host"]: (r["avg_events_per_session"], r["n_sessions"]) for r in avg}
+    assert by_host["www.a.com"] == (1.25, 4)  # sessions of 2,1,1,1 events
+    assert by_host["www.b.org"] == (1.0, 2)
+
+
+def test_enrich_broadcast_lookup(batch_events):
+    enriched = enrich_events(batch_events, GEO)
+    rows = {r["ip"]: (r["country"], r["city"]) for r in enriched.collect()}
+    assert rows["10.0.0.1"] == ("US", "Boston")
+    assert rows["10.0.0.2"] == ("DE", "Berlin")
+    assert rows["10.0.0.3"] == (None, None)
+    # the plan must be a broadcast join, not a Python UDF
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_enrichment_works_on_stream(spark, events_dir, tmp_path):
+    stream = with_event_time(json_file_stream(spark, events_dir, EVENT_SCHEMA))
+    out = _drain(enrich_events(stream, GEO), tmp_path, "enriched")
+    got = spark.read.parquet(out)
+    # stateless pipe: no watermark filtering, so the sentinel flows too
+    assert got.count() == len(ALL_EVENTS)
+    assert got.where(F.col("country") == "US").count() == 3
+
+
+def test_foreach_batch_sink(spark, events_dir, tmp_path):
+    stream = with_event_time(json_file_stream(spark, events_dir, EVENT_SCHEMA))
+    target = os.path.join(str(tmp_path), "fb_out")
+    seen: list[int] = []
+
+    def handle(batch_df, batch_id):
+        # jdbc-sink stand-in: idempotent append keyed by batch id
+        batch_df.write.mode("append").parquet(target)
+        seen.append(batch_id)
+
+    q = start_foreach_batch(
+        stream,
+        handle,
+        os.path.join(str(tmp_path), "fb_ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(target).count() == len(ALL_EVENTS)
+    assert seen  # handler actually ran
+
+
+def test_checkpoint_resume_no_duplicates(spark, events_dir, tmp_path):
+    """T8: restarting from the checkpoint must not re-emit drained input."""
+    stream = with_event_time(json_file_stream(spark, events_dir, EVENT_SCHEMA))
+    out = os.path.join(str(tmp_path), "resume_out")
+    ckpt = os.path.join(str(tmp_path), "resume_ckpt")
+    q1 = start_to_parquet(stream, out, ckpt, available_now=True)
+    q1.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    q2 = start_to_parquet(stream, out, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == len(ALL_EVENTS)
+    assert n2 == n1
