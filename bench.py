@@ -43,6 +43,18 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "ann_cosine_topk",
+    "scd_incremental",
+    "order_history",
+    "host_activity_reduced",
+    "longest_streak",
+    "best_stretch",
+    "semi_anti_customers",
+    "merge_upsert",
+    "user_vertices",
+    "embedding_neardup",
+    "media_features",
+    # ngram_jaccard_pairs: unblocked O(n²) exact baseline — correctness
+    # query only; the blocked variant is the bench/scale path
 ]
 
 

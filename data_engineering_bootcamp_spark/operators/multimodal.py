@@ -79,6 +79,15 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: executors may not have this package on
+        # their PYTHONPATH, so the decode kernel is redefined locally
+        # instead of referencing the module-level function by name
+        import hashlib as _hl
+
+        def fake(content: bytes) -> list[float]:
+            digest = _hl.md5(content or b"").digest()
+            return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
@@ -87,7 +96,7 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
                     "n_bytes": pdf["content"].map(
                         lambda b: len(b) if b is not None else 0
                     ),
-                    "features": pdf["content"].map(deterministic_fake_decode),
+                    "features": pdf["content"].map(fake),
                 }
             )
 
@@ -112,15 +121,20 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure (same reason as extract_features.run)
+        import hashlib as _hl
+
+        def fake(content: bytes) -> list[float]:
+            digest = _hl.md5(content or b"").digest()
+            return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "frame_ms": pdf["frame_ms"],
                     "features": [
-                        deterministic_fake_decode(
-                            (c or b"") + int(ms).to_bytes(8, "little")
-                        )
+                        fake((c or b"") + int(ms).to_bytes(8, "little"))
                         for c, ms in zip(pdf["content"], pdf["frame_ms"])
                     ],
                 }

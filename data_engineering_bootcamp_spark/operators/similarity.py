@@ -78,6 +78,42 @@ def cosine_topk_bruteforce(
     )
 
 
+def neardup_embedding_cosine(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for
+    every pair with cosine >= threshold.
+
+    With `block_col` the pair join is restricted to equal blocks (label,
+    cluster id, LSH bucket) — the 100 TB posture, where an unblocked
+    self-join is quadratic. Without it this is the exact baseline: the
+    norm is precomputed once per row so the pair stage does a single
+    fused dot product per candidate.
+    """
+    base = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("block"),
+    ).withColumn("n", _norm(F.col("v")))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.vid") < F.col("b.vid")),
+    ).select(
+        F.col("a.vid").alias("id_a"),
+        F.col("b.vid").alias("id_b"),
+        F.round(
+            _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+        ).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= threshold)
+
+
 def lsh_signature(vec: Column, dim: int, nbits: int = 16) -> Column:
     """Random-hyperplane signature as an INT bucket id.
 

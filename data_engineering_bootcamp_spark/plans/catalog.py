@@ -1175,3 +1175,10 @@ ORACLES: dict[str, str] = {
     # simhash_pairs / ann_cosine_lsh: intentionally no oracle (xxhash64
     # is not reproducible in DuckDB) → driver rows-only check.
 }
+
+# extension catalog (SCD incremental, ordered history, W12 streaks,
+# semi/anti, merge, n-gram/embedding near-dup, multimodal plumbing)
+from .catalog_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+
+QUERIES.update(EXT_QUERIES)
+ORACLES.update(EXT_ORACLES)

@@ -1,0 +1,633 @@
+"""Query catalog extension — SURVEY §2 operators and training-pipeline
+capabilities not covered by the core catalog: SCD incremental advance
+(U1), ordered struct-array history (A6/W9/W10), dual-array monthly
+rollup (A12 homework shape), gaps-and-islands streaks + 90-row stretch
+(W12), semi/anti joins (J6/J7), upsert-as-merge (S11), n-gram Jaccard
+and embedding-cosine near-dup, and the multimodal mapInPandas plumbing.
+
+Same conventions as catalog.py (rounding, cents-as-BIGINT for money in
+string renderings, identical aliases on both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.arrays import array_last, ordered_collect
+from ..operators.dedup import dedup_keep_first, dedup_ngram_jaccard
+from ..operators.graph import build_vertices
+from ..operators.multimodal import extract_features, frame_sample
+from ..operators.scd import scd_from_snapshots, scd_incremental
+from ..operators.similarity import neardup_embedding_cosine
+from ..sources.readers import load_table
+
+JAN = "2024-01-01"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _arr_str(arr):
+    return F.concat_ws(",", F.transform(arr, lambda x: x.cast("string")))
+
+
+def _jan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(
+        F.col("user_id").isNotNull()
+        & (F.date_trunc("month", F.col("ts")) == F.lit(JAN).cast("timestamp"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD incremental advance (U1 UNION ALL assembly,
+# M1/lecture-lab/incremental_scd_query.sql:38-110)
+# ---------------------------------------------------------------------------
+
+def _dominant_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, January day-of-month): dominant event_type with a
+    deterministic tie-break (W3/W4)."""
+    daily = (
+        _jan_events(spark, sf_dir)
+        .groupBy("user_id", F.dayofmonth("ts").alias("d"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return dedup_keep_first(
+        daily, ["user_id", "d"], [F.desc("c"), F.asc("event_type")]
+    ).select("user_id", "d", F.col("event_type").alias("dominant"))
+
+
+def q_scd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 one-period advance: backfill history over days 1..30, then
+    advance with the day-31 snapshot — historical ∪ unchanged ∪ sealed ∪
+    opened ∪ new ∪ retired (J1 full-outer core + U1)."""
+    dom = _dominant_daily(spark, sf_dir)
+    history = scd_from_snapshots(
+        dom.where(F.col("d") <= 30), "user_id", "d", ["dominant"]
+    )
+    snap31 = dom.where(F.col("d") == 31).select("user_id", "dominant")
+    out = scd_incremental(history, snap31, "user_id", "d", ["dominant"], 31)
+    return out.select(
+        "user_id",
+        F.col("dominant").alias("event_type"),
+        "start_d",
+        "end_d",
+    )
+
+
+ORACLE_SCD_INCREMENTAL = f"""
+WITH daily AS (
+  SELECT user_id, EXTRACT(day FROM ts)::INT AS d, event_type, COUNT(*) AS c
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND date_trunc('month', ts) = TIMESTAMP '{JAN}'
+  GROUP BY 1, 2, 3),
+dom AS (
+  SELECT user_id, d, event_type AS dominant FROM (
+    SELECT user_id, d, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, d
+                              ORDER BY c DESC, event_type) AS rn
+    FROM daily) WHERE rn = 1),
+flagged AS (
+  SELECT user_id, d, dominant,
+         CASE WHEN LAG(dominant) OVER w IS DISTINCT FROM dominant
+              THEN 1 ELSE 0 END AS chg
+  FROM dom WHERE d <= 30
+  WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+streaks AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY d
+                           ROWS UNBOUNDED PRECEDING) AS s
+  FROM flagged),
+history AS (
+  SELECT user_id, dominant, MIN(d) AS start_d, MAX(d) AS end_d
+  FROM streaks GROUP BY user_id, dominant, s),
+snap AS (SELECT user_id, dominant FROM dom WHERE d = 31),
+hist_old AS (SELECT * FROM history WHERE end_d < 30),
+cur AS (SELECT * FROM history WHERE end_d = 30),
+j AS (
+  SELECT c.user_id AS cu, s.user_id AS su, c.dominant AS cd,
+         s.dominant AS sd, c.start_d, c.end_d
+  FROM cur c FULL OUTER JOIN snap s ON c.user_id = s.user_id)
+SELECT user_id, dominant AS event_type, start_d, end_d FROM hist_old
+UNION ALL
+SELECT cu, cd, start_d, 31 FROM j
+WHERE cu IS NOT NULL AND su IS NOT NULL AND cd IS NOT DISTINCT FROM sd
+UNION ALL
+SELECT cu, cd, start_d, end_d FROM j
+WHERE cu IS NOT NULL AND su IS NOT NULL AND cd IS DISTINCT FROM sd
+UNION ALL
+SELECT su, sd, 31, 31 FROM j
+WHERE cu IS NOT NULL AND su IS NOT NULL AND cd IS DISTINCT FROM sd
+UNION ALL
+SELECT su, sd, 31, 31 FROM j WHERE cu IS NULL
+UNION ALL
+SELECT cu, cd, start_d, end_d FROM j WHERE su IS NULL AND cu IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered struct-array history (A6 ordered ARRAY_AGG + W9 latest-mark +
+# array_last, M1/homework/assignment.sql:50-53, M1/sql/load_players_table_day2.sql:62-68)
+# ---------------------------------------------------------------------------
+
+def q_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer ordered order history folded into an array — the
+    players/actors cumulative-array shape. Money as integer cents so the
+    string rendering is engine-exact."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    entry = F.concat_ws(
+        ":", F.date_format("o_orderdate", "yyyy-MM-dd"), cents.cast("string")
+    )
+    hist = ordered_collect(
+        entry, F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    )
+    return (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            hist.alias("_hist"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "c_custkey",
+            F.concat_ws(",", "_hist").alias("history"),
+            "n_orders",
+            array_last(F.col("_hist")).alias("latest_entry"),
+        )
+    )
+
+
+ORACLE_ORDER_HISTORY = """
+WITH e AS (
+  SELECT o_custkey,
+         strftime(o_orderdate, '%Y-%m-%d') || ':' ||
+           CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS entry,
+         o_orderdate, o_orderkey
+  FROM orders)
+SELECT o_custkey AS c_custkey,
+       array_to_string(array_agg(entry ORDER BY o_orderdate, o_orderkey), ',')
+         AS history,
+       COUNT(*) AS n_orders,
+       (array_agg(entry ORDER BY o_orderdate, o_orderkey))[-1] AS latest_entry
+FROM e GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dual-array monthly rollup (A12/A13 + A4 per-day distinct,
+# M2/homework/assignmnet_2.sql:204-260 host_activity_reduced)
+# ---------------------------------------------------------------------------
+
+def q_host_activity_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: 31-slot January hit_array + unique_visitors array
+    (zero-filled via the day spine J12)."""
+    daily = (
+        _jan_events(spark, sf_dir)
+        .groupBy("event_type", F.dayofmonth("ts").alias("di"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.countDistinct("user_id").alias("u"),
+        )
+    )
+    types = daily.select("event_type").distinct()
+    spine = types.select(
+        "event_type", F.explode(F.sequence(F.lit(1), F.lit(31))).alias("di")
+    )
+    filled = spine.join(daily, ["event_type", "di"], "left").select(
+        "event_type",
+        "di",
+        F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c"),
+        F.coalesce(F.col("u"), F.lit(0).cast("long")).alias("u"),
+    )
+    return filled.groupBy("event_type").agg(
+        _arr_str(ordered_collect("c", "di")).alias("hit_array"),
+        _arr_str(ordered_collect("u", "di")).alias("unique_visitors"),
+        F.sum("c").alias("total_hits"),
+    )
+
+
+ORACLE_HOST_ACTIVITY = f"""
+WITH daily AS (
+  SELECT event_type, EXTRACT(day FROM ts)::INT AS di, COUNT(*) AS c,
+         COUNT(DISTINCT user_id) AS u
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND date_trunc('month', ts) = TIMESTAMP '{JAN}'
+  GROUP BY 1, 2),
+types AS (SELECT DISTINCT event_type FROM daily),
+spine AS (
+  SELECT t.event_type, s.di
+  FROM types t, LATERAL (SELECT UNNEST(range(1, 32)) AS di) s),
+filled AS (
+  SELECT s.event_type, s.di, COALESCE(d.c, 0)::BIGINT AS c,
+         COALESCE(d.u, 0)::BIGINT AS u
+  FROM spine s LEFT JOIN daily d
+    ON s.event_type = d.event_type AND s.di = d.di)
+SELECT event_type,
+       array_to_string(list_transform(array_agg(c ORDER BY di),
+                                      x -> CAST(x AS VARCHAR)), ',') AS hit_array,
+       array_to_string(list_transform(array_agg(u ORDER BY di),
+                                      x -> CAST(x AS VARCHAR)), ',') AS unique_visitors,
+       SUM(c)::BIGINT AS total_hits
+FROM filled GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands streaks + 90-row stretch (W12,
+# M4A/homework/homework.md:20-22)
+# ---------------------------------------------------------------------------
+
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day active streak per user ("LeBron streak"
+    shape): island id = date - row_number days."""
+    days = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    per_island = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+    )
+
+
+ORACLE_LONGEST_STREAK = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL),
+islands AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+           AS grp
+  FROM days),
+per_island AS (
+  SELECT user_id, grp, COUNT(*) AS len FROM islands GROUP BY 1, 2)
+SELECT user_id, MAX(len)::BIGINT AS longest_streak,
+       SUM(len)::BIGINT AS n_active_days
+FROM per_island GROUP BY user_id
+"""
+
+
+def q_best_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best 30-day-row revenue stretch per order priority ("most wins in
+    a 90-game stretch" shape): rolling frame + per-group argmax."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w30 = (
+        Window.partitionBy("o_orderpriority").orderBy("d").rowsBetween(-29, 0)
+    )
+    rolled = daily.withColumn("roll", F.round(F.sum("rev").over(w30), 2))
+    pick = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("roll"), F.asc("d")
+    )
+    return (
+        rolled.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("roll").alias("best_30d_revenue"),
+            F.col("d").alias("stretch_end"),
+        )
+    )
+
+
+ORACLE_BEST_STRETCH = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2),
+rolled AS (
+  SELECT o_orderpriority, d,
+         ROUND(SUM(rev) OVER (PARTITION BY o_orderpriority ORDER BY d
+                              ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 2)
+           AS roll
+  FROM daily),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY roll DESC, d) AS rn
+  FROM rolled)
+SELECT o_orderpriority, roll AS best_30d_revenue, d AS stretch_end
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins (J6/J7, M1/lecture-lab/incremental_scd_query.sql:84-87,
+# M1/homework/assignment.sql:70-74)
+# ---------------------------------------------------------------------------
+
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with >=1 'F' order (left_semi EXISTS) and no 'P' order
+    (left_anti NOT EXISTS), counted by market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    f_orders = orders.where(F.col("o_orderstatus") == "F")
+    p_orders = orders.where(F.col("o_orderstatus") == "P")
+    kept = cust.join(
+        f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi"
+    ).join(p_orders, F.col("c_custkey") == p_orders.o_custkey, "left_anti")
+    return kept.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+    )
+
+
+ORACLE_SEMI_ANTI = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       ROUND(AVG(c_acctbal), 6) AS avg_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Upsert-as-merge (S11 ON CONFLICT DO UPDATE rewrite, §7 hard-part 3,
+# M2/lecture-lab/array_metrics_analysis.sql:38-40)
+# ---------------------------------------------------------------------------
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent upsert as a full-outer merge: base state (orders before
+    1999) merged with a delta batch (1999+); action column shows the
+    MERGE branch each key took."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cut = F.lit("1999-01-01").cast("timestamp")
+    base = (
+        orders.where(F.col("o_orderdate") < cut)
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("cents"), F.count(F.lit(1)).alias("n"))
+    )
+    delta = (
+        orders.where(F.col("o_orderdate") >= cut)
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("cents"), F.count(F.lit(1)).alias("n"))
+    )
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, F.col("b.o_custkey") == F.col("d.o_custkey"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("b.o_custkey"), F.col("d.o_custkey")).alias("o_custkey"),
+        (
+            F.coalesce(F.col("b.cents"), F.lit(0).cast("long"))
+            + F.coalesce(F.col("d.cents"), F.lit(0).cast("long"))
+        ).alias("total_cents"),
+        (
+            F.coalesce(F.col("b.n"), F.lit(0).cast("long"))
+            + F.coalesce(F.col("d.n"), F.lit(0).cast("long"))
+        ).alias("n_orders"),
+        F.when(F.col("b.o_custkey").isNull(), "insert")
+        .when(F.col("d.o_custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH base AS (
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+         COUNT(*) AS n
+  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1),
+delta AS (
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+         COUNT(*) AS n
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01' GROUP BY 1)
+SELECT COALESCE(b.o_custkey, d.o_custkey) AS o_custkey,
+       (COALESCE(b.cents, 0) + COALESCE(d.cents, 0))::BIGINT AS total_cents,
+       (COALESCE(b.n, 0) + COALESCE(d.n, 0))::BIGINT AS n_orders,
+       CASE WHEN b.o_custkey IS NULL THEN 'insert'
+            WHEN d.o_custkey IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Graph vertices (W3 dedup + MAP properties,
+# M3/src/jobs/team_vertex_job.py:5-18)
+# ---------------------------------------------------------------------------
+
+def q_user_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User vertices: dedup to first event per user, attributes packed
+    into a MAP properties column (rendered as k=v pairs for hashing)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    verts = build_vertices(
+        ev,
+        "user_id",
+        "user",
+        {
+            "first_type": F.col("event_type"),
+            "first_date": F.to_date("ts"),
+        },
+        order_by=[F.asc("ts"), F.asc("event_id")],
+    )
+    return verts.select(
+        "identifier",
+        F.col("type").alias("vertex_type"),
+        F.concat_ws(
+            ",",
+            F.concat(F.lit("first_date="), F.element_at("properties", "first_date")),
+            F.concat(F.lit("first_type="), F.element_at("properties", "first_type")),
+        ).alias("props"),
+    )
+
+
+ORACLE_USER_VERTICES = """
+WITH ranked AS (
+  SELECT user_id, event_type, CAST(ts AS DATE) AS d,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL)
+SELECT CAST(user_id AS VARCHAR) AS identifier,
+       'user' AS vertex_type,
+       'first_date=' || strftime(d, '%Y-%m-%d') ||
+         ',first_type=' || event_type AS props
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (training-pipeline dedup family)
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise word-trigram Jaccard >= 0.5 (unblocked baseline;
+    the operator's block_col is the 100 TB path — see dedup.py).
+    Jaccard over xxhash64'd grams equals Jaccard over the gram strings
+    (collision probability ~n²/2⁶⁴), which is what the oracle computes.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ngram_jaccard(
+        docs, block_col=None, ngram=3, threshold=0.5
+    )
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                      'g')), ' '),
+                     t -> t <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3 THEN
+           list_distinct(list_transform(range(1, len(tk) - 1),
+                                        i -> array_to_string(tk[i:i+2], ' ')))
+         ELSE [array_to_string(tk, ' ')] END AS g
+  FROM toks),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         ROUND(len(list_intersect(a.g, b.g))::DOUBLE /
+               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+           AS jaccard
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+SELECT doc_id_a, doc_id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (training-pipeline dedup family)
+# ---------------------------------------------------------------------------
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cosine >= 0.45 — this
+    corpus has no >0.52 pairs, so the threshold sits inside the observed
+    tail). Unblocked baseline; block_col (label / LSH bucket) is the
+    100 TB path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return neardup_embedding_cosine(emb, threshold=0.45)
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.45
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas decode stages over BINARY media)
+# ---------------------------------------------------------------------------
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media table from documents: text bytes as opaque
+    BINARY content with typed metadata (MEDIA_SCHEMA shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.lit(640).alias("width"),
+            F.lit(480).alias("height"),
+            (F.lit(1000) + (F.col("doc_id") % 7) * 700)
+            .cast("long")
+            .alias("duration_ms"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract (mapInPandas): per kind,
+    media count, total bytes, and the sum of feature[0] — the fake
+    decoder's first feature is md5(content)[0]/255, which the oracle
+    reproduces from DuckDB's md5 hex."""
+    feats = extract_features(_media(spark, sf_dir))
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.sum(F.element_at("features", 1)), 6).alias("sum_f0"),
+    )
+
+
+ORACLE_MEDIA_FEATURES = """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       COUNT(*) AS n_media,
+       SUM(octet_length(encode(text)))::BIGINT AS total_bytes,
+       ROUND(SUM(CAST('0x' || substr(md5(text), 1, 2) AS INT) / 255.0), 6)
+         AS sum_f0
+FROM documents GROUP BY 1
+"""
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: explode frame timestamps, decode
+    each frame (mapInPandas), roll up per media. Frame counts follow
+    duration_ms, which the oracle recomputes."""
+    frames = frame_sample(_media(spark, sf_dir), every_ms=1000)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ms").alias("max_frame_ms"),
+    )
+
+
+ORACLE_MEDIA_FRAMES = """
+WITH vids AS (
+  SELECT doc_id AS media_id,
+         1000 + (doc_id % 7) * 700 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT media_id,
+       ((duration_ms - 1) // 1000 + 1)::BIGINT AS n_frames,
+       (((duration_ms - 1) // 1000) * 1000)::BIGINT AS max_frame_ms
+FROM vids
+"""
+
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scd_incremental": q_scd_incremental,
+    "order_history": q_order_history,
+    "host_activity_reduced": q_host_activity_reduced,
+    "longest_streak": q_longest_streak,
+    "best_stretch": q_best_stretch,
+    "semi_anti_customers": q_semi_anti_customers,
+    "merge_upsert": q_merge_upsert,
+    "user_vertices": q_user_vertices,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+    "media_features": q_media_features,
+    "media_frame_sample": q_media_frame_sample,
+}
+
+EXT_ORACLES: dict[str, str] = {
+    "scd_incremental": ORACLE_SCD_INCREMENTAL,
+    "order_history": ORACLE_ORDER_HISTORY,
+    "host_activity_reduced": ORACLE_HOST_ACTIVITY,
+    "longest_streak": ORACLE_LONGEST_STREAK,
+    "best_stretch": ORACLE_BEST_STRETCH,
+    "semi_anti_customers": ORACLE_SEMI_ANTI,
+    "merge_upsert": ORACLE_MERGE_UPSERT,
+    "user_vertices": ORACLE_USER_VERTICES,
+    "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "media_features": ORACLE_MEDIA_FEATURES,
+    "media_frame_sample": ORACLE_MEDIA_FRAMES,
+}
