@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .partitioning import fan_out
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -100,7 +102,9 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
                 }
             )
 
-    cols = media.select("media_id", "kind", "content")
+    # fan_out: a small media file arrives as 1-2 partitions → 1-2 Python
+    # workers; decode is per-row CPU-bound, so spread it first
+    cols = fan_out(media.select("media_id", "kind", "content"))
     return cols.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
@@ -108,7 +112,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     timestamp (real decoder stubbed — frame content is the fake feature
     of (content, offset)). Demonstrates the explode-then-decode shape."""
-    frames = media.where(F.col("kind") == "video").select(
+    frames = fan_out(media.where(F.col("kind") == "video")).select(
         "media_id",
         "content",
         F.explode(

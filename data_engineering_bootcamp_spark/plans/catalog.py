@@ -1022,18 +1022,21 @@ ORACLE_DOC_LANG = _lang_oracle()
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, Jaccard >= 0.8.
 
-    Banding 64 hashes as 16 bands of 4: near-dup pairs in this corpus
-    sit at j>=0.92 (miss prob ~1e-9/pair) while the ~0.2 background
-    similarity collides a band only ~0.16% of the time, so candidates
-    stay ~100x below all-pairs. (2-row bands would guarantee recall at
-    exactly 0.8, but on a shared-vocabulary corpus they admit nearly
-    every pair — LSH stops pruning.) The DuckDB oracle computes the
-    exhaustive O(n^2) pairwise Jaccard, which only works at test scale;
-    banded LSH is the 100 TB path.
+    Banding 128 hashes as 16 bands of 8: near-dup pairs in this corpus
+    sit at j>=0.92 (per-band hit 0.92^8=0.51 → miss (1-0.51)^16 ≈ 1e-5)
+    while the ~0.2 background similarity collides a band only 0.2^8 ≈
+    2.6e-6 of the time — candidate pairs stay ~O(true pairs), not
+    O(n²)/100. (Shorter bands guarantee recall closer to the 0.8
+    threshold but admit quadratically many candidates on a shared-
+    vocabulary corpus, and the exact-Jaccard verify on the candidates
+    then dominates the runtime ~50x.) The extra 64 hashes are cheap:
+    signatures are one vectorized Arrow-batched numpy pass. The DuckDB
+    oracle computes the exhaustive O(n²) pairwise Jaccard, which only
+    works at test scale; banded LSH is the 100 TB path.
     """
     docs = _t(spark, sf_dir, "documents")
     return dedup_minhash_lsh(
-        docs, num_hashes=64, bands=16, jaccard_threshold=0.8
+        docs, num_hashes=128, bands=16, jaccard_threshold=0.8
     )
 
 
@@ -1067,7 +1070,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact ANN baseline; broadcast query side)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return cosine_topk_bruteforce(emb, queries, k=5)
+    return cosine_topk_bruteforce(emb, queries, k=5, dim=64)
 
 
 ORACLE_ANN = """

@@ -512,7 +512,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail). Unblocked baseline; block_col (label / LSH bucket) is the
     100 TB path."""
     emb = _t(spark, sf_dir, "embeddings")
-    return neardup_embedding_cosine(emb, threshold=0.45)
+    return neardup_embedding_cosine(emb, threshold=0.45, dim=64)
 
 
 ORACLE_EMBEDDING_NEARDUP = """
