@@ -93,49 +93,39 @@ def scd_incremental(
     for t in tracked:
         same = same & F.col(f"c.{t}").eqNullSafe(F.col(f"s.{t}"))
 
-    unchanged = joined.where(
-        F.col(f"c.{key}").isNotNull() & F.col(f"s.{key}").isNotNull() & same
-    ).select(
-        F.col(f"c.{key}").alias(key),
-        *[F.col(f"c.{t}").alias(t) for t in tracked],
-        F.col(f"c.{sp}").alias(sp),
-        F.lit(new_period).alias(ep),
+    def _row(side: str, start, end):
+        return F.struct(
+            F.col(f"{side}.{key}").alias(key),
+            *[F.col(f"{side}.{t}").alias(t) for t in tracked],
+            start.alias(sp),
+            end.alias(ep),
+        )
+
+    # One pass over the full-outer join: each row contributes an array of
+    # output ranges which a single explode unnests — exactly the
+    # reference's UNNEST(ARRAY[old, new]) shape
+    # (incremental_scd_query.sql:46-74). A UNION ALL of per-branch
+    # filters re-evaluates the join subtree once per branch (5 scans of
+    # the inputs, ~30 shuffles at plan level); this form scans it once.
+    in_c = F.col(f"c.{key}").isNotNull()
+    in_s = F.col(f"s.{key}").isNotNull()
+    np_lit = F.lit(new_period)
+    branches = (
+        # unchanged: extend the current range into the new period
+        F.when(in_c & in_s & same, F.array(_row("c", F.col(f"c.{sp}"), np_lit)))
+        # changed: seal the old range, open a new one
+        .when(
+            in_c & in_s & ~same,
+            F.array(
+                _row("c", F.col(f"c.{sp}"), F.col(f"c.{ep}")),
+                _row("s", np_lit, np_lit),
+            ),
+        )
+        # brand-new entity (left-anti shape J6: c side NULL)
+        .when(~in_c, F.array(_row("s", np_lit, np_lit)))
+        # retired entity keeps its sealed range (s side NULL)
+        .otherwise(F.array(_row("c", F.col(f"c.{sp}"), F.col(f"c.{ep}"))))
     )
-    # changed: seal the old range and open a new one (explode of 2 structs,
-    # mirroring the UNNEST(ARRAY[old, new]) in incremental_scd_query.sql:46-74)
-    changed_rows = joined.where(
-        F.col(f"c.{key}").isNotNull() & F.col(f"s.{key}").isNotNull() & ~same
-    )
-    sealed = changed_rows.select(
-        F.col(f"c.{key}").alias(key),
-        *[F.col(f"c.{t}").alias(t) for t in tracked],
-        F.col(f"c.{sp}").alias(sp),
-        F.col(f"c.{ep}").alias(ep),
-    )
-    opened = changed_rows.select(
-        F.col(f"s.{key}").alias(key),
-        *[F.col(f"s.{t}").alias(t) for t in tracked],
-        F.lit(new_period).alias(sp),
-        F.lit(new_period).alias(ep),
-    )
-    # brand-new entities (left-anti shape J6: c side NULL)
-    new = joined.where(F.col(f"c.{key}").isNull()).select(
-        F.col(f"s.{key}").alias(key),
-        *[F.col(f"s.{t}").alias(t) for t in tracked],
-        F.lit(new_period).alias(sp),
-        F.lit(new_period).alias(ep),
-    )
-    # retired entities keep their sealed range (s side NULL)
-    retired = joined.where(
-        F.col(f"c.{key}").isNotNull() & F.col(f"s.{key}").isNull()
-    ).select(
-        F.col(f"c.{key}").alias(key),
-        *[F.col(f"c.{t}").alias(t) for t in tracked],
-        F.col(f"c.{sp}").alias(sp),
-        F.col(f"c.{ep}").alias(ep),
-    )
+    advanced = joined.select(F.explode(branches).alias("_r")).select("_r.*")
     cols = [key, *tracked, sp, ep]
-    out = historical.select(*cols)
-    for piece in (unchanged, sealed, opened, new, retired):
-        out = out.unionByName(piece.select(*cols))
-    return out
+    return historical.select(*cols).unionByName(advanced.select(*cols))

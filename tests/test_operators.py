@@ -1,0 +1,167 @@
+"""Operator unit tests with fake inputs and expected outputs — the
+reference's own test strategy (SURVEY §5; M3/src/tests/*), extended to
+the engine's kernels. Each test mirrors a reference test where one
+exists:
+
+- SCD streaks          ← test_player_scd.py:4-24 (4 rows → 3 ranges)
+- vertex dedup + props ← test_team_vertex_job.py:10-32
+- cumulate_datelist    ← user_cumulated_populate.sql semantics
+- scd_incremental      ← incremental_scd_query.sql branch semantics
+  (all five branches: unchanged/changed/new/retired/historical)
+"""
+
+from collections import namedtuple
+
+from pyspark.sql import functions as F
+
+from data_engineering_bootcamp_spark.functions.datelist import (
+    datelist_active_days,
+    datelist_int,
+)
+from data_engineering_bootcamp_spark.operators.cumulate import cumulate_datelist
+from data_engineering_bootcamp_spark.operators.graph import build_vertices
+from data_engineering_bootcamp_spark.operators.scd import (
+    scd_from_snapshots,
+    scd_incremental,
+)
+
+Snapshot = namedtuple("Snapshot", "player_name season scoring_class")
+TeamRow = namedtuple("TeamRow", "team_id abbreviation nickname")
+History = namedtuple("History", "user_id tier start_d end_d")
+Latest = namedtuple("Latest", "user_id tier")
+
+
+def test_scd_streaks_collapse(spark):
+    # mirrors test_player_scd: Good,Good,Bad,Bad → 3 ranges (the two
+    # Good seasons merge; the gap-less Bad run merges)
+    rows = [
+        Snapshot("a", 2018, "Good"),
+        Snapshot("a", 2019, "Good"),
+        Snapshot("a", 2020, "Bad"),
+        Snapshot("a", 2021, "Bad"),
+        Snapshot("b", 2020, "Good"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = scd_from_snapshots(df, "player_name", "season", ["scoring_class"])
+    got = {
+        (r.player_name, r.scoring_class, r.start_season, r.end_season)
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", "Good", 2018, 2019),
+        ("a", "Bad", 2020, 2021),
+        ("b", "Good", 2020, 2020),
+    }
+
+
+def test_scd_null_tracked_value_is_not_a_change(spark):
+    # eqNullSafe: NULL → NULL must not open a new range
+    rows = [
+        Snapshot("a", 2018, None),
+        Snapshot("a", 2019, None),
+        Snapshot("a", 2020, "Good"),
+    ]
+    df = spark.createDataFrame(rows, "player_name string, season int, scoring_class string")
+    out = scd_from_snapshots(df, "player_name", "season", ["scoring_class"])
+    got = {
+        (r.scoring_class, r.start_season, r.end_season) for r in out.collect()
+    }
+    assert got == {(None, 2018, 2019), ("Good", 2020, 2020)}
+
+
+def test_scd_incremental_all_branches(spark):
+    history = spark.createDataFrame(
+        [
+            History(1, "Gold", 1, 5),     # historical (sealed long ago)
+            History(2, "Gold", 3, 9),     # current, unchanged in p10
+            History(3, "Bronze", 4, 9),   # current, changes to Silver
+            History(4, "Gold", 2, 9),     # current, retires (no snapshot)
+        ]
+    )
+    latest = spark.createDataFrame(
+        [
+            Latest(2, "Gold"),    # unchanged
+            Latest(3, "Silver"),  # changed
+            Latest(5, "Iron"),    # brand new
+        ]
+    )
+    out = scd_incremental(history, latest, "user_id", "d", ["tier"], 10)
+    got = {(r.user_id, r.tier, r.start_d, r.end_d) for r in out.collect()}
+    assert got == {
+        (1, "Gold", 1, 5),      # historical passthrough
+        (2, "Gold", 3, 10),     # unchanged: range extended
+        (3, "Bronze", 4, 9),    # changed: old range sealed
+        (3, "Silver", 10, 10),  # changed: new range opened
+        (4, "Gold", 2, 9),      # retired: keeps sealed range
+        (5, "Iron", 10, 10),    # new entity
+    }
+
+
+def test_vertex_dedup_and_properties(spark):
+    # mirrors test_team_vertex_job: duplicate team rows → one vertex with
+    # map properties
+    rows = [
+        TeamRow(1, "GSW", "Warriors"),
+        TeamRow(1, "GSW", "Warriors"),
+        TeamRow(2, "BOS", "Celtics"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = build_vertices(
+        df,
+        "team_id",
+        "team",
+        {"abbreviation": F.col("abbreviation"), "nickname": F.col("nickname")},
+        order_by=[F.asc("team_id")],
+    )
+    got = sorted(
+        (r.identifier, r.type, dict(r.properties)) for r in out.collect()
+    )
+    assert got == [
+        ("1", "team", {"abbreviation": "GSW", "nickname": "Warriors"}),
+        ("2", "team", {"abbreviation": "BOS", "nickname": "Celtics"}),
+    ]
+
+
+def test_cumulate_datelist_three_ways(spark):
+    # existing user active today (prepend), existing user absent today
+    # (carry), brand-new user (fresh array)
+    yesterday = spark.createDataFrame(
+        [(1, ["2024-01-02", "2024-01-01"]), (2, ["2024-01-01"])],
+        "user_id long, dates_active array<string>",
+    ).select(
+        "user_id", F.col("dates_active").cast("array<date>").alias("dates_active")
+    )
+    today = spark.createDataFrame(
+        [(1, "2024-01-03"), (3, "2024-01-03")],
+        "user_id long, date_active string",
+    ).select("user_id", F.col("date_active").cast("date").alias("date_active"))
+    out = cumulate_datelist(yesterday, today, "2024-01-03")
+    got = {
+        r.user_id: [d.isoformat() for d in r.dates_active]
+        for r in out.collect()
+    }
+    assert got == {
+        1: ["2024-01-03", "2024-01-02", "2024-01-01"],
+        2: ["2024-01-01"],
+        3: ["2024-01-03"],
+    }
+    assert all(r.date.isoformat() == "2024-01-03" for r in out.collect())
+
+
+def test_datelist_int_bit_semantics(spark):
+    # bit i set ⟺ active (ref_date - i); window is 32 days
+    df = spark.createDataFrame(
+        [(1, "2024-01-31"), (1, "2024-01-30"), (1, "2024-01-01"),
+         (1, "2023-12-01"),  # outside window → ignored
+         (2, "2024-01-24")],
+        "user_id long, d string",
+    ).select("user_id", F.col("d").cast("date").alias("d"))
+    ref = F.lit("2024-01-31").cast("date")
+    out = (
+        df.groupBy("user_id")
+        .agg(datelist_int(F.col("d"), ref).alias("mask"))
+        .withColumn("n", datelist_active_days(F.col("mask")))
+    )
+    got = {r.user_id: (r.mask, r.n) for r in out.collect()}
+    assert got[1] == ((1 << 0) | (1 << 1) | (1 << 30), 3)
+    assert got[2] == (1 << 7, 1)

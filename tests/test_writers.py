@@ -1,0 +1,86 @@
+"""Sink tests (SURVEY §2.1 S4-S7, §2.6 O4-O5): bucketed saveAsTable
+with shuffle-free bucket join, directory partitioning with pruning,
+repartition + sortWithinPartitions layout."""
+
+import glob
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_bootcamp_spark.sources.writers import (
+    write_bucketed,
+    write_partitioned,
+    write_repartitioned_sorted,
+)
+
+
+@pytest.fixture()
+def orders(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/orders.parquet")
+
+
+def _formatted_plan(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_bucket_join_elides_shuffle(spark, orders, tmp_path):
+    # J14: two 8-bucket tables joined on the bucket key → no Exchange on
+    # either side (the reference's bucket-joins-in-iceberg.ipynb lesson).
+    # warehouse.dir is a static conf, so the tables land in the default
+    # spark-warehouse; dropped at the end.
+    left = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    right = orders.select("o_orderkey", "o_orderpriority")
+    write_bucketed(left, "t_bucket_l", "o_orderkey", num_buckets=8)
+    write_bucketed(right, "t_bucket_r", "o_orderkey", num_buckets=8)
+    joined = spark.table("t_bucket_l").join(
+        spark.table("t_bucket_r"), "o_orderkey"
+    )
+    plan = _formatted_plan(joined)
+    shuffles = re.findall(r"Arguments: hashpartitioning", plan)
+    assert not shuffles, f"bucket join should elide exchanges:\n{plan}"
+    assert joined.count() == orders.count()
+    spark.sql("DROP TABLE t_bucket_l")
+    spark.sql("DROP TABLE t_bucket_r")
+
+
+def test_partitioned_write_prunes(spark, orders, tmp_path):
+    path = str(tmp_path / "part")
+    df = orders.withColumn("status", F.col("o_orderstatus"))
+    write_partitioned(df.select("o_orderkey", "status"), path, "status")
+    dirs = {os.path.basename(p) for p in glob.glob(f"{path}/status=*")}
+    assert dirs == {"status=F", "status=O", "status=P"}
+    back = spark.read.parquet(path).where(F.col("status") == "F")
+    plan = _formatted_plan(back)
+    # partition filter must reach the scan, leaving no row-level filter
+    assert "PartitionFilters: [isnotnull(status" in plan
+    n_f = orders.where(F.col("o_orderstatus") == "F").count()
+    assert back.count() == n_f
+
+
+def test_repartitioned_sorted_layout(spark, orders, tmp_path):
+    p_sorted = str(tmp_path / "sorted")
+    p_plain = str(tmp_path / "plain")
+    cols = orders.select("o_orderkey", "o_custkey", "o_orderpriority")
+    write_repartitioned_sorted(
+        cols, p_sorted, num_partitions=4, key="o_orderpriority",
+        sort_cols=["o_orderpriority", "o_custkey"],
+    )
+    write_repartitioned_sorted(cols, p_plain, num_partitions=4, key="o_orderpriority")
+    files_sorted = glob.glob(f"{p_sorted}/part-*.parquet")
+    # repartition(4, key): ≤4 files; hash collisions of the 5 distinct
+    # keys can leave some of the 4 partitions empty
+    assert 1 <= len(files_sorted) <= 4
+    # same rows back
+    assert spark.read.parquet(p_sorted).count() == cols.count()
+    # the sorted layout should not be larger (run-length/dict encoding
+    # wins on sorted data) — the reference's compression experiment
+    size = lambda p: sum(
+        os.path.getsize(f) for f in glob.glob(f"{p}/part-*.parquet")
+    )
+    assert size(p_sorted) <= size(p_plain) * 1.05
