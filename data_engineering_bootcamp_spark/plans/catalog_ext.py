@@ -23,6 +23,7 @@ from ..operators.multimodal import extract_features, frame_sample
 from ..operators.scd import scd_from_snapshots, scd_incremental
 from ..operators.similarity import neardup_embedding_cosine
 from ..sources.readers import load_table
+from ..streaming.pipelines import tumbling_counts
 
 JAN = "2024-01-01"
 
@@ -602,6 +603,59 @@ FROM vids
 """
 
 
+# ---------------------------------------------------------------------------
+# Structured Streaming through the correctness gate (T1-T3, T7)
+# ---------------------------------------------------------------------------
+
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts computed by the REAL streaming engine:
+    parquet file-stream source → watermarked window aggregation →
+    availableNow trigger → complete-mode memory sink. Stream-equals-
+    batch: the oracle is the same SQL that checks the batch analog
+    (`tumbling_hits`), so this entry proves the streaming path produces
+    byte-identical aggregates, state store and all."""
+    # footer-inferred schema: events.ts is parquet TIMESTAMP(NANOS),
+    # surfaced as a raw long (nanosAsLong) and converted below exactly
+    # like the batch reader (readers.load_table)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file-stream source lists a DIRECTORY; the testdata table is a
+    # single parquet file, so expose it through a temp-dir symlink
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="stream_gate_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    stream = spark.readStream.schema(schema).format("parquet").load(d)
+    stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = tumbling_counts(stream, keys=["event_type"])
+    name = "stream_tumbling_gate"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "num_hits",
+    )
+
+
+ORACLE_STREAMING_TUMBLING = """
+SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       COUNT(*) AS num_hits
+FROM events GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd_incremental": q_scd_incremental,
     "order_history": q_order_history,
@@ -615,6 +669,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
+    "streaming_tumbling_hits": q_streaming_tumbling,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -630,4 +685,5 @@ EXT_ORACLES: dict[str, str] = {
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_frame_sample": ORACLE_MEDIA_FRAMES,
+    "streaming_tumbling_hits": ORACLE_STREAMING_TUMBLING,
 }
