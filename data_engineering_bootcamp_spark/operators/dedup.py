@@ -309,6 +309,31 @@ def simhash_from_counters(counters: Column) -> Column:
     return out
 
 
+def _simhash_udf():
+    """Arrow-batched SimHash: numpy port of simhash_counters +
+    simhash_from_counters (bit-exact: two's-complement int64↔uint64
+    views, same majority-vote bit assembly). The expression form runs
+    64 interpreted bit tests per n-gram per document; this is one
+    vectorized pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def sh(grams: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.empty(len(grams), dtype=np.int64)
+        for j, g in enumerate(grams):
+            h = np.asarray(g, dtype=np.int64).astype(np.uint64)
+            bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+            counters = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            fp = ((counters > 0).astype(np.uint64) << shifts).sum(
+                dtype=np.uint64
+            )
+            out[j] = fp.astype(np.int64)
+        return pd.Series(out)
+
+    return sh
+
+
 def dedup_simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -320,14 +345,21 @@ def dedup_simhash(
     Blocking: split the 64-bit fingerprint into 4 16-bit chunks — any
     pair within Hamming ≤ 3 shares at least one exact chunk (pigeonhole),
     so candidate generation is 4 equi-join buckets, never O(n²).
+
+    Fingerprints come from the vectorized `_simhash_udf`; the
+    expression-form `simhash_counters`/`simhash_from_counters` pair
+    remains exported as the pure-Catalyst reference implementation
+    (bit-identical, used to cross-check the UDF in tests).
     """
     base = (
         fan_out(docs).select(
             F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("_toks")
         )
         .select("doc_id", _ngrams_of_toks(F.col("_toks"), 2).alias("_grams"))
-        .select("doc_id", simhash_counters(F.col("_grams")).alias("counters"))
-        .select("doc_id", simhash_from_counters(F.col("counters")).alias("sh"))
+        .select("doc_id", _simhash_udf()(F.col("_grams")).alias("sh"))
+        # (doc_id, sh) is 16 B/row; persisting halves the pipeline cost
+        # because both sides of the chunk self-join consume it
+        .persist()
     )
     # fingerprints are single longs, so unlike the MinHash path the
     # pair join can carry them inline — rows stay 32 B wide
@@ -389,7 +421,7 @@ def dedup_ngram_jaccard(
         "doc_id",
         "block",
         F.array_distinct(_ngrams_of_toks(F.col("_toks"), ngram)).alias("grams"),
-    )
+    ).persist()  # consumed by both sides of the pair join
     a, b = base.alias("a"), base.alias("b")
     if block_col:
         cand = a.join(

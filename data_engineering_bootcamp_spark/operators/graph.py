@@ -40,6 +40,43 @@ def build_vertices(
     )
 
 
+def build_edges_pairs_grouped(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    count_col: str = "n_groups",
+) -> DataFrame:
+    """J9 scale path: co-occurrence pair counts WITHOUT a self-join.
+
+    collect_set per group (one shuffle), expand each group's sorted id
+    array into its pairs with array expressions, explode, count (second
+    shuffle). The join form shuffles the deduped rows twice more and
+    materializes |group|² join rows; this form never builds a row wider
+    than one group's id array. Groups are bounded (parts per order,
+    players per game), so the per-row arrays stay small.
+    """
+    groups = df.groupBy(group_col).agg(
+        F.array_sort(F.collect_set(F.col(id_col))).alias("_ids")
+    )
+    ids = F.col("_ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        groups.select(F.explode(pairs).alias("_p"))
+        .groupBy(
+            F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias(count_col))
+    )
+
+
 def build_edges_pairs(
     df: DataFrame,
     group_col: str,

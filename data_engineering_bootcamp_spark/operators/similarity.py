@@ -66,26 +66,52 @@ def cosine_topk_bruteforce(
     """Exact top-k cosine neighbors per query vector.
 
     Output: (query_id, neighbor_id, cosine DOUBLE, rank INT); self-pairs
-    excluded. The queries side is broadcast (bounded dim table posture,
-    J13) so the corpus never shuffles.
-    """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    excluded. The queries side is bounded by contract (J13 dim-table
+    posture): it is collected once, normalized, and broadcast as a numpy
+    matrix; each corpus partition scores its Arrow batch with one BLAS
+    matmul and never shuffles. Per-query top-k is a JVM window over the
+    (|corpus| × |queries|) scored rows. `dim` is kept for the signature
+    of the JVM expression path (`cosine_similarity`)."""
+    import numpy as np
+
+    rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    q_ids = np.array([r.qid for r in rows], dtype=np.int64)
+    Q = np.array([r.qv for r in rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = queries.sparkSession.sparkContext.broadcast((q_ids, Q))
+
+    def run(batches):
+        # self-contained closure (executors may lack this package)
+        import numpy as _np
+        import pandas as _pd
+
+        bq_ids, bQ = bc.value
+        nq = len(bq_ids)
+        for pdf in batches:
+            c_ids = pdf["nid"].to_numpy()
+            C = _np.array(list(pdf["cv"]), dtype=_np.float64)
+            C /= _np.linalg.norm(C, axis=1, keepdims=True)
+            S = C @ bQ.T  # (batch, nq)
+            S = _np.floor(S * 1e6 + 0.5) / 1e6  # HALF_UP like F.round
+            rep_c = _np.repeat(c_ids, nq)
+            rep_q = _np.tile(bq_ids, len(c_ids))
+            flat = S.ravel()
+            keep = rep_c != rep_q
+            yield _pd.DataFrame(
+                {
+                    "query_id": rep_q[keep],
+                    "neighbor_id": rep_c[keep],
+                    "cosine": flat[keep],
+                }
+            )
+
+    src = fan_out(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv"))
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            cosine_similarity(
-                F.col("qv").cast("array<double>"),
-                F.col("cv").cast("array<double>"),
-                dim,
-            ),
-            6,
-        ).alias("cosine"),
+    scored = src.mapInPandas(
+        run, schema="query_id bigint, neighbor_id bigint, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

@@ -31,6 +31,7 @@ from ..functions.text import (
 )
 from ..operators.dedup import dedup_keep_first, dedup_minhash_lsh, dedup_simhash
 from ..operators.funnel import funnel_conversion
+from ..operators.graph import build_edges_pairs_grouped
 from ..operators.growth import growth_accounting, retention_curve
 from ..operators.scd import scd_from_snapshots
 from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
@@ -305,24 +306,21 @@ FROM spine s LEFT JOIN yearly y
 
 
 def q_part_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pair-generation self-join with inequality dedup (J9,
+    """Pair generation with inequality dedup (J9,
     M1/lecture-lab/player_player_edges.sql:22-26): parts co-occurring in
-    the same order."""
-    lp = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    the same order.
+
+    Computed join-free (build_edges_pairs_grouped): collect the sorted
+    part set per order, expand pairs with array expressions, count —
+    two shuffles total versus four for the equivalent self-join, and no
+    |order|² join-row materialization. The join form remains available
+    as graph.build_edges_pairs (the reference's literal shape)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return build_edges_pairs_grouped(li, "l_orderkey", "l_partkey").select(
+        F.col("id_a").alias("part_a"),
+        F.col("id_b").alias("part_b"),
+        F.col("n_groups").alias("n_orders"),
     )
-    a, b = lp.alias("a"), lp.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    )
-    return pairs.groupBy(
-        F.col("a.l_partkey").alias("part_a"),
-        F.col("b.l_partkey").alias("part_b"),
-    ).agg(F.count(F.lit(1)).alias("n_orders"))
 
 
 ORACLE_PART_PAIRS = """

@@ -165,3 +165,29 @@ def test_datelist_int_bit_semantics(spark):
     got = {r.user_id: (r.mask, r.n) for r in out.collect()}
     assert got[1] == ((1 << 0) | (1 << 1) | (1 << 30), 3)
     assert got[2] == (1 << 7, 1)
+
+
+def test_simhash_udf_matches_expression_form(spark, sf_small):
+    # the vectorized UDF must be bit-identical to the pure-Catalyst
+    # reference implementation (simhash has no DuckDB oracle)
+    from pyspark.sql import functions as F2
+
+    from data_engineering_bootcamp_spark.operators.dedup import (
+        _ngrams_of_toks,
+        _simhash_udf,
+        _tokens,
+        simhash_counters,
+        simhash_from_counters,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(50)
+    base = docs.select(
+        "doc_id", _tokens(F2.col("text")).alias("_toks")
+    ).select("doc_id", _ngrams_of_toks(F2.col("_toks"), 2).alias("_grams"))
+    expr_form = base.select(
+        "doc_id", simhash_counters(F2.col("_grams")).alias("c")
+    ).select("doc_id", simhash_from_counters(F2.col("c")).alias("sh"))
+    udf_form = base.select("doc_id", _simhash_udf()(F2.col("_grams")).alias("sh"))
+    a = {r.doc_id: r.sh for r in expr_form.collect()}
+    b = {r.doc_id: r.sh for r in udf_form.collect()}
+    assert a == b
