@@ -40,6 +40,20 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the subset shared by
+# Java regex and RE2 (no lookahead): contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs. Token count under this
+# pattern approximates BPE pre-tokenization counts.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    regex (a closer LLM-token proxy than whitespace splitting; pure
+    Catalyst, runs at scan speed)."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def _marker_hits(text: Column | str, words: list[str]) -> Column:
     """How many of `words` occur (as whole lowercase tokens) in text."""
     toks = tokens(text)

@@ -24,6 +24,7 @@ from ..functions.arrays import ordered_collect
 from ..functions.datelist import datelist_int
 from ..functions.text import (
     LANG_MARKERS,
+    bpe_ish_token_count,
     doc_fingerprint,
     lang_id_heuristic,
     quality_score,
@@ -915,14 +916,19 @@ FROM documents GROUP BY 1
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + per-source stats (text-analysis layer)."""
+    """Token counting + per-source stats (text-analysis layer):
+    whitespace tokens AND the GPT-2-style BPE-ish pre-tokenizer count
+    (functions.text.BPE_ISH_PATTERN — same regex runs in DuckDB's RE2,
+    so the proxy is oracle-checked)."""
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.withColumn("tc", token_count(F.col("text")))
+        .withColumn("bc", bpe_ish_token_count(F.col("text")))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("tc").cast("long").alias("total_tokens"),
+            F.sum("bc").cast("long").alias("total_bpe_tokens"),
             F.round(F.avg("tc"), 6).alias("avg_tokens"),
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
@@ -933,10 +939,14 @@ ORACLE_DOC_TOKENS = """
 WITH t AS (
   SELECT source, n_chars,
          length(list_filter(string_split_regex(lower(text), '\\s+'),
-                            x -> x <> '')) AS tc
+                            x -> x <> '')) AS tc,
+         length(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+           AS bc
   FROM documents)
 SELECT source, COUNT(*) AS n_docs,
        SUM(tc)::BIGINT AS total_tokens,
+       SUM(bc)::BIGINT AS total_bpe_tokens,
        ROUND(AVG(tc), 6) AS avg_tokens,
        ROUND(AVG(n_chars), 6) AS avg_chars
 FROM t GROUP BY source

@@ -84,3 +84,20 @@ def test_repartitioned_sorted_layout(spark, orders, tmp_path):
         os.path.getsize(f) for f in glob.glob(f"{p}/part-*.parquet")
     )
     assert size(p_sorted) <= size(p_plain) * 1.05
+
+
+def test_csv_roundtrip_with_inference(spark, orders, tmp_path):
+    # S2: header CSV + schema inference (the reference's CSV read shape,
+    # M3/notebooks/assignment_3_spark.py:18-23)
+    from data_engineering_bootcamp_spark.sources.readers import read_csv
+
+    path = str(tmp_path / "orders_csv")
+    cols = orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    cols.write.option("header", "true").mode("overwrite").csv(path)
+    back = read_csv(spark, path)
+    assert back.count() == cols.count()
+    assert dict(back.dtypes)["o_orderkey"] == "int"  # inferred numeric
+    assert dict(back.dtypes)["o_totalprice"] == "double"
+    got = back.agg({"o_totalprice": "sum"}).collect()[0][0]
+    want = cols.agg({"o_totalprice": "sum"}).collect()[0][0]
+    assert abs(got - want) < 1e-6 * max(abs(want), 1)
