@@ -1110,7 +1110,7 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     random-hyperplane signatures use xxhash64)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return cosine_topk_lsh(emb, queries, dim=64, k=5, nbits=8)
+    return cosine_topk_lsh(emb, queries, dim=64, k=5, nbits=4, n_tables=16)
 
 
 # ---------------------------------------------------------------------------

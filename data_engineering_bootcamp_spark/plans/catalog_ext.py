@@ -21,7 +21,7 @@ from ..operators.dedup import dedup_keep_first, dedup_ngram_jaccard
 from ..operators.graph import build_vertices
 from ..operators.multimodal import extract_features, frame_sample
 from ..operators.scd import scd_from_snapshots, scd_incremental
-from ..operators.similarity import neardup_embedding_cosine
+from ..operators.similarity import cosine_topk_ivf, neardup_embedding_cosine
 from ..sources.readers import load_table
 from ..streaming.pipelines import tumbling_counts
 
@@ -603,6 +603,15 @@ FROM vids
 """
 
 
+def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate cosine top-k (rows-only check:
+    approximate by design; recall vs brute force is pinned in
+    tests/test_operators.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_ivf(emb, queries, k=5, n_centroids=32, n_probe=8)
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming through the correctness gate (T1-T3, T7)
 # ---------------------------------------------------------------------------
@@ -670,6 +679,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
     "streaming_tumbling_hits": q_streaming_tumbling,
+    "ann_cosine_ivf": q_ann_cosine_ivf,
 }
 
 EXT_ORACLES: dict[str, str] = {

@@ -15,6 +15,7 @@ from .pipelines import (
     with_event_time,
 )
 from .sinks import start_foreach_batch, start_to_parquet
+from .stateful import sessionize_stateful
 from .sources import json_file_stream, kafka_json_stream, rate_events_stream
 
 __all__ = [
@@ -23,6 +24,7 @@ __all__ = [
     "enrich_events",
     "tumbling_counts",
     "sessionize_stream",
+    "sessionize_stateful",
     "json_file_stream",
     "kafka_json_stream",
     "rate_events_stream",

@@ -191,3 +191,24 @@ def test_simhash_udf_matches_expression_form(spark, sf_small):
     a = {r.doc_id: r.sh for r in expr_form.collect()}
     b = {r.doc_id: r.sh for r in udf_form.collect()}
     assert a == b
+
+
+def test_ann_variants_recall(spark, sf_dir):
+    # approximate ANN paths must retrieve most of the exact top-5
+    # (rows-only in the driver gate, so recall is pinned here)
+    from data_engineering_bootcamp_spark.plans.catalog import QUERIES
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_cosine_ivf"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_cosine_lsh"](spark, sf_dir).collect()
+    }
+    assert len(exact & ivf) / len(exact) >= 0.7
+    assert len(exact & lsh) / len(exact) >= 0.6

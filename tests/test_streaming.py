@@ -260,3 +260,36 @@ def test_checkpoint_resume_no_duplicates(spark, events_dir, tmp_path):
     n2 = spark.read.parquet(out).count()
     assert n1 == len(ALL_EVENTS)
     assert n2 == n1
+
+
+def test_stateful_sessionizer_matches_session_window(spark, events_dir, tmp_path):
+    # the applyInPandasWithState sessionizer must agree with the built-in
+    # session_window on (key, session_start, num_events) for every closed
+    # session (T5 + custom-stateful-operator path)
+    from data_engineering_bootcamp_spark.streaming import sessionize_stateful
+
+    stream = with_event_time(
+        json_file_stream(spark, events_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+    )
+    out = _drain(
+        sessionize_stateful(stream, gap_seconds=300), tmp_path, "stateful_sess"
+    )
+    got = {
+        (r.ip, r.host, str(r.session_start), r.num_events)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    builtin_stream = with_event_time(
+        json_file_stream(spark, events_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+    )
+    ref_out = _drain(
+        sessionize_stream(builtin_stream, keys=["ip", "host"], gap="5 minutes"),
+        tmp_path,
+        "builtin_sess",
+    )
+    want = {
+        (r.ip, r.host, str(r.session_start), r.num_events)
+        for r in spark.read.parquet(ref_out).collect()
+    }
+    assert got == want
+    assert len(got) >= 4  # the corpus closes at least four sessions
