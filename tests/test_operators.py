@@ -212,3 +212,49 @@ def test_ann_variants_recall(spark, sf_dir):
     }
     assert len(exact & ivf) / len(exact) >= 0.7
     assert len(exact & lsh) / len(exact) >= 0.6
+
+
+def test_salted_aggregate_matches_plain(spark, sf_small):
+    from data_engineering_bootcamp_spark.operators.skew import salted_aggregate
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    plain = {
+        (r.event_type, r.n, round(r.v, 6))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    salted = {
+        (r.event_type, r.n, round(r.v, 6))
+        for r in salted_aggregate(
+            ev,
+            ["event_type"],
+            {"n": ("event_type", "count"), "v": ("value", "sum")},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_small):
+    from data_engineering_bootcamp_spark.operators.skew import salted_join
+
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_small}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = (
+        orders.join(cust, "o_custkey")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    salted = (
+        salted_join(orders, cust, "o_custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert {(r.c_mktsegment, r["count"]) for r in plain} == {
+        (r.c_mktsegment, r["count"]) for r in salted
+    }
