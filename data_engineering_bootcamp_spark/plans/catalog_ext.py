@@ -624,20 +624,26 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`tumbling_hits`), so this entry proves the streaming path produces
     byte-identical aggregates, state store and all."""
     # footer-inferred schema: events.ts is parquet TIMESTAMP(NANOS),
-    # surfaced as a raw long (nanosAsLong) and converted below exactly
+    # surfaced as a raw long (nanosAsLong, set here so the probe works
+    # under any caller-provided session) and converted below exactly
     # like the batch reader (readers.load_table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file-stream source lists a DIRECTORY; the testdata table is a
     # single parquet file, so expose it through a temp-dir symlink
     import os
+    import shutil
     import tempfile
+    import uuid
 
     d = tempfile.mkdtemp(prefix="stream_gate_")
     os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
     stream = spark.readStream.schema(schema).format("parquet").load(d)
     stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     agg = tumbling_counts(stream, keys=["event_type"])
-    name = "stream_tumbling_gate"
+    # unique sink name per invocation: two concurrent runs on one session
+    # must not collide on the memory-sink table
+    name = f"stream_tumbling_gate_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -645,8 +651,13 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    q.stop()
+    try:
+        q.awaitTermination()
+        q.stop()
+    finally:
+        # memory sink rows live in the session, not the temp dir — safe
+        # to remove the symlinked source immediately after termination
+        shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"

@@ -35,7 +35,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     only as a raw long (spark.sql.legacy.parquet.nanosAsLong) — convert
     to TimestampType here with integer ns→µs division (`div`, not `/`:
     double division would lose precision on 1.7e18-scale values).
+
+    The conf is set HERE, not only in the session factory: callers may
+    hand us any vanilla SparkSession (a test harness, a notebook) and a
+    scan must not depend on who built the session. Runtime-settable.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
