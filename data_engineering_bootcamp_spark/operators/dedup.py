@@ -35,6 +35,31 @@ from .partitioning import fan_out
 # (x % P) * a + b stays inside a signed 64-bit long (no overflow).
 _P = (1 << 31) - 1
 
+# Intermediates persisted by the near-dup operators (signature/shingle
+# blocks feed multiple join sides, so they must be cached for the
+# lifetime of the returned DataFrame). Callers own that lifetime: call
+# `release_caches()` once the results are materialized, or a long-lived
+# session running the catalog repeatedly accumulates storage until
+# eviction pressure degrades other queries.
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every DataFrame cached by the dedup operators; returns
+    how many were released. Safe to call at any time AFTER the returned
+    pair DataFrames have been materialized (collected/written)."""
+    n = 0
+    while _CACHED:
+        _CACHED.pop().unpersist()
+        n += 1
+    return n
+
 
 def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """A14: exact dedup via GROUP BY all (cols defaults to every column)."""
@@ -135,6 +160,32 @@ def _minhash_sig_udf(num_hashes: int = 64):
     return sig
 
 
+def _intersect_size_udf():
+    """Arrow-batched |A ∩ B| for two distinct-element hash arrays.
+
+    The exact-Jaccard verify is the MinHash pipeline's second hot loop:
+    array_intersect/array_union are interpreted per element (~1.8 ms on
+    a 2 KB shingle pair), while one numpy sorted-intersection pass is
+    ~10x cheaper. Only the integer intersection size crosses back —
+    the division and F.round stay JVM-side so the result is bit-
+    identical to the expression form (and the DuckDB oracle).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def inter(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a), dtype=np.int32)
+        for i in range(len(a)):
+            out[i] = np.intersect1d(
+                np.asarray(a.iloc[i], dtype=np.int64),
+                np.asarray(b.iloc[i], dtype=np.int64),
+                assume_unique=True,
+            ).size
+        return pd.Series(out)
+
+    return inter
+
+
 def dedup_minhash_lsh(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -174,7 +225,7 @@ def dedup_minhash_lsh(
     # spilling to executor disk beyond memory — far cheaper than the
     # triple recompute, and it halves the wall clock here.
     if cache_signatures:
-        base = base.persist()
+        base = _persist(base)
 
     # Candidate generation carries ONLY (doc_id, band, band_hash): when
     # background similarity makes bands collide broadly, the pair set is
@@ -230,10 +281,15 @@ def dedup_minhash_lsh(
             "doc_id_b",
         )
     )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    # |A∪B| = |A| + |B| - |A∩B|: one vectorized intersection pass, the
+    # union size derived JVM-side — no interpreted array_union walk
+    inter = _intersect_size_udf()(F.col("sh_a"), F.col("sh_b")).cast("double")
+    verified = verified.withColumn("_inter", inter)
+    union = (
+        F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - F.col("_inter")
+    ).cast("double")
     return (
-        verified.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", F.round(F.col("_inter") / union, 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
@@ -244,22 +300,34 @@ def _bit_mask(i: int) -> int:
     return -(1 << 63) if i == 63 else (1 << i)
 
 
+def md5_hash60(col: Column) -> Column:
+    """60-bit non-negative hash from the first 15 hex chars of md5.
+
+    Cross-engine reproducible: DuckDB computes the identical value as
+    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT), so operators built on
+    it (SimHash fingerprints) can be verified exactly by a SQL oracle.
+    xxhash64 stays the default elsewhere (faster, full 64 bits)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _tokens(text: Column) -> Column:
     """Non-empty whitespace tokens of normalized text."""
     return F.filter(F.split(_norm_text(text), " "), lambda t: t != F.lit(""))
 
 
-def _ngrams_of_toks(toks: Column, ngram: int = 2) -> Column:
-    """xxhash64'd word n-grams from an already-projected token column
+def _ngrams_of_toks(toks: Column, ngram: int = 2, hasher=F.xxhash64) -> Column:
+    """Hashed word n-grams from an already-projected token column
     (same inlining hazard as _shingles_of_norm: `toks` is referenced
-    per n-gram position, so it must be a plain column reference)."""
+    per n-gram position, so it must be a plain column reference).
+    `hasher` defaults to xxhash64; pass `md5_hash60` for oracle-
+    reproducible fingerprints."""
     return F.when(
         F.size(toks) >= ngram,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, ngram))),
+            lambda i: hasher(F.concat_ws(" ", F.slice(toks, i, ngram))),
         ),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    ).otherwise(F.array(hasher(F.concat_ws(" ", toks))))
 
 
 def word_ngrams(text: Column, ngram: int = 2) -> Column:
@@ -309,17 +377,17 @@ def simhash_from_counters(counters: Column) -> Column:
     return out
 
 
-def _simhash_udf():
+def _simhash_udf(nbits: int = 64):
     """Arrow-batched SimHash: numpy port of simhash_counters +
     simhash_from_counters (bit-exact: two's-complement int64↔uint64
     views, same majority-vote bit assembly). The expression form runs
-    64 interpreted bit tests per n-gram per document; this is one
+    `nbits` interpreted bit tests per n-gram per document; this is one
     vectorized pass."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("bigint")
     def sh(grams: pd.Series) -> pd.Series:
-        shifts = np.arange(64, dtype=np.uint64)
+        shifts = np.arange(nbits, dtype=np.uint64)
         out = np.empty(len(grams), dtype=np.int64)
         for j, g in enumerate(grams):
             h = np.asarray(g, dtype=np.int64).astype(np.uint64)
@@ -339,28 +407,43 @@ def dedup_simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance `max_hamming`.
 
-    Blocking: split the 64-bit fingerprint into 4 16-bit chunks — any
-    pair within Hamming ≤ 3 shares at least one exact chunk (pigeonhole),
+    Blocking: split the fingerprint into 4 equal chunks — any pair
+    within Hamming ≤ 3 shares at least one exact chunk (pigeonhole),
     so candidate generation is 4 equi-join buckets, never O(n²).
+
+    `hash_fn` picks the n-gram hash: "md5" (default) derives a 60-bit
+    fingerprint from md5 so a SQL oracle (DuckDB) can recompute it
+    EXACTLY — the driver's correctness gate demands falsifiable output;
+    "xxhash64" is the marginally faster 64-bit variant. Same pipeline
+    shape either way.
 
     Fingerprints come from the vectorized `_simhash_udf`; the
     expression-form `simhash_counters`/`simhash_from_counters` pair
     remains exported as the pure-Catalyst reference implementation
     (bit-identical, used to cross-check the UDF in tests).
     """
+    if hash_fn == "md5":
+        hasher, nbits, chunk_bits = md5_hash60, 60, 15
+    else:
+        hasher, nbits, chunk_bits = F.xxhash64, 64, 16
+    chunk_mask = (1 << chunk_bits) - 1
     base = (
         fan_out(docs).select(
             F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("_toks")
         )
-        .select("doc_id", _ngrams_of_toks(F.col("_toks"), 2).alias("_grams"))
-        .select("doc_id", _simhash_udf()(F.col("_grams")).alias("sh"))
-        # (doc_id, sh) is 16 B/row; persisting halves the pipeline cost
-        # because both sides of the chunk self-join consume it
-        .persist()
+        .select(
+            "doc_id",
+            _ngrams_of_toks(F.col("_toks"), 2, hasher=hasher).alias("_grams"),
+        )
+        .select("doc_id", _simhash_udf(nbits)(F.col("_grams")).alias("sh"))
     )
+    # (doc_id, sh) is 16 B/row; persisting halves the pipeline cost
+    # because both sides of the chunk self-join consume it
+    base = _persist(base)
     # fingerprints are single longs, so unlike the MinHash path the
     # pair join can carry them inline — rows stay 32 B wide
     chunked = base.select(
@@ -369,7 +452,9 @@ def dedup_simhash(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("sh"), i * chunk_bits).bitwiseAND(
+                        F.lit(chunk_mask)
+                    )
                     for i in range(4)
                 ]
             )
@@ -421,7 +506,8 @@ def dedup_ngram_jaccard(
         "doc_id",
         "block",
         F.array_distinct(_ngrams_of_toks(F.col("_toks"), ngram)).alias("grams"),
-    ).persist()  # consumed by both sides of the pair join
+    )
+    base = _persist(base)  # consumed by both sides of the pair join
     a, b = base.alias("a"), base.alias("b")
     if block_col:
         cand = a.join(

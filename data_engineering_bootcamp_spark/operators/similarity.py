@@ -8,14 +8,16 @@ baseline, DuckDB-oracle checked.
 
 `cosine_topk_lsh` — scale path #1: multi-table random-hyperplane LSH.
 Candidates share a bucket in any of `n_tables` independent tables
-(gaussian hyperplanes, fixed seed, one matmul signature pass); exact
-cosine re-rank over the candidate union. Recall 1-(1-p)^L with
-p = (1-θ/π)^nbits.
+(md5-grid hyperplanes — deterministic AND SQL-reproducible, one matmul
+signature pass); exact cosine re-rank over the candidate union. Recall
+1-(1-p)^L with p = (1-θ/π)^nbits.
 
-`cosine_topk_ivf` — scale path #2: inverted-file index. Corpus vectors
-are assigned to their nearest coarse centroid; queries probe `n_probe`
-centroids and re-rank only those buckets, touching ~n_probe/n_centroids
-of the corpus per query.
+`cosine_topk_ivf` — scale path #2: inverted-file index with sampled
+k-means centroids (`ivf_centroids`: md5-hash-ordered sample init +
+Lloyd iterations, every step deterministic and oracle-replayable).
+Corpus vectors are assigned to their nearest coarse centroid; queries
+probe `n_probe` centroids and re-rank only those buckets, touching
+~n_probe/n_centroids of the corpus per query.
 
 `neardup_embedding_cosine` — threshold near-duplicate pairs: blocked
 JVM hash join (scale) or exact all-pairs broadcast-matmul (baseline).
@@ -65,6 +67,30 @@ def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
     return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
+def _pair_cosine_udf():
+    """Arrow-batched per-row cosine for candidate re-rank stages,
+    rounded HALF_UP away from zero to 6dp (matches F.round / DuckDB
+    ROUND). One numpy pass per batch instead of a dim-wide unrolled
+    codegen expression — same throughput on the candidate volume, but
+    without the multi-second Janino compile the unrolled form costs on
+    its first execution (the driver's bench pays first-run cost)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        A = _np.array(list(a), dtype=_np.float64)
+        B = _np.array(list(b), dtype=_np.float64)
+        s = _np.einsum("ij,ij->i", A, B) / (
+            _np.linalg.norm(A, axis=1) * _np.linalg.norm(B, axis=1)
+        )
+        s = _np.copysign(_np.floor(_np.abs(s) * 1e6 + 0.5), s) / 1e6
+        return pd.Series(s)
+
+    return cos
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -104,7 +130,9 @@ def cosine_topk_bruteforce(
             C = _np.array(list(pdf["cv"]), dtype=_np.float64)
             C /= _np.linalg.norm(C, axis=1, keepdims=True)
             S = C @ bQ.T  # (batch, nq)
-            S = _np.floor(S * 1e6 + 0.5) / 1e6  # HALF_UP like F.round
+            # HALF_UP away from zero, matching Spark F.round / DuckDB ROUND
+            # (plain floor(x+0.5) rounds negative halves toward +inf)
+            S = _np.copysign(_np.floor(_np.abs(S) * 1e6 + 0.5), S) / 1e6
             rep_c = _np.repeat(c_ids, nq)
             rep_q = _np.tile(bq_ids, len(c_ids))
             flat = S.ravel()
@@ -159,27 +187,46 @@ def neardup_embedding_cosine(
     `cosine_topk_lsh`).
     """
     if block_col:
-        base = fan_out(vectors).select(
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-            F.col(block_col).alias("block"),
-        ).withColumn("n", _norm(F.col("v"), dim))
-        a, b = base.alias("a"), base.alias("b")
-        joined = a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.vid") < F.col("b.vid")),
+        thr = float(threshold)
+
+        def block_pairs(pdf):
+            # self-contained closure (executors may lack this package).
+            # One BLAS gram matrix per block instead of |block|² joined
+            # rows through a dim-wide expression: the pair explosion
+            # never materializes — only pairs above threshold leave the
+            # task. Block size is the caller's contract (label, LSH
+            # bucket, length band); cost is quadratic per block.
+            import numpy as _np
+            import pandas as _pd
+
+            ids = pdf["vid"].to_numpy()
+            order = _np.argsort(ids)
+            ids = ids[order]
+            V = _np.array(list(pdf["v"]), dtype=_np.float64)[order]
+            V /= _np.linalg.norm(V, axis=1, keepdims=True)
+            S = V @ V.T
+            S = _np.copysign(_np.floor(_np.abs(S) * 1e6 + 0.5), S) / 1e6
+            ia, ib = _np.triu_indices(len(ids), k=1)
+            keep = S[ia, ib] >= thr
+            return _pd.DataFrame(
+                {
+                    "id_a": ids[ia[keep]],
+                    "id_b": ids[ib[keep]],
+                    "cosine": S[ia, ib][keep],
+                }
+            )
+
+        return (
+            vectors.select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+                F.col(block_col).alias("block"),
+            )
+            .groupBy("block")
+            .applyInPandas(
+                block_pairs, schema="id_a bigint, id_b bigint, cosine double"
+            )
         )
-        pairs = joined.select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            F.round(
-                _dot(F.col("a.v"), F.col("b.v"), dim)
-                / (F.col("a.n") * F.col("b.n")),
-                6,
-            ).alias("cosine"),
-        )
-        return pairs.where(F.col("cosine") >= threshold)
 
     import numpy as np
 
@@ -206,7 +253,7 @@ def neardup_embedding_cosine(
             A /= _np.linalg.norm(A, axis=1, keepdims=True)
             S = A @ bmat.T
             # HALF_UP rounding to 6dp — matches Spark F.round / DuckDB
-            S = _np.floor(S * 1e6 + 0.5) / 1e6
+            S = _np.copysign(_np.floor(_np.abs(S) * 1e6 + 0.5), S) / 1e6
             out_a: list[int] = []
             out_b: list[int] = []
             out_c: list[float] = []
@@ -227,38 +274,13 @@ def neardup_embedding_cosine(
     )
 
 
-def cosine_topk_ivf(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_centroids: int = 32,
-    n_probe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: the second scale path next
-    to `cosine_topk_lsh`.
-
-    Coarse quantizer: `n_centroids` deterministic seed vectors (lowest
-    ids — a real deployment would k-means; the partition/probe mechanics
-    are identical). Every corpus vector is assigned to its nearest
-    centroid (one Arrow matmul pass, result is a plain `bucket` column);
-    each query probes its `n_probe` nearest centroids and exact-reranks
-    only those buckets — the candidate join is an equi hash join on
-    bucket id, so at 100 TB the scan touches ~n_probe/n_centroids of the
-    corpus per query instead of all of it.
-    """
-    import numpy as np
-
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
-        .limit(n_centroids)
-        .collect()
-    )
-    C = np.array([r.cv for r in cent_rows], dtype=np.float64)
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
-    bc = corpus.sparkSession.sparkContext.broadcast(C)
+def _ivf_assigner(spark, C_raw: np.ndarray):
+    """mapInPandas stage assigning each vector to its nearest centroid
+    by cosine (one Arrow matmul per batch). Returns the closure; `C_raw`
+    is broadcast normalized. Ties go to the lowest centroid id (numpy
+    argmax picks the first maximum)."""
+    Cn = C_raw / np.linalg.norm(C_raw, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(Cn)
 
     def assign(batches):
         # self-contained closure (executors may lack this package)
@@ -278,40 +300,132 @@ def cosine_topk_ivf(
                 }
             )
 
+    return assign
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 32,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Sampled k-means coarse quantizer, deterministic and oracle-
+    reproducible.
+
+    Init: the `n_centroids` corpus vectors with the smallest
+    md5(CAST(id AS STRING)) — a uniform pseudo-random sample with a
+    total order both engines agree on (no RNG state, no data order
+    dependence). Then `lloyd_iters` Lloyd iterations: assign every
+    vector to its nearest centroid by cosine (Arrow matmul, no shuffle)
+    and recompute each centroid as the element-wise mean of its members
+    (dim JVM `avg` aggregates — one shuffle, no row explosion), ROUNDed
+    to 6dp so cross-engine float-sum ordering noise cannot leak into
+    the result. Empty clusters keep their seed vector. K-means (vs the
+    old lowest-id seeds) keeps bucket occupancy balanced, so the
+    n_probe/n_centroids pruning claim survives skewed corpora.
+    """
+    spark = corpus.sparkSession
+    seed_rows = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .orderBy(F.md5(F.col("cid").cast("string")), "cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.array([r.cv for r in seed_rows], dtype=np.float64)
+    dim = C.shape[1]
+    src = fan_out(
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
+    for _ in range(lloyd_iters):
+        assigned = src.mapInPandas(
+            _ivf_assigner(spark, C),
+            schema="vid bigint, bucket int, v array<double>",
+        )
+        # per-bucket element-wise mean via posexplode + (bucket, pos)
+        # avg: map-side partial aggregation keeps the shuffle at
+        # n_buckets*dim partial rows per partition regardless of corpus
+        # size, and the simple plan avoids the multi-second codegen
+        # compile a dim-wide aggregate list costs on first run
+        mean_rows = (
+            assigned.select("bucket", F.posexplode("v").alias("pos", "val"))
+            .groupBy("bucket", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mv"))
+            .collect()  # bounded: n_centroids*dim rows by contract
+        )
+        C = C.copy()  # empty clusters keep their seed
+        for r in mean_rows:
+            C[r.bucket][r.pos] = r.mv
+    return C
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 1,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the second scale path next
+    to `cosine_topk_lsh`.
+
+    Coarse quantizer: sampled k-means (`ivf_centroids` — md5-ordered
+    sample init + Lloyd iterations, deterministic). Every corpus vector
+    is assigned to its nearest centroid (one Arrow matmul pass, result
+    is a plain `bucket` column); each query probes its `n_probe` nearest
+    centroids and exact-reranks only those buckets — the candidate join
+    is an equi hash join on bucket id, so at 100 TB the scan touches
+    ~n_probe/n_centroids of the corpus per query instead of all of it.
+    """
+    C = ivf_centroids(
+        corpus, n_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col
+    )
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
     assigned = fan_out(
-        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    ).mapInPandas(assign, schema="vid bigint, bucket int, v array<float>")
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    ).mapInPandas(
+        _ivf_assigner(corpus.sparkSession, C),
+        schema="vid bigint, bucket int, v array<double>",
+    )
 
     q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
     ).collect()
     probes = []
     for r in q_rows:
         qv = np.asarray(r.qv, dtype=np.float64)
         qv /= np.linalg.norm(qv)
-        order = np.argsort(-(C @ qv))[:n_probe]
+        # stable sort on -score: ties resolve to the lowest bucket id,
+        # matching the oracle's ORDER BY score DESC, cid ASC
+        order = np.argsort(-(Cn @ qv), kind="stable")[:n_probe]
         probes.extend(
             (int(r.qid), int(b), [float(x) for x in r.qv]) for b in order
         )
     probe_df = queries.sparkSession.createDataFrame(
-        probes, "query_id bigint, bucket int, qv array<float>"
+        probes, "query_id bigint, bucket int, qv array<double>"
     )
 
     cand = assigned.join(F.broadcast(probe_df), "bucket").where(
         F.col("query_id") != F.col("vid")
     )
-    dim = len(q_rows[0].qv) if q_rows else None
     scored = cand.select(
         "query_id",
         F.col("vid").alias("neighbor_id"),
-        F.round(
-            cosine_similarity(
-                F.col("qv").cast("array<double>"),
-                F.col("v").cast("array<double>"),
-                dim,
-            ),
-            6,
-        ).alias("cosine"),
+        _pair_cosine_udf()(F.col("qv"), F.col("v")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -362,14 +476,36 @@ def lsh_signature(
     return out
 
 
+def md5_planes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes in [-1, 1), derived from
+    md5 of the (plane, dim) grid position.
+
+    Cross-engine reproducible: coefficient (p, d) equals DuckDB's
+      CAST('0x' || substr(md5('lsh_' || p || '_' || d), 1, 8) AS BIGINT)
+        / 2147483648.0 - 1.0
+    (division by 2^31 and the subtraction are exact in double), so a SQL
+    oracle regenerates the identical plane matrix and the LSH bucket
+    assignment is exactly verifiable. Uniform-cube directions are a
+    touch less spherical than gaussians but recall is pinned in tests.
+    """
+    import hashlib
+
+    H = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            hx = int(hashlib.md5(f"lsh_{p}_{d}".encode()).hexdigest()[:8], 16)
+            H[p, d] = hx / 2147483648.0 - 1.0
+    return H
+
+
 def _lsh_tables_udf(dim: int, nbits: int, n_tables: int):
-    """Arrow-batched multi-table signatures: one gaussian hyperplane
-    matrix H ((n_tables*nbits) x dim, fixed seed — deterministic, no
-    fitted model), one matmul per batch, bits packed per table."""
+    """Arrow-batched multi-table signatures: one md5-grid hyperplane
+    matrix H ((n_tables*nbits) x dim — deterministic, oracle-
+    reproducible, no fitted model), one matmul per batch, bits packed
+    per table."""
     from pyspark.sql.functions import pandas_udf
 
-    rng = np.random.default_rng(20240101)
-    H = rng.standard_normal((n_tables * nbits, dim))
+    H = md5_planes(n_tables * nbits, dim)
     weights = (1 << np.arange(nbits)).astype(np.int64)
 
     @pandas_udf("array<int>")
@@ -432,9 +568,7 @@ def cosine_topk_lsh(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("qv"), F.col("v"), dim), 6).alias(
-            "cosine"
-        ),
+        _pair_cosine_udf()(F.col("qv"), F.col("v")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

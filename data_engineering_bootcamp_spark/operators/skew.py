@@ -73,7 +73,17 @@ def salted_join(
     The dim side grows n_salts-fold — use only when the dim is too large
     to broadcast outright but small enough to replicate; for broadcast-
     able dims plain `F.broadcast` already avoids the skew entirely.
+
+    Only inner/left are valid: with right/full-outer, dim keys absent
+    from the fact side would surface once per salt replica (n_salts
+    duplicate rows), so those modes are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how in {{'inner', 'left'}}, got {how!r}: "
+            "the dim side is replicated across salts, so outer-preserving "
+            "the dim would emit one row per salt for unmatched dim keys"
+        )
     f = with_salt(fact, n_salts)
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

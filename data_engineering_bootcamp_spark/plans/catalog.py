@@ -1067,10 +1067,49 @@ FROM pairs WHERE inter / uni >= 0.8
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check: xxhash64 fingerprints
-    are not reproducible in DuckDB)."""
+    """SimHash near-dup pairs, Hamming <= 3 over a 60-bit fingerprint.
+
+    Fingerprint n-gram hashes are md5-derived (dedup.md5_hash60) so the
+    DuckDB oracle recomputes the EXACT fingerprints and verifies the
+    pair set by brute-force Hamming — the Spark side's pigeonhole chunk
+    blocking (4x15-bit chunks) is exact for Hamming <= 3, so blocked
+    and brute-force answers coincide and the oracle is a true gate.
+    """
     docs = _t(spark, sf_dir, "documents")
-    return dedup_simhash(docs, max_hamming=3)
+    out = dedup_simhash(docs, max_hamming=3, hash_fn="md5")
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+ORACLE_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                      'g')), ' '),
+                     t -> t <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 2 THEN
+           list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         ELSE [array_to_string(tk, ' ')] END AS g
+  FROM toks),
+gh AS (
+  SELECT doc_id, CAST('0x' || substr(md5(unnest(g)), 1, 15) AS BIGINT) AS h
+  FROM grams),
+bits AS (
+  SELECT gh.doc_id, bs.b,
+         SUM(CASE WHEN ((gh.h >> bs.b) & 1) = 1 THEN 1 ELSE -1 END) AS c
+  FROM gh CROSS JOIN (SELECT unnest(range(60)) AS b) bs
+  GROUP BY 1, 2),
+fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
+  FROM bits GROUP BY 1)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1106,11 +1145,53 @@ FROM ranked WHERE rank <= 5
 
 
 def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate cosine top-k (rows-only check: the
-    random-hyperplane signatures use xxhash64)."""
+    """LSH-bucketed approximate cosine top-k.
+
+    Hyperplanes are the md5-grid matrix (similarity.md5_planes), so the
+    DuckDB oracle regenerates the identical planes, recomputes every
+    bucket assignment, and replays candidate-union + exact re-rank —
+    the approximate query is exactly falsifiable, not rows-only.
+    """
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return cosine_topk_lsh(emb, queries, dim=64, k=5, nbits=4, n_tables=16)
+
+
+ORACLE_ANN_LSH = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+planes AS (
+  SELECT pp.p AS p, dd.d AS d,
+         CAST('0x' || substr(md5('lsh_' || pp.p || '_' || dd.d), 1, 8)
+              AS BIGINT) / 2147483648.0 - 1.0 AS c
+  FROM (SELECT unnest(range(64)) AS p) pp,
+       (SELECT unnest(range(64)) AS d) dd),
+proj AS (
+  SELECT v.vec_id, pl.p, SUM(v.e[pl.d + 1] * pl.c) AS s
+  FROM v, planes pl GROUP BY 1, 2),
+sig AS (
+  SELECT vec_id, p // 4 AS t,
+         SUM(CASE WHEN s > 0 THEN 1 << (p % 4) ELSE 0 END) AS b
+  FROM proj GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sig q JOIN sig c ON q.t = c.t AND q.b = c.b
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+  FROM cand
+  JOIN v a ON a.vec_id = query_id
+  JOIN v b ON b.vec_id = neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank::INT AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1182,9 +1263,9 @@ ORACLES: dict[str, str] = {
     "doc_quality": ORACLE_DOC_QUALITY,
     "doc_lang_id": ORACLE_DOC_LANG,
     "minhash_lsh_pairs": ORACLE_MINHASH,
+    "simhash_pairs": ORACLE_SIMHASH,
     "ann_cosine_topk": ORACLE_ANN,
-    # simhash_pairs / ann_cosine_lsh: intentionally no oracle (xxhash64
-    # is not reproducible in DuckDB) → driver rows-only check.
+    "ann_cosine_lsh": ORACLE_ANN_LSH,
 }
 
 # extension catalog (SCD incremental, ordered history, W12 streaks,
@@ -1193,3 +1274,9 @@ from .catalog_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 ORACLES.update(EXT_ORACLES)
+
+# write-path catalog (bucketed/partitioned/sorted/CSV/insert round-trips)
+from .catalog_write import WRITE_ORACLES, WRITE_QUERIES  # noqa: E402
+
+QUERIES.update(WRITE_QUERIES)
+ORACLES.update(WRITE_ORACLES)

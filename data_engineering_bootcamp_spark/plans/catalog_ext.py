@@ -508,15 +508,42 @@ SELECT doc_id_a, doc_id_b, jaccard FROM pairs WHERE jaccard >= 0.5
 # ---------------------------------------------------------------------------
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within `label` blocks (cosine >=
+    0.35) — the 100 TB path: candidate pairs come from an equi hash
+    join on the block key with the dot product unrolled into codegen;
+    no driver collect, no broadcast of the corpus, quadratic cost
+    bounded per block. The unblocked exact baseline is certified
+    separately (`embedding_neardup_allpairs`)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return neardup_embedding_cosine(
+        emb, threshold=0.35, block_col="label", dim=64
+    )
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35
+"""
+
+
+def q_embedding_neardup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (cosine >= 0.45 — this
-    corpus has no >0.52 pairs, so the threshold sits inside the observed
-    tail). Unblocked baseline; block_col (label / LSH bucket) is the
-    100 TB path."""
+    corpus has no >0.52 pairs, so the threshold sits inside the
+    observed tail). Unblocked all-pairs BASELINE by documented
+    contract: the corpus matrix is collected and broadcast, so it is
+    bounded by executor memory — the blocked entry above is the scale
+    path."""
     emb = _t(spark, sf_dir, "embeddings")
     return neardup_embedding_cosine(emb, threshold=0.45, dim=64)
 
 
-ORACLE_EMBEDDING_NEARDUP = """
+ORACLE_EMBEDDING_NEARDUP_ALLPAIRS = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -604,12 +631,88 @@ FROM vids
 
 
 def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate cosine top-k (rows-only check:
-    approximate by design; recall vs brute force is pinned in
+    """IVF-bucketed approximate cosine top-k with sampled-k-means
+    centroids.
+
+    Every stage is deterministic and SQL-expressible — md5-hash-ordered
+    sample init, one Lloyd iteration with means ROUNDed to 6dp, argmax
+    assignment with lowest-id tie-break — so the DuckDB oracle replays
+    the whole index build + probe + re-rank and the approximate query
+    is exactly falsifiable (recall floor is separately pinned in
     tests/test_operators.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return cosine_topk_ivf(emb, queries, k=5, n_centroids=32, n_probe=8)
+    return cosine_topk_ivf(
+        emb, queries, k=5, n_centroids=32, n_probe=8, lloyd_iters=1
+    )
+
+
+ORACLE_ANN_IVF = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cid,
+         e
+  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, s.e) /
+                      (sqrt(list_dot_product(v.e, v.e)) *
+                       sqrt(list_dot_product(s.e, s.e))) DESC,
+                      s.cid) AS rn
+    FROM v, seeds s) WHERE rn = 1),
+m AS (
+  SELECT a1.cid, dd.d, ROUND(AVG(v.e[dd.d]), 6) AS mv
+  FROM a1 JOIN v USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+  GROUP BY 1, 2),
+mlist AS (SELECT cid, list(mv ORDER BY d) AS e FROM m GROUP BY cid),
+cent AS (
+  SELECT s.cid, COALESCE(ml.e, s.e) AS e
+  FROM seeds s LEFT JOIN mlist ml ON s.cid = ml.cid),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, c.e) /
+                      (sqrt(list_dot_product(v.e, v.e)) *
+                       sqrt(list_dot_product(c.e, c.e))) DESC,
+                      c.cid) AS rn
+    FROM v, cent c) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, c.e) /
+                      (sqrt(list_dot_product(v.e, v.e)) *
+                       sqrt(list_dot_product(c.e, c.e))) DESC,
+                      c.cid) AS rn
+    FROM v, cent c WHERE v.vec_id < 10) WHERE rn <= 8),
+cand AS (
+  SELECT p.query_id, a2.vec_id AS neighbor_id
+  FROM probes p JOIN a2 ON a2.cid = p.cid
+  WHERE a2.vec_id <> p.query_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+  FROM cand
+  JOIN v a ON a.vec_id = query_id
+  JOIN v b ON b.vec_id = neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank::INT AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -687,6 +790,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_vertices": q_user_vertices,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_allpairs": q_embedding_neardup_allpairs,
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
     "streaming_tumbling_hits": q_streaming_tumbling,
@@ -704,7 +808,9 @@ EXT_ORACLES: dict[str, str] = {
     "user_vertices": ORACLE_USER_VERTICES,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "embedding_neardup_allpairs": ORACLE_EMBEDDING_NEARDUP_ALLPAIRS,
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_frame_sample": ORACLE_MEDIA_FRAMES,
     "streaming_tumbling_hits": ORACLE_STREAMING_TUMBLING,
+    "ann_cosine_ivf": ORACLE_ANN_IVF,
 }

@@ -1,0 +1,251 @@
+"""Write-path catalog: driver-gated queries that round-trip the sinks.
+
+SURVEY §2.1 S2/S4-S10 and §2.6 O4/O5 had only unit coverage in round 1;
+these entries push each write path through the driver's correctness gate
+by writing to a scratch location, reading the layout back, and returning
+an aggregate a DuckDB oracle reproduces straight from the source tables
+(the physical layout must be semantically transparent — that IS the
+assertion).
+
+Pattern notes:
+- every entry uses a unique scratch dir / table name per invocation and
+  cleans up in `finally`, so repeated runs on one session never collide;
+- results are snapshotted (`collect` of the SMALL aggregate, bounded by
+  group cardinality) before the scratch files are deleted — the returned
+  DataFrame must outlive the cleanup;
+- reference parity: the bucketed-join entry mirrors the reference's
+  bucketed-join homework (M3/notebooks/assignment_3_spark.py:36-62), the
+  partitioned entry its date-partitioned event sink
+  (event_data_pyspark.ipynb cells 7-13).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table, read_csv
+from ..sources.writers import (
+    write_bucketed,
+    write_partitioned,
+    write_repartitioned_sorted,
+)
+
+
+def _snapshot(df: DataFrame) -> DataFrame:
+    """Materialize a small result so it survives scratch cleanup."""
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
+
+
+def q_bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 + J14 through the gate: write orders and customer bucketed
+    on the join key (bucketBy(16) + sortBy), read the tables back, join
+    on the bucket key — a shuffle-elided sort-merge join at scale — and
+    roll up revenue per market segment. The oracle joins the raw tables:
+    bucketing must not change a single row."""
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_c = f"bkt_orders_{tag}", f"bkt_cust_{tag}"
+    d = tempfile.mkdtemp(prefix="bktgate_")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    try:
+        write_bucketed(
+            orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            t_o,
+            "o_custkey",
+            path=f"{d}/orders",
+        )
+        write_bucketed(
+            cust.select("c_custkey", "c_mktsegment"),
+            t_c,
+            "c_custkey",
+            path=f"{d}/cust",
+        )
+        o, c = spark.table(t_o), spark.table(t_c)
+        out = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+        return _snapshot(out)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT c_mktsegment,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def q_partitioned_prune_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7 through the gate: write orders date-partitioned (derived
+    o_month column — the date-partition transform), read back with a
+    partition filter (pruned scan: only the 1995-07 directory is
+    touched), aggregate. Oracle filters the raw table by the same
+    month."""
+    d = tempfile.mkdtemp(prefix="partgate_")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    try:
+        write_partitioned(orders, f"{d}/orders", "o_month")
+        back = spark.read.parquet(f"{d}/orders").where(
+            F.col("o_month") == "1995-07"
+        )
+        out = back.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        return _snapshot(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_PARTITIONED_PRUNE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') = '1995-07'
+GROUP BY 1
+"""
+
+
+def q_sorted_layout_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/O5 through the gate: repartition(8, l_returnflag) +
+    sortWithinPartitions (the run-length/dictionary-friendly layout the
+    reference's storage experiment measures), read back, aggregate.
+    Layout must be semantically invisible."""
+    d = tempfile.mkdtemp(prefix="sortgate_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    try:
+        write_repartitioned_sorted(
+            li, f"{d}/li", num_partitions=8, key="l_returnflag",
+            sort_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
+        )
+        back = spark.read.parquet(f"{d}/li")
+        out = back.groupBy("l_returnflag", "l_linestatus").agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        return _snapshot(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_SORTED_LAYOUT = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_csv_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 through the gate: nation → CSV (header) → read back with
+    schema inference → count per region. Inference must recover the
+    integer keys exactly."""
+    d = tempfile.mkdtemp(prefix="csvgate_")
+    nation = load_table(spark, sf_dir, "nation")
+    try:
+        nation.coalesce(1).write.mode("overwrite").option(
+            "header", "true"
+        ).csv(f"{d}/nation")
+        back = read_csv(spark, f"{d}/nation", header=True, infer=True)
+        out = (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.min("n_name").alias("first_name"),
+            )
+            .withColumn("n_regionkey", F.col("n_regionkey").cast("int"))
+        )
+        return _snapshot(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_CSV_ROUNDTRIP = """
+SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+FROM nation GROUP BY 1
+"""
+
+
+def q_insert_select_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S10 through the gate: create a table from the 'F'-status
+    slice via overwrite insertInto (S9), append the 'O' slice with
+    INSERT INTO ... SELECT (S10), read the table back and aggregate.
+    The oracle unions the two slices from the raw table."""
+    tag = uuid.uuid4().hex[:8]
+    tbl = f"ins_orders_{tag}"
+    d = tempfile.mkdtemp(prefix="insgate_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    try:
+        # schema-only table definition, then S9 overwrite-insert the F
+        # slice into it
+        orders.limit(0).write.option("path", f"{d}/t").saveAsTable(tbl)
+        orders.where(F.col("o_orderstatus") == "F").write.insertInto(
+            tbl, overwrite=True
+        )
+        orders.where(F.col("o_orderstatus") == "O").createOrReplaceTempView(
+            f"src_{tag}"
+        )
+        spark.sql(f"INSERT INTO {tbl} SELECT * FROM src_{tag}")
+        out = (
+            spark.table(tbl)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+        )
+        return _snapshot(out)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.catalog.dropTempView(f"src_{tag}")
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_INSERT_SELECT = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+GROUP BY 1
+"""
+
+
+WRITE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bucketed_join_rollup": q_bucketed_join_rollup,
+    "partitioned_prune_rollup": q_partitioned_prune_rollup,
+    "sorted_layout_rollup": q_sorted_layout_rollup,
+    "csv_roundtrip_rollup": q_csv_roundtrip_rollup,
+    "insert_select_rollup": q_insert_select_rollup,
+}
+
+WRITE_ORACLES: dict[str, str] = {
+    "bucketed_join_rollup": ORACLE_BUCKETED_JOIN,
+    "partitioned_prune_rollup": ORACLE_PARTITIONED_PRUNE,
+    "sorted_layout_rollup": ORACLE_SORTED_LAYOUT,
+    "csv_roundtrip_rollup": ORACLE_CSV_ROUNDTRIP,
+    "insert_select_rollup": ORACLE_INSERT_SELECT,
+}

@@ -27,12 +27,15 @@ def write_bucketed(
     fmt: str = "parquet",
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """S4/S5: bucketed (+sorted) saveAsTable; Hive-bucketing layout.
 
     Mirrors `format("orc").bucketBy(16,"match_id").sortBy("match_id")`
     (M3/notebooks/assignment_3_spark.py:36-42). Reading the table back and
     joining on `bucket_col` yields a shuffle-free sort-merge join.
+    `path` makes the table external at that location (scratch-friendly:
+    DROP TABLE + rmtree cleans up completely).
     """
     writer = (
         df.write.format(fmt)
@@ -40,6 +43,8 @@ def write_bucketed(
         .bucketBy(num_buckets, bucket_col)
         .sortBy(*(sort_cols or [bucket_col]))
     )
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -55,6 +55,44 @@ def enrich_events(
     return events.join(F.broadcast(lookup_df), on=key_col, how="left")
 
 
+def processed_events(
+    events: DataFrame,
+    geo_lookup: DataFrame | None = None,
+    ts_col: str = "event_timestamp",
+) -> DataFrame:
+    """The reference's processed_events projection, column for column
+    (M4F/src/job/start_job.py:139-148): SELECT ip, event_timestamp,
+    referrer, host, url, get_location(ip) AS geodata.
+
+    `geo_lookup` is a bounded (ip, country, state, city) dimension —
+    the Spark form of the reference's per-row HTTP ScalarFunction is a
+    broadcast left join (JVM-side, no per-row Python, append-mode
+    safe); geodata is rendered as the same JSON object string the
+    reference produces ({'country','state','city'}). Without a lookup,
+    geodata is the empty-object fallback the reference returns on a
+    failed lookup."""
+    out = with_event_time(events, ts_col=ts_col)
+    if geo_lookup is not None:
+        out = out.join(F.broadcast(geo_lookup), on="ip", how="left")
+        geodata = F.to_json(
+            F.struct(
+                F.coalesce(F.col("country"), F.lit("")).alias("country"),
+                F.coalesce(F.col("state"), F.lit("")).alias("state"),
+                F.coalesce(F.col("city"), F.lit("")).alias("city"),
+            )
+        )
+    else:
+        geodata = F.lit("{}")
+    return out.select(
+        "ip",
+        ts_col,
+        "referrer",
+        "host",
+        "url",
+        geodata.alias("geodata"),
+    )
+
+
 def tumbling_counts(
     df: DataFrame,
     keys: list[str],

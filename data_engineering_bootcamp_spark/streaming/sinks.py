@@ -61,6 +61,30 @@ def start_foreach_batch(
     return writer.start()
 
 
+def jdbc_batch_writer(
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    mode: str = "append",
+) -> Callable[[DataFrame, int], None]:
+    """S13: the reference's JDBC sink (aggregation_job.py:10-46) as a
+    foreachBatch handler — Structured Streaming has no first-class JDBC
+    sink, so each micro-batch calls the batch `DataFrameWriter.jdbc`
+    path. Append mode is idempotent only if the table has a batch-window
+    key the downstream dedupes on; for exactly-once semantics use a
+    delete-then-insert or MERGE handler instead. Config-only testable:
+    no database in the sandbox, so tests pin the handler's construction
+    and the (url, table, mode) it binds."""
+    props = properties or {"driver": "org.postgresql.Driver"}
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.jdbc(url=url, table=table, mode=mode, properties=props)
+
+    # expose bindings for tests / observability
+    write_batch.url, write_batch.table, write_batch.mode = url, table, mode
+    return write_batch
+
+
 def start_to_kafka(
     df: DataFrame,
     brokers: str,

@@ -195,7 +195,8 @@ def test_simhash_udf_matches_expression_form(spark, sf_small):
 
 def test_ann_variants_recall(spark, sf_dir):
     # approximate ANN paths must retrieve most of the exact top-5
-    # (rows-only in the driver gate, so recall is pinned here)
+    # (the driver gate checks exact oracle parity; recall vs brute
+    # force — retrieval QUALITY — is pinned here)
     from data_engineering_bootcamp_spark.plans.catalog import QUERIES
 
     exact = {
@@ -212,6 +213,39 @@ def test_ann_variants_recall(spark, sf_dir):
     }
     assert len(exact & ivf) / len(exact) >= 0.7
     assert len(exact & lsh) / len(exact) >= 0.6
+
+
+def test_ivf_kmeans_buckets_balanced(spark, sf_dir):
+    # k-means centroids (vs arbitrary seed vectors) must keep bucket
+    # occupancy balanced enough that probing n_probe/n_centroids of the
+    # buckets actually prunes the corpus: no bucket may absorb more
+    # than 8x its fair share, and most centroids must be non-empty
+    import numpy as np
+
+    from data_engineering_bootcamp_spark.operators.similarity import (
+        _ivf_assigner,
+        ivf_centroids,
+    )
+    from data_engineering_bootcamp_spark.operators.partitioning import fan_out
+    from data_engineering_bootcamp_spark.sources.readers import load_table
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = ivf_centroids(emb, n_centroids=32, lloyd_iters=1)
+    assigned = fan_out(
+        emb.select(
+            F2.col("vec_id").alias("vid"),
+            F2.col("embedding").cast("array<double>").alias("v"),
+        )
+    ).mapInPandas(
+        _ivf_assigner(spark, C), schema="vid bigint, bucket int, v array<double>"
+    )
+    counts = {r.bucket: r.n for r in assigned.groupBy("bucket").agg(
+        F2.count(F2.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    mean_occ = total / 32
+    assert max(counts.values()) <= 8 * mean_occ, counts
+    assert len(counts) >= 16, f"only {len(counts)} non-empty buckets"
 
 
 def test_salted_aggregate_matches_plain(spark, sf_small):

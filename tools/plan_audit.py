@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Regenerate the PLANS.md audit table: explain("formatted") every
+catalog query at sf0.01 and count the plan features that matter for the
+100 TB posture (shuffles, join strategies, Python stages, scan widths).
+
+Usage: python tools/plan_audit.py [sf_dir] > /tmp/plan_table.md
+Counts are plan-node pairs where AQE prints a node twice (initial +
+final plan); the relative numbers are what the audit tracks.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+from data_engineering_bootcamp_spark.plans.catalog import QUERIES  # noqa: E402
+from data_engineering_bootcamp_spark.session import get_spark  # noqa: E402
+
+# write-path + streaming entries execute side effects on explain-build;
+# their plans are the read-back aggregates, audited via their components
+SKIP = {
+    "streaming_tumbling_hits",
+    "bucketed_join_rollup",
+    "partitioned_prune_rollup",
+    "sorted_layout_rollup",
+    "csv_roundtrip_rollup",
+    "insert_select_rollup",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("| query | shuffles | broadcast joins | SMJ | BNLJ | python stages | scan cols |")
+    print("|---|---|---|---|---|---|---|")
+    for name, fn in QUERIES.items():
+        if name in SKIP:
+            continue
+        df = fn(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        n_ex = len(re.findall(r"\bExchange\b", plan))
+        n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
+        n_smj = len(re.findall(r"SortMergeJoin", plan))
+        n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
+        n_py = len(
+            re.findall(
+                r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan
+            )
+        )
+        scans = ",".join(
+            str(len(m.split(",")))
+            for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        )
+        print(
+            f"| {name} | {n_ex} | {n_bhj} | {n_smj} | {n_bnlj} | {n_py} "
+            f"| {scans} |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
