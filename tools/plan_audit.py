@@ -46,15 +46,16 @@ def main() -> None:
         with redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
-        n_ex = len(re.findall(r"\bExchange\b", plan))
-        n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
-        n_smj = len(re.findall(r"SortMergeJoin", plan))
-        n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
-        n_py = len(
-            re.findall(
-                r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan
-            )
-        )
+        # AQE prints each operator twice (initial + final plan): report
+        # node PAIRS so the table stays comparable round over round
+        def pairs(pat: str) -> int:
+            return -(-len(re.findall(pat, plan)) // 2)
+
+        n_ex = pairs(r"\bExchange\b")
+        n_bhj = pairs(r"BroadcastHashJoin")
+        n_smj = pairs(r"SortMergeJoin")
+        n_bnlj = pairs(r"BroadcastNestedLoopJoin")
+        n_py = pairs(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas")
         scans = ",".join(
             str(len(m.split(",")))
             for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
