@@ -779,6 +779,173 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _events_file_stream(spark: SparkSession, sf_dir: str):
+    """Shared scaffold for the streaming gate entries: expose the
+    single-file events table through a temp-dir symlink (the file-stream
+    source lists a directory) with the same nanos→timestamp conversion
+    as the batch reader. Returns (stream_df, cleanup_fn)."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    d = tempfile.mkdtemp(prefix="stream_gate_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(d)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    return stream, lambda: shutil.rmtree(d, ignore_errors=True)
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 through the gate: session windows (30-minute inactivity gap,
+    keyed by user_id) computed by the REAL streaming engine —
+    `session_window` state store, append mode, availableNow trigger.
+    Append mode only emits a session once the watermark passes its end,
+    and the final watermark stops `delay` short of max event time, so
+    sessions still open near end-of-input stay in state — both sides
+    therefore scope to sessions finalized well before the end (end <
+    max ts - 1 hour), which is deterministic and exercises the same
+    state machinery. The oracle recomputes the sessions as batch
+    gaps-and-islands SQL with Spark's session semantics: a gap >= 30min
+    breaks, session_end = last event + gap."""
+    import tempfile
+    import uuid
+
+    from ..streaming.pipelines import sessionize_stream
+
+    stream, cleanup = _events_file_stream(spark, sf_dir)
+    sess = sessionize_stream(
+        stream.where(F.col("user_id").isNotNull()),
+        keys=["user_id"],
+        gap="30 minutes",
+        watermark="1 second",
+    )
+    out = tempfile.mkdtemp(prefix="stream_sess_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_sess_ckpt_")
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .queryName(f"stream_sessions_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        q.stop()
+        max_ts = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("user_id").isNotNull())
+            .agg(F.max("ts").alias("m"))
+            .first()
+            .m
+        )
+        got = (
+            spark.read.parquet(out)
+            .where(
+                F.col("session_end")
+                < F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+            )
+            .select(
+                F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_end"
+                ),
+                "user_id",
+                "num_events",
+            )
+        )
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        cleanup()
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+ORACLE_STREAMING_SESSIONS = """
+WITH e AS (SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
+d AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM e),
+g AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d)
+SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL '30 minutes',
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       user_id,
+       COUNT(*) AS num_events
+FROM g GROUP BY user_id, sid
+HAVING MAX(ts) + INTERVAL '30 minutes'
+       < (SELECT MAX(ts) FROM e) - INTERVAL '1 hour'
+"""
+
+
+def q_streaming_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7/T8 + S13 call path through the gate: stream events through a
+    foreachBatch handler (the JDBC-sink shape — each micro-batch goes
+    through the batch writer API) into parquet, read the sink back, and
+    aggregate. Checkpointed, availableNow. The oracle aggregates the
+    raw table: the sink must contain exactly the input rows."""
+    import tempfile
+
+    from ..streaming.sinks import start_foreach_batch
+
+    stream, cleanup = _events_file_stream(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="stream_fb_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_fb_ckpt_")
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = start_foreach_batch(
+        stream.select("event_id", "event_type", "user_id"),
+        write_batch,
+        checkpoint=ckpt,
+        available_now=True,
+    )
+    try:
+        q.awaitTermination()
+        q.stop()
+        got = (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+        )
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        cleanup()
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+ORACLE_STREAMING_FOREACHBATCH = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd_incremental": q_scd_incremental,
     "order_history": q_order_history,
@@ -794,6 +961,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
     "streaming_tumbling_hits": q_streaming_tumbling,
+    "streaming_session_windows": q_streaming_sessions,
+    "streaming_foreachbatch_sink": q_streaming_foreachbatch,
     "ann_cosine_ivf": q_ann_cosine_ivf,
 }
 
@@ -812,5 +981,7 @@ EXT_ORACLES: dict[str, str] = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_frame_sample": ORACLE_MEDIA_FRAMES,
     "streaming_tumbling_hits": ORACLE_STREAMING_TUMBLING,
+    "streaming_session_windows": ORACLE_STREAMING_SESSIONS,
+    "streaming_foreachbatch_sink": ORACLE_STREAMING_FOREACHBATCH,
     "ann_cosine_ivf": ORACLE_ANN_IVF,
 }

@@ -1,0 +1,78 @@
+"""Property tests for the cross-engine determinism invariants the exact
+oracles rest on (hypothesis; no SparkSession — pure Python vs DuckDB).
+
+The approximate-query oracles (simhash_pairs, ann_cosine_lsh,
+ann_cosine_ivf) are only sound if both engines compute bit-identical
+hashes/coefficients and compatible rounding; these pin each identity
+over arbitrary inputs rather than the few values the catalog happens to
+exercise.
+"""
+
+import hashlib
+import math
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_con = duckdb.connect()
+
+
+def _py_md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_md5_hash60_matches_duckdb(s):
+    # surrogates can't round-trip through UTF-8; md5 operates on bytes
+    try:
+        s.encode()
+    except UnicodeEncodeError:
+        return
+    got = _con.execute(
+        "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)", [s]
+    ).fetchone()[0]
+    assert got == _py_md5_60(s)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 4095), st.integers(0, 255))
+def test_md5_plane_coefficient_matches_duckdb(p, d):
+    # similarity.md5_planes formula == the ORACLE_ANN_LSH planes CTE
+    hx = int(hashlib.md5(f"lsh_{p}_{d}".encode()).hexdigest()[:8], 16)
+    py = hx / 2147483648.0 - 1.0
+    got = _con.execute(
+        "SELECT CAST('0x' || substr(md5('lsh_' || ? || '_' || ?), 1, 8)"
+        "  AS BIGINT) / 2147483648.0 - 1.0",
+        [p, d],
+    ).fetchone()[0]
+    assert got == py  # exact double equality, not approx
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(0, (1 << 60) - 1),
+    st.lists(st.integers(0, 59), min_size=0, max_size=3),
+)
+def test_simhash_pigeonhole_blocking_exact(fp, flips):
+    # any pair within Hamming <= 3 of a 60-bit fingerprint shares at
+    # least one of the 4 15-bit chunks — the blocked candidate set is
+    # therefore EXACTLY the brute-force pair set the oracle computes
+    other = fp
+    for b in set(flips):
+        other ^= 1 << b
+    chunks = lambda x: [(x >> (i * 15)) & 0x7FFF for i in range(4)]
+    assert any(a == b for a, b in zip(chunks(fp), chunks(other)))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(-1.0, 1.0, allow_nan=False))
+def test_half_away_rounding_matches_duckdb(x):
+    got = _con.execute("SELECT ROUND(?::DOUBLE, 6)", [x]).fetchone()[0]
+    mine = float(np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6)
+    assert math.isclose(got, mine, abs_tol=1.1e-6)
+    # representable-boundary cases must agree exactly away from ties
+    if abs(x * 1e6 - round(x * 1e6)) > 1e-9:
+        assert got == mine
