@@ -55,6 +55,8 @@ HEADLINE = [
     "user_vertices",
     "embedding_neardup",
     "media_features",
+    "doc_winnow_fingerprint",
+    "skew_salted_agg",
     # ngram_jaccard_pairs: unblocked O(n²) exact baseline — correctness
     # query only; the blocked variant is the bench/scale path
 ]

@@ -946,6 +946,189 @@ FROM events GROUP BY 1
 """
 
 
+def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) through the
+    gate: `streaming/stateful.py:sessionize_stateful` — explicit per-key
+    session state, event-time timeout — over the events file stream,
+    keyed by (user_id, event_type) via the operator's (ip, host)
+    contract.  Same determinism scoping as `streaming_session_windows`:
+    the final watermark stops `delay` short of max event time, so only
+    sessions whose last event is well before end-of-input (< max ts -
+    1 hour) are compared; every such session is closed either in-batch
+    (a later same-key event beyond the gap) or by the event-time timeout
+    once the no-data batch advances the watermark.  The oracle replays
+    the operator's merge rule exactly: events merge while the gap is
+    <= 30 minutes (strictly-greater breaks), session_end = last event.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import sessionize_stateful
+
+    stream, cleanup = _events_file_stream(spark, sf_dir)
+    keyed = (
+        stream.where(F.col("user_id").isNotNull())
+        .select(
+            F.col("user_id").cast("string").alias("ip"),
+            F.col("event_type").alias("host"),
+            "ts",
+        )
+    )
+    sess = sessionize_stateful(keyed, gap_seconds=1800, watermark="1 second")
+    out = tempfile.mkdtemp(prefix="stream_state_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_state_ckpt_")
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .queryName(f"stream_stateful_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        q.stop()
+        max_ts = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("user_id").isNotNull())
+            .agg(F.max("ts").alias("m"))
+            .first()
+            .m
+        )
+        got = (
+            spark.read.parquet(out)
+            .where(
+                F.col("session_end")
+                < F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+            )
+            .select(
+                F.col("ip").alias("user_id"),
+                F.col("host").alias("event_type"),
+                F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_end"
+                ),
+                "num_events",
+            )
+        )
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        cleanup()
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+ORACLE_STREAMING_STATEFUL = """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id, event_type, ts
+  FROM events WHERE user_id IS NOT NULL),
+d AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)),
+g AS (
+  SELECT user_id, event_type, ts,
+         SUM(brk) OVER (PARTITION BY user_id, event_type ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d)
+SELECT user_id, event_type,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*)::INT AS num_events
+FROM g GROUP BY user_id, event_type, sid
+HAVING MAX(ts) < (SELECT MAX(ts) FROM e) - INTERVAL '1 hour'
+"""
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (`operators/skew.py:
+    salted_aggregate`) through the gate: events aggregated by the
+    low-cardinality (hence hot) event_type key — each key's partials
+    first merge across 16 salt sub-keys, then combine.  The oracle is
+    the plain one-phase aggregate: salting must be result-invisible."""
+    from ..operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "total_value": ("value", "sum"),
+            "n_events": ("event_id", "count"),
+            "max_value": ("value", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.round("total_value", 2).alias("total_value"),
+        "n_events",
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
+ORACLE_SKEW_SALTED_AGG = """
+SELECT event_type,
+       ROUND(SUM(value), 2) AS total_value,
+       COUNT(event_id) AS n_events,
+       ROUND(MAX(value), 2) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi join (`operators/skew.py:salted_join`) through the
+    gate: orders (fact, salted) ⋈ customer (dim, replicated ×8) on
+    custkey, rolled up per market segment.  The oracle is the plain
+    join: the salt must never change the join result."""
+    from ..operators.skew import salted_join
+
+    fact = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(fact, dim, "custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+ORACLE_SKEW_SALTED_JOIN = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (`operators/fingerprint.py`
+    winnowing, MOSS-style): Rabin-Karp 8-gram hashes, 25-gram window
+    minima, per-doc DISTINCT-set stats.  The oracle replays the entire
+    computation in SQL from the same integer-hash definition."""
+    from ..operators.fingerprint import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs)
+
+
+def _winnow_oracle() -> str:
+    from ..operators.fingerprint import winnow_oracle_sql
+
+    return winnow_oracle_sql()
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd_incremental": q_scd_incremental,
     "order_history": q_order_history,
@@ -963,6 +1146,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_tumbling_hits": q_streaming_tumbling,
     "streaming_session_windows": q_streaming_sessions,
     "streaming_foreachbatch_sink": q_streaming_foreachbatch,
+    "streaming_stateful_sessions": q_streaming_stateful,
+    "skew_salted_agg": q_skew_salted_agg,
+    "skew_salted_join": q_skew_salted_join,
+    "doc_winnow_fingerprint": q_doc_winnow,
     "ann_cosine_ivf": q_ann_cosine_ivf,
 }
 
@@ -983,5 +1170,9 @@ EXT_ORACLES: dict[str, str] = {
     "streaming_tumbling_hits": ORACLE_STREAMING_TUMBLING,
     "streaming_session_windows": ORACLE_STREAMING_SESSIONS,
     "streaming_foreachbatch_sink": ORACLE_STREAMING_FOREACHBATCH,
+    "streaming_stateful_sessions": ORACLE_STREAMING_STATEFUL,
+    "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
+    "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
+    "doc_winnow_fingerprint": _winnow_oracle(),
     "ann_cosine_ivf": ORACLE_ANN_IVF,
 }

@@ -292,3 +292,55 @@ def test_salted_join_matches_plain(spark, sf_small):
     assert {(r.c_mktsegment, r["count"]) for r in plain} == {
         (r.c_mktsegment, r["count"]) for r in salted
     }
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # winnowing guarantee: any shared run of >= w + k - 1 = 32 normalized
+    # chars yields at least one shared fingerprint; disjoint texts share
+    # none (hash collisions aside, deterministic here)
+    from data_engineering_bootcamp_spark.operators.fingerprint import (
+        winnow_fingerprint_set,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAA " + shared + " xyzzy padding tail one two three"),
+            (2, "prefix words here; " + shared + " entirely other ending"),
+            (3, "completely different content with no overlap at all — "
+                "zebras graze quietly beside the riverbank at dusk today"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprint_set(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_stats_match_set(spark):
+    # the (n_fp, fp_xor, fp_min) summary must reduce the exploded set
+    from functools import reduce
+
+    from data_engineering_bootcamp_spark.operators.fingerprint import (
+        winnow_fingerprint_set,
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} " * 6 + "shared suffix content block")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in winnow_fingerprints(docs).collect()}
+    sets = {}
+    for r in winnow_fingerprint_set(docs).collect():
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert set(stats) == set(sets)
+    for d, s in sets.items():
+        assert stats[d]["n_fp"] == len(s)
+        assert stats[d]["fp_min"] == min(s)
+        assert stats[d]["fp_xor"] == reduce(lambda a, b: a ^ b, s)

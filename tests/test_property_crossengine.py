@@ -76,3 +76,49 @@ def test_half_away_rounding_matches_duckdb(x):
     # representable-boundary cases must agree exactly away from ties
     if abs(x * 1e6 - round(x * 1e6)) > 1e-9:
         assert got == mine
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz0123456789 .,"),
+        min_size=40,
+        max_size=160,
+    )
+)
+def test_winnow_pipeline_matches_duckdb(raw):
+    # the whole rolling-hash fingerprint pipeline (normalize → Rabin-
+    # Karp gram hash → window minima → distinct-set stats), numpy vs
+    # the ORACLE SQL, over arbitrary inputs
+    import pandas as pd
+
+    from data_engineering_bootcamp_spark.operators.fingerprint import (
+        B,
+        K,
+        M,
+        W,
+        winnow_oracle_sql,
+    )
+
+    import re
+
+    s = re.sub("[^a-z0-9]", "", raw.lower())
+    sql = winnow_oracle_sql().replace(
+        "FROM documents", "FROM (SELECT 1 AS doc_id, ? AS text)"
+    )
+    got = _con.execute(sql, [raw]).fetchall()
+    if len(s) < K + W - 1:
+        assert got == []
+        return
+    pows = np.array([pow(B, K - 1 - j, M) for j in range(K)], dtype=np.int64)
+    b = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.int64)
+    n = len(b) - K + 1
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(K):
+        h += b[j : j + n] * pows[j]
+    h %= M
+    mins = pd.Series(h).rolling(W).min().to_numpy()[W - 1 :].astype(np.int64)
+    fps = np.unique(mins)
+    assert got == [
+        (1, len(fps), int(np.bitwise_xor.reduce(fps)), int(fps[0]))
+    ]
