@@ -309,6 +309,7 @@ def ivf_centroids(
     lloyd_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _src: DataFrame | None = None,
 ) -> np.ndarray:
     """Sampled k-means coarse quantizer, deterministic and oracle-
     reproducible.
@@ -326,23 +327,19 @@ def ivf_centroids(
     n_probe/n_centroids pruning claim survives skewed corpora.
     """
     spark = corpus.sparkSession
-    seed_rows = (
-        corpus.select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
-        )
-        .orderBy(F.md5(F.col("cid").cast("string")), "cid")
-        .limit(n_centroids)
-        .collect()
-    )
-    C = np.array([r.cv for r in seed_rows], dtype=np.float64)
-    dim = C.shape[1]
-    src = fan_out(
+    src = _src if _src is not None else fan_out(
         corpus.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     )
+    seed_rows = (
+        src.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.array([r.v for r in seed_rows], dtype=np.float64)
+    dim = C.shape[1]
     for _ in range(lloyd_iters):
         assigned = src.mapInPandas(
             _ivf_assigner(spark, C),
@@ -386,17 +383,27 @@ def cosine_topk_ivf(
     is an equi hash join on bucket id, so at 100 TB the scan touches
     ~n_probe/n_centroids of the corpus per query instead of all of it.
     """
+    # one projected+fanned corpus, cached across the three passes that
+    # need it (seed sort, Lloyd assignment, final assignment) — without
+    # this the corpus is scanned once per pass, which at 100 TB is two
+    # extra full reads (the caller releases via dedup.release_caches)
+    from .dedup import _persist
+
+    src = _persist(
+        fan_out(
+            corpus.select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+        )
+    )
     C = ivf_centroids(
-        corpus, n_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col
+        corpus, n_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col,
+        _src=src,
     )
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
-    assigned = fan_out(
-        corpus.select(
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-    ).mapInPandas(
+    assigned = src.mapInPandas(
         _ivf_assigner(corpus.sparkSession, C),
         schema="vid bigint, bucket int, v array<double>",
     )

@@ -1055,7 +1055,9 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain one-phase aggregate: salting must be result-invisible."""
     from ..operators.skew import salted_aggregate
 
-    ev = _t(spark, sf_dir, "events")
+    # project before salting: with_salt's default entropy hashes every
+    # column, which would widen the scan to the full table
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
     out = salted_aggregate(
         ev,
         keys=["event_type"],
