@@ -126,9 +126,44 @@ def _winnowed(
     return base.select(id_col, _win(F.col("_s")).alias("_fp"))
 
 
-def winnow_oracle_sql(k: int = K, w: int = W) -> str:
-    """DuckDB SQL that replays the exact fingerprint computation (chars
-    → ord×weight gram hashes → window minima → distinct-set stats)."""
+def winnow_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = K,
+    w: int = W,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowed fingerprint — the
+    dedup-join shape fingerprinting exists for.  Equi self-join on the
+    fingerprint value (hash join, same banded-candidate pattern as LSH;
+    a fingerprint shared by an exact-duplicate cluster fans out
+    |cluster|² like any blocking key — AQE skew handling applies, and a
+    production run would cap pathological buckets first).  Output:
+    (doc_id_a, doc_id_b, n_shared BIGINT), doc_id_a < doc_id_b,
+    n_shared = number of distinct shared fingerprints, kept when
+    >= min_shared (a single shared 32-char run is common in natural
+    text; several distinct shared runs is the near-dup signal).
+
+    The fingerprint base is computed ONCE and persisted through the
+    dedup cache registry (both join sides read it); callers release via
+    ``operators.dedup.release_caches()``.
+    """
+    from .dedup import _persist
+
+    fps = _persist(winnow_fingerprint_set(docs, text_col, id_col, k, w))
+    left = fps.withColumnRenamed(id_col, "doc_id_a")
+    right = fps.withColumnRenamed(id_col, "doc_id_b")
+    return (
+        left.join(right, "fp")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def _winnow_cte_prefix(k: int, w: int) -> str:
     pows = [pow(B, k - 1 - j, M) for j in range(k)]
     weights = ", ".join(f"({j}, {p})" for j, p in enumerate(pows))
     return f"""
@@ -157,7 +192,15 @@ m AS (
          MIN(h) OVER (PARTITION BY doc_id ORDER BY i
                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mn
   FROM g
-)
+)"""
+
+
+def winnow_oracle_sql(k: int = K, w: int = W) -> str:
+    """DuckDB SQL that replays the exact fingerprint computation (chars
+    → ord×weight gram hashes → window minima → distinct-set stats)."""
+    return (
+        _winnow_cte_prefix(k, w)
+        + f"""
 SELECT doc_id,
        COUNT(DISTINCT mn)::INT AS n_fp,
        bit_xor(DISTINCT mn)::BIGINT AS fp_xor,
@@ -166,3 +209,24 @@ FROM m
 WHERE i <= len - {k + w - 2}
 GROUP BY doc_id
 """
+    )
+
+
+def winnow_pairs_oracle_sql(
+    k: int = K, w: int = W, min_shared: int = 5
+) -> str:
+    """DuckDB SQL replaying `winnow_pairs`: distinct per-doc fingerprint
+    sets, self-joined on the fingerprint value."""
+    return (
+        _winnow_cte_prefix(k, w)
+        + f""",
+sets AS (
+  SELECT DISTINCT doc_id, mn FROM m WHERE i <= len - {k + w - 2}
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       COUNT(*) AS n_shared
+FROM sets a JOIN sets b ON a.mn = b.mn AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+"""
+    )

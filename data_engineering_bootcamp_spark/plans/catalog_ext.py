@@ -1131,6 +1131,22 @@ def _winnow_oracle() -> str:
     return winnow_oracle_sql()
 
 
+def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-join use of rolling-hash fingerprints: candidate
+    near-dup pairs sharing >= 1 winnowed fingerprint (equi hash join on
+    the fingerprint value — the 100 TB shape; no all-pairs form)."""
+    from ..operators.fingerprint import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_pairs(docs)
+
+
+def _winnow_pairs_oracle() -> str:
+    from ..operators.fingerprint import winnow_pairs_oracle_sql
+
+    return winnow_pairs_oracle_sql()
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd_incremental": q_scd_incremental,
     "order_history": q_order_history,
@@ -1152,6 +1168,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_agg": q_skew_salted_agg,
     "skew_salted_join": q_skew_salted_join,
     "doc_winnow_fingerprint": q_doc_winnow,
+    "doc_winnow_neardup_pairs": q_doc_winnow_pairs,
     "ann_cosine_ivf": q_ann_cosine_ivf,
 }
 
@@ -1176,5 +1193,6 @@ EXT_ORACLES: dict[str, str] = {
     "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
     "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
     "doc_winnow_fingerprint": _winnow_oracle(),
+    "doc_winnow_neardup_pairs": _winnow_pairs_oracle(),
     "ann_cosine_ivf": ORACLE_ANN_IVF,
 }
