@@ -946,6 +946,92 @@ FROM events GROUP BY 1
 """
 
 
+def q_streaming_kafka_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/S14 value-codec path through the gate: the exact payload
+    round-trip the Kafka sink/source pair performs —
+    `to_json(struct(*cols))` (what `sinks.start_to_kafka` publishes)
+    then `from_json(value, schema)` (what `sources.kafka_json_stream`
+    decodes) — run over the events file stream and materialized through
+    a parquet sink.  The broker itself is environment; the codec is
+    engine logic, and this certifies it lossless: the oracle aggregates
+    the raw table, so any encode/decode corruption (types, nulls,
+    timestamp precision at second granularity, double formatting)
+    breaks the hash match."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream, cleanup = _events_file_stream(spark, sf_dir)
+    payload = stream.select(F.to_json(F.struct(*cols)).alias("value"))
+    decoded = payload.select(
+        F.from_json(F.col("value"), schema).alias("j")
+    ).select("j.*")
+    out = tempfile.mkdtemp(prefix="stream_kafka_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_kafka_ckpt_")
+    q = (
+        decoded.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .queryName(f"stream_kafka_mirror_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        q.stop()
+        got = (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+                F.date_format(
+                    F.min("ts"), "yyyy-MM-dd HH:mm:ss"
+                ).alias("first_ts"),
+                F.date_format(
+                    F.max("ts"), "yyyy-MM-dd HH:mm:ss"
+                ).alias("last_ts"),
+            )
+        )
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        cleanup()
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+ORACLE_STREAMING_KAFKA_MIRROR = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 2) AS total_value,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events GROUP BY 1
+"""
+
+
 def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState) through the
     gate: `streaming/stateful.py:sessionize_stateful` — explicit per-key
@@ -1165,6 +1251,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_session_windows": q_streaming_sessions,
     "streaming_foreachbatch_sink": q_streaming_foreachbatch,
     "streaming_stateful_sessions": q_streaming_stateful,
+    "streaming_kafka_mirror": q_streaming_kafka_mirror,
     "skew_salted_agg": q_skew_salted_agg,
     "skew_salted_join": q_skew_salted_join,
     "doc_winnow_fingerprint": q_doc_winnow,
@@ -1190,6 +1277,7 @@ EXT_ORACLES: dict[str, str] = {
     "streaming_session_windows": ORACLE_STREAMING_SESSIONS,
     "streaming_foreachbatch_sink": ORACLE_STREAMING_FOREACHBATCH,
     "streaming_stateful_sessions": ORACLE_STREAMING_STATEFUL,
+    "streaming_kafka_mirror": ORACLE_STREAMING_KAFKA_MIRROR,
     "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
     "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
     "doc_winnow_fingerprint": _winnow_oracle(),

@@ -27,6 +27,7 @@ SKIP = {
     "streaming_session_windows",
     "streaming_foreachbatch_sink",
     "streaming_stateful_sessions",
+    "streaming_kafka_mirror",
     "bucketed_join_rollup",
     "partitioned_prune_rollup",
     "sorted_layout_rollup",
