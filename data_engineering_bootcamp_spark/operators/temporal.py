@@ -1,0 +1,90 @@
+"""As-of (temporal) join — a custom operator the reference's lesson
+material reaches for with window functions over event/order history
+(M2 cumulative-table patterns, e.g. bootcamp `2-fact-data-modeling`
+lab queries pairing each event with the latest prior state). Spark has
+no ASOF JOIN; this is the scalable composition-of-builtins form.
+
+Implementation: union-and-window, NOT a range join.
+
+  1. Tag the left (probe) rows side=1 and the right (state) rows
+     side=0, union them by name.
+  2. One window partitioned by the join key, ordered by
+     (ts, side, tiebreak), running `last(payload, ignorenulls=True)`.
+  3. Keep the probe rows; each now carries the most recent right-side
+     payload with right_ts <= left_ts (or < for strict).
+
+Scale posture: exactly ONE shuffle (hash partition by key for the
+window sort) regardless of how many right rows precede each probe —
+versus the range-join form whose candidate set is |left| x |right per
+key|. State rows and probe rows stay (key, ts)-sorted within
+partitions, so the window is a single linear pass. Skewed keys behave
+like any window (one task per hot key); pre-bucketing both inputs by
+the key elides the exchange entirely.
+
+Right-side rows must be unique per (key, ts) for deterministic
+semantics (the same contract DuckDB's ASOF JOIN assumes); callers
+aggregate duplicates away first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For every left row, attach the payload of the right row with the
+    greatest ``right_ts <= left_ts`` (``<`` when ``strict``) for the
+    same ``key`` — LEFT semantics: probe rows with no prior state keep
+    NULL payloads.
+
+    Output: all columns of ``left`` plus ``{right_ts}`` (aliased
+    ``asof_ts``) and ``payload_cols`` from the matched right row.
+    """
+    if key not in right.columns:
+        raise ValueError(f"asof_join: key {key!r} must exist on both sides")
+    lcols = left.columns
+    rts_type = right.schema[right_ts].dataType
+    # side ordinal makes ties deterministic: with on-or-before
+    # semantics the state row at an equal timestamp must sort BEFORE
+    # the probe row so last() sees it; strict mode flips that.
+    probe_side, state_side = (1, 0) if not strict else (0, 1)
+    probe = left.select(
+        *lcols,
+        F.lit(probe_side).alias("_side"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(None).cast(rts_type).alias("_asof_ts_raw"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+    )
+    state = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+        F.col(key),
+        F.lit(state_side).alias("_side"),
+        F.col(right_ts).cast(left.schema[left_ts].dataType).alias("_ts"),
+        F.col(right_ts).alias("_asof_ts_raw"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    ).select(*probe.columns)  # align column order for unionByName
+    unioned = probe.unionByName(state)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        F.col("_side"),
+        F.last("_asof_ts_raw", ignorenulls=True).over(w).alias("asof_ts"),
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(c)
+            for c in payload_cols
+        ],
+    )
+    return filled.where(F.col("_side") == probe_side).drop("_side")

@@ -1280,3 +1280,10 @@ from .catalog_write import WRITE_ORACLES, WRITE_QUERIES  # noqa: E402
 
 QUERIES.update(WRITE_QUERIES)
 ORACLES.update(WRITE_ORACLES)
+
+# round-2 additions (as-of join, exact quantiles, repetition stats,
+# broadcast-dict UDF enrichment, bulk rename)
+from .catalog_extra import EXTRA_ORACLES, EXTRA_QUERIES  # noqa: E402
+
+QUERIES.update(EXTRA_QUERIES)
+ORACLES.update(EXTRA_ORACLES)

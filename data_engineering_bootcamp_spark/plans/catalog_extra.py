@@ -1,0 +1,289 @@
+"""Round-2 additions to the gated catalog: as-of join, exact
+quantiles, per-document repetition stats, broadcast-dict UDF
+enrichment, and bulk column rename.
+
+Closes the last SURVEY §2 ids that had only unit coverage after
+round 1 (P2 bulk rename, the §2.10/T6 UDF-enrichment analog) and adds
+two capabilities the reference's lesson material implies but never
+names as operators:
+
+- ``asof_latest_order`` — the temporal/as-of join every
+  event-to-state enrichment needs (the reference builds the same
+  shape with window functions in its fact-modeling labs,
+  `2-fact-data-modeling` lecture SQL); DuckDB's native ASOF JOIN is
+  the oracle, so the semantics are pinned exactly.
+- ``exact_percentiles`` — exact linear-interpolation quantiles
+  (Spark `percentile`, matches DuckDB `quantile_cont` bit-for-bit
+  after 4-dp rounding), the A-family hole between AVG and the
+  approximate sketches.
+- ``doc_ttr_repetition`` — type-token ratio + duplicate-3-gram
+  ratio, the standard LLM-corpus repetition-quality signals
+  (Rae et al. 2021 "Gopher" repetition filters), all
+  Catalyst-side (split/array_distinct/transform — no Python).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join
+from ..sources.readers import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (temporal enrichment)
+# ---------------------------------------------------------------------------
+
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach each event to the user's most recent order on or before
+    the event date (LEFT semantics: users with no prior order keep
+    NULLs). Right side is pre-aggregated to one row per
+    (custkey, orderdate) — the determinism contract ASOF requires.
+
+    Plan shape: one hash shuffle on user_id for the union-and-window
+    pass; no range join, no per-key fan-out.
+    """
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("event_id", "user_id", F.to_date("ts").alias("event_date"))
+    )
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_order_key"))
+    )
+    res = asof_join(
+        ev,
+        od,
+        key="user_id",
+        left_ts="event_date",
+        right_ts="o_orderdate",
+        payload_cols=["last_order_key"],
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "event_date",
+        F.col("asof_ts").alias("last_order_date"),
+        "last_order_key",
+    )
+
+
+ORACLE_ASOF_LATEST_ORDER = """
+WITH ev AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date
+            FROM events WHERE user_id IS NOT NULL),
+od AS (SELECT o_custkey AS user_id, o_orderdate,
+              MAX(o_orderkey) AS last_order_key
+       FROM orders GROUP BY 1, 2)
+SELECT ev.event_id, ev.user_id, ev.event_date,
+       od.o_orderdate AS last_order_date, od.last_order_key
+FROM ev ASOF LEFT JOIN od
+  ON ev.user_id = od.user_id AND ev.event_date >= od.o_orderdate
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (A-family)
+# ---------------------------------------------------------------------------
+
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 of extended price per return flag. Spark's
+    `percentile` (exact, linear interpolation) — NOT
+    `percentile_approx`, whose sketch would never hash-match an
+    oracle. At 100 TB the approx form is the right default; the exact
+    form exists for the gate and for final reporting aggregates whose
+    group count is bounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").alias("p"),
+        F.count("*").alias("n_rows"),
+    )
+    return p.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(F.element_at("p", 1), 4).alias("p25"),
+        F.round(F.element_at("p", 2), 4).alias("p50"),
+        F.round(F.element_at("p", 3), 4).alias("p75"),
+    )
+
+
+ORACLE_EXACT_PERCENTILES = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition / lexical-diversity quality signals (LLM corpus filters)
+# ---------------------------------------------------------------------------
+
+def q_doc_ttr_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document type-token ratio and duplicate-3-gram ratio — the
+    repetition filters an LLM training pipeline applies before
+    training (high dup3 = boilerplate/spam). Pure Catalyst: split →
+    array_distinct → transform(sequence) 3-gram windows; zero Python,
+    whole-stage-codegen end to end, embarrassingly parallel per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "
+    )
+    d = docs.select("doc_id", words.alias("w"))
+    n = F.size("w")
+    grams = F.when(
+        n >= 3,
+        F.expr(
+            "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', "
+            "element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(F.size(F.array_distinct("w")) / n, 6).alias("ttr"),
+        F.round(
+            F.when(
+                F.size(grams) > 0,
+                1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup3_ratio"),
+    )
+
+
+ORACLE_DOC_TTR_REPETITION = """
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, w, len(w) AS n_words,
+         CASE WHEN len(w) >= 3 THEN
+           list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+         ELSE [] END AS grams
+  FROM t)
+SELECT doc_id, n_words,
+       ROUND(len(list_distinct(w)) * 1.0 / n_words, 6) AS ttr,
+       ROUND(CASE WHEN len(grams) > 0
+                  THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+                  ELSE 0.0 END, 6) AS dup3_ratio
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-dict UDF enrichment (T6 analog / §2.10)
+# ---------------------------------------------------------------------------
+
+def q_udf_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer rollup keyed by nation NAME resolved through a
+    broadcast dictionary inside an Arrow-batched pandas UDF — the
+    batch analog of the reference's streaming enrichment UDF
+    (M4F/src/job/start_job.py session/geodata lookup). The dim is
+    bounded (25 nations) by contract, so the driver collect is the
+    broadcast pattern, not a scale bug. The oracle is the equivalent
+    join: the UDF must behave exactly like a broadcast hash join."""
+    from pyspark.sql.functions import pandas_udf
+
+    nation = _t(spark, sf_dir, "nation")
+    mapping = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in nation.select("n_nationkey", "n_name").collect()
+    }
+    bc = spark.sparkContext.broadcast(mapping)
+
+    @pandas_udf("string")
+    def nation_name(keys: pd.Series) -> pd.Series:
+        m = bc.value
+        return keys.map(lambda k: m.get(int(k)) if pd.notna(k) else None)
+
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.withColumn("nation_name", nation_name(F.col("c_nationkey")))
+        .groupBy("nation_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_UDF_ENRICH_BROADCAST = """
+SELECT n.n_name AS nation_name,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bulk rename (P2)
+# ---------------------------------------------------------------------------
+
+def q_bulk_rename_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: rename a whole column family through a mapping (the
+    reference renames raw-feed columns to its modeling convention in
+    the M2 labs), then aggregate through the NEW names — proving the
+    rename is a pure metadata operation that survives into the plan.
+    `withColumnsRenamed` is one plan node, not a rename-per-column
+    chain."""
+    rename_map = {
+        "l_orderkey": "order_key",
+        "l_quantity": "qty",
+        "l_extendedprice": "price",
+        "l_discount": "discount",
+        "l_returnflag": "return_flag",
+        "l_linestatus": "line_status",
+    }
+    li = _t(spark, sf_dir, "lineitem").withColumnsRenamed(rename_map)
+    return (
+        li.where(F.col("qty") > 10)
+        .groupBy("return_flag", "line_status")
+        .agg(
+            F.count("order_key").alias("n_items"),
+            F.round(F.sum(F.col("price") * (1 - F.col("discount"))), 2).alias(
+                "net_revenue"
+            ),
+        )
+    )
+
+
+ORACLE_BULK_RENAME_SUMMARY = """
+SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+       COUNT(l_orderkey) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS net_revenue
+FROM lineitem WHERE l_quantity > 10
+GROUP BY 1, 2
+"""
+
+
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "asof_latest_order": q_asof_latest_order,
+    "exact_percentiles": q_exact_percentiles,
+    "doc_ttr_repetition": q_doc_ttr_repetition,
+    "udf_enrich_broadcast": q_udf_enrich_broadcast,
+    "bulk_rename_summary": q_bulk_rename_summary,
+}
+
+EXTRA_ORACLES: dict[str, str] = {
+    "asof_latest_order": ORACLE_ASOF_LATEST_ORDER,
+    "exact_percentiles": ORACLE_EXACT_PERCENTILES,
+    "doc_ttr_repetition": ORACLE_DOC_TTR_REPETITION,
+    "udf_enrich_broadcast": ORACLE_UDF_ENRICH_BROADCAST,
+    "bulk_rename_summary": ORACLE_BULK_RENAME_SUMMARY,
+}

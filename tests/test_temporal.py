@@ -1,0 +1,133 @@
+"""asof_join unit coverage: tie semantics, strict mode, missing state,
+and equivalence with DuckDB's native ASOF JOIN on the driver testdata
+(the catalog entry `asof_latest_order` re-checks this at the gate).
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_engineering_bootcamp_spark.operators.temporal import asof_join
+
+
+def _d(s):
+    return dt.date.fromisoformat(s)
+
+
+def _fixtures(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, 10, _d("2024-01-05")),
+            (2, 10, _d("2024-01-10")),
+            (3, 10, _d("2024-01-01")),  # before any state
+            (4, 20, _d("2024-02-01")),  # key with no state at all
+        ],
+        "row_id long, k long, ts date",
+    )
+    state = spark.createDataFrame(
+        [
+            (10, _d("2024-01-05"), "a"),  # exactly at probe 1's ts
+            (10, _d("2024-01-03"), "b"),
+            (10, _d("2024-01-09"), "c"),
+        ],
+        "k long, sts date, payload string",
+    )
+    return probe, state
+
+
+def test_asof_on_or_before_with_tie(spark):
+    probe, state = _fixtures(spark)
+    out = asof_join(
+        probe, state, key="k", left_ts="ts", right_ts="sts", payload_cols=["payload"]
+    )
+    got = {r["row_id"]: (r["asof_ts"], r["payload"]) for r in out.collect()}
+    assert got[1] == (_d("2024-01-05"), "a")  # tie: on-or-before includes it
+    assert got[2] == (_d("2024-01-09"), "c")  # latest prior wins
+    assert got[3] == (None, None)  # probe precedes all state
+    assert got[4] == (None, None)  # key never has state
+    assert out.count() == probe.count()  # LEFT semantics: no row loss
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    probe, state = _fixtures(spark)
+    out = asof_join(
+        probe,
+        state,
+        key="k",
+        left_ts="ts",
+        right_ts="sts",
+        payload_cols=["payload"],
+        strict=True,
+    )
+    got = {r["row_id"]: (r["asof_ts"], r["payload"]) for r in out.collect()}
+    assert got[1] == (_d("2024-01-03"), "b")  # equal ts excluded under strict
+    assert got[2] == (_d("2024-01-09"), "c")
+
+
+def test_asof_requires_key_on_right(spark):
+    probe, state = _fixtures(spark)
+    try:
+        asof_join(
+            probe,
+            state.withColumnRenamed("k", "other"),
+            key="k",
+            left_ts="ts",
+            right_ts="sts",
+            payload_cols=["payload"],
+        )
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The union-and-window form must cost exactly one exchange —
+    that is the point of choosing it over a range join."""
+    probe, state = _fixtures(spark)
+    out = asof_join(
+        probe, state, key="k", left_ts="ts", right_ts="sts", payload_cols=["payload"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_matches_duckdb_native(spark, sf_dir):
+    import duckdb
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.to_date(F.expr("timestamp_micros(ts div 1000)")).alias("ed"),
+        )
+    )
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("ok"))
+    )
+    got = (
+        asof_join(ev, od, key="user_id", left_ts="ed", right_ts="o_orderdate",
+                  payload_cols=["ok"])
+        .groupBy()
+        .agg(
+            F.count("*").alias("n"),
+            F.count("ok").alias("n_matched"),
+            F.sum("ok").alias("sum_ok"),
+        )
+        .collect()[0]
+    )
+    want = duckdb.sql(
+        f"""
+        WITH ev AS (SELECT event_id, user_id, CAST(ts AS DATE) AS ed
+                    FROM '{sf_dir}/events.parquet' WHERE user_id IS NOT NULL),
+        od AS (SELECT o_custkey AS user_id, o_orderdate, MAX(o_orderkey) AS ok
+               FROM '{sf_dir}/orders.parquet' GROUP BY 1, 2)
+        SELECT COUNT(*), COUNT(ok), SUM(ok)
+        FROM ev ASOF LEFT JOIN od
+          ON ev.user_id = od.user_id AND ev.ed >= od.o_orderdate
+        """
+    ).fetchone()
+    assert (got["n"], got["n_matched"], got["sum_ok"]) == want
