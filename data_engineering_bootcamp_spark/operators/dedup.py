@@ -24,6 +24,8 @@ O(n²) cross join.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -491,25 +493,53 @@ def dedup_ngram_jaccard(
     block_col: str | None = "source",
     ngram: int = 3,
     threshold: float = 0.5,
+    length_blocked: bool = False,
 ) -> DataFrame:
     """Blocked pairwise word-n-gram Jaccard similarity.
 
-    Pairs are generated only within `block_col` groups (at scale: a
-    cheap pre-cluster — source, language, length bucket — bounds the
-    quadratic term). Output (doc_id_a, doc_id_b, jaccard).
+    Pair-generation strategies, most to least scalable:
+
+    - ``length_blocked=True`` — LOSSLESS length-bucket blocking, the
+      100 TB primary path. If J(A,B) >= t then (w.l.o.g. |A| <= |B|)
+      t <= J <= |A|/|B|, so gram-set sizes of any qualifying pair are
+      within a factor 1/t; their floor(log_{1/t}(size)) buckets differ
+      by at most 1. Assigning every doc to buckets {k, k+1} therefore
+      guarantees each qualifying pair shares a bucket: an equi hash
+      join on the bucket key (no BNLJ, no all-pairs) that provably
+      returns EXACTLY the all-pairs result for the given threshold.
+      Duplicate candidates from the double assignment are dropped
+      after scoring.
+    - ``block_col`` — pairs only within caller-chosen groups (source,
+      language, …). Cheap but changes results unless the caller knows
+      no qualifying pair crosses groups.
+    - neither — exact all-pairs broadcast-nested-loop baseline
+      (oracle/verification use only; O(n²)).
+
+    Output (doc_id_a, doc_id_b, jaccard).
     """
     base = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
-        (F.col(block_col) if block_col else F.lit(1)).alias("block"),
+        (F.col(block_col) if block_col and not length_blocked else F.lit(1)).alias(
+            "block"
+        ),
         _tokens(F.col(text_col)).alias("_toks"),
     ).select(
         "doc_id",
         "block",
         F.array_distinct(_ngrams_of_toks(F.col("_toks"), ngram)).alias("grams"),
     )
+    if length_blocked:
+        if not (0.0 < threshold < 1.0):
+            raise ValueError("length_blocked requires 0 < threshold < 1")
+        # k = floor(log_{1/t} |grams|); explode to {k, k+1}
+        k = F.floor(
+            F.log(F.greatest(F.size("grams"), F.lit(1)).cast("double"))
+            / F.lit(math.log(1.0 / threshold))
+        )
+        base = base.withColumn("block", F.explode(F.array(k, k + 1)))
     base = _persist(base)  # consumed by both sides of the pair join
     a, b = base.alias("a"), base.alias("b")
-    if block_col:
+    if length_blocked or block_col:
         cand = a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
@@ -524,11 +554,12 @@ def dedup_ngram_jaccard(
         "double"
     )
     union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams"))).cast("double")
-    return (
-        cand.select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.round(inter / union, 6).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    out = cand.select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        F.round(inter / union, 6).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+    if length_blocked:
+        # the {k, k+1} double assignment can score a pair twice
+        out = out.dropDuplicates(["doc_id_a", "doc_id_b"])
+    return out

@@ -22,7 +22,7 @@ from ..operators.graph import build_vertices
 from ..operators.multimodal import extract_features, frame_sample
 from ..operators.scd import scd_from_snapshots, scd_incremental
 from ..operators.similarity import cosine_topk_ivf, neardup_embedding_cosine
-from ..sources.readers import load_table
+from ..sources.readers import load_table, normalize_ts
 from ..streaming.pipelines import tumbling_counts
 
 JAN = "2024-01-01"
@@ -468,15 +468,28 @@ FROM ranked WHERE rn = 1
 # ---------------------------------------------------------------------------
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise word-trigram Jaccard >= 0.5 (unblocked baseline;
-    the operator's block_col is the 100 TB path — see dedup.py).
+    """PRIMARY n-gram Jaccard entry: lossless length-bucket blocking —
+    every qualifying pair provably co-buckets (sizes within 1/t ⇒
+    adjacent log_{1/t} buckets ⇒ shared via {k, k+1} double
+    assignment), so the result is IDENTICAL to all-pairs while the plan
+    is an equi hash join on the bucket key instead of a BNLJ. The
+    oracle is the exhaustive all-pairs SQL: blocking must be
+    result-invisible, and the gate checks exactly that.
     Jaccard over xxhash64'd grams equals Jaccard over the gram strings
     (collision probability ~n²/2⁶⁴), which is what the oracle computes.
     """
     docs = _t(spark, sf_dir, "documents")
     return dedup_ngram_jaccard(
-        docs, block_col=None, ngram=3, threshold=0.5
+        docs, block_col=None, ngram=3, threshold=0.5, length_blocked=True
     )
+
+
+def q_ngram_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline (broadcast-nested-loop, O(n²)) — kept
+    as the verification twin of the length-blocked primary; same
+    oracle. Not a scale path by design."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ngram_jaccard(docs, block_col=None, ngram=3, threshold=0.5)
 
 
 ORACLE_NGRAM_JACCARD = r"""
@@ -726,10 +739,11 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch: the oracle is the same SQL that checks the batch analog
     (`tumbling_hits`), so this entry proves the streaming path produces
     byte-identical aggregates, state store and all."""
-    # footer-inferred schema: events.ts is parquet TIMESTAMP(NANOS),
-    # surfaced as a raw long (nanosAsLong, set here so the probe works
-    # under any caller-provided session) and converted below exactly
-    # like the batch reader (readers.load_table)
+    # footer-inferred schema probe under nanosAsLong (set here so the
+    # probe works under any caller-provided session); ts is then
+    # normalized by dtype exactly like the batch reader — the testdata
+    # has shipped both int64-nanos and MICROS-NTZ encodings, so the
+    # conversion must branch, not assume (readers.normalize_ts).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file-stream source lists a DIRECTORY; the testdata table is a
@@ -742,7 +756,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="stream_gate_")
     os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
     stream = spark.readStream.schema(schema).format("parquet").load(d)
-    stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_ts(spark, stream)
     agg = tumbling_counts(stream, keys=["event_type"])
     # unique sink name per invocation: two concurrent runs on one session
     # must not collide on the memory-sink table
@@ -782,8 +796,10 @@ FROM events GROUP BY 1, 2
 def _events_file_stream(spark: SparkSession, sf_dir: str):
     """Shared scaffold for the streaming gate entries: expose the
     single-file events table through a temp-dir symlink (the file-stream
-    source lists a directory) with the same nanos→timestamp conversion
-    as the batch reader. Returns (stream_df, cleanup_fn)."""
+    source lists a directory) with the same dtype-branched ts
+    normalization as the batch reader (readers.normalize_ts — the
+    testdata has shipped both int64-nanos and MICROS-NTZ encodings).
+    Returns (stream_df, cleanup_fn)."""
     import os
     import shutil
     import tempfile
@@ -792,9 +808,8 @@ def _events_file_stream(spark: SparkSession, sf_dir: str):
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     d = tempfile.mkdtemp(prefix="stream_gate_")
     os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
-    stream = (
-        spark.readStream.schema(schema).format("parquet").load(d)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_ts(
+        spark, spark.readStream.schema(schema).format("parquet").load(d)
     )
     return stream, lambda: shutil.rmtree(d, ignore_errors=True)
 
@@ -1243,6 +1258,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_upsert": q_merge_upsert,
     "user_vertices": q_user_vertices,
     "ngram_jaccard_pairs": q_ngram_jaccard,
+    "ngram_jaccard_allpairs": q_ngram_jaccard_allpairs,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_allpairs": q_embedding_neardup_allpairs,
     "media_features": q_media_features,
@@ -1269,6 +1285,7 @@ EXT_ORACLES: dict[str, str] = {
     "merge_upsert": ORACLE_MERGE_UPSERT,
     "user_vertices": ORACLE_USER_VERTICES,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+    "ngram_jaccard_allpairs": ORACLE_NGRAM_JACCARD,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "embedding_neardup_allpairs": ORACLE_EMBEDDING_NEARDUP_ALLPAIRS,
     "media_features": ORACLE_MEDIA_FEATURES,

@@ -28,13 +28,46 @@ TESTDATA_TABLES = (
 )
 
 
+def normalize_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Normalize an events-style ``ts`` column to TimestampType (LTZ)
+    no matter how the parquet writer encoded it. The driver testdata has
+    already shipped two encodings across rounds — TIMESTAMP(NANOS)
+    (surfaced as a raw ``bigint`` under nanosAsLong) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=0) (surfaced as
+    ``timestamp_ntz``) — so every reader must branch on the dtype it
+    actually got rather than assume one storage world:
+
+    - ``bigint``        → integer ns→µs division + ``timestamp_micros``
+      (``div``, not ``/``: double division loses precision at 1.7e18).
+    - ``timestamp_ntz`` → cast to ``timestamp`` under a UTC session.
+      SIDE-EFFECT (documented contract): this sets
+      ``spark.sql.session.timeZone=UTC`` on the caller's session so the
+      wall-clock values are reinterpreted as UTC instants — the same
+      reading DuckDB (the oracle) gives naive timestamps. Without the
+      pin, a non-UTC session would shift every instant at cast time.
+    - ``timestamp``     → already the normalized form, pass through.
+
+    Works on batch and streaming DataFrames alike (pure column
+    expression, no action).
+    """
+    for field in df.schema.fields:
+        if field.name != "ts":
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif kind == "timestamp_ntz":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1: scan one driver testdata table (TESTDATA.md).
 
-    events.ts is stored as parquet TIMESTAMP(NANOS), which Spark reads
-    only as a raw long (spark.sql.legacy.parquet.nanosAsLong) — convert
-    to TimestampType here with integer ns→µs division (`div`, not `/`:
-    double division would lose precision on 1.7e18-scale values).
+    events.ts arrives in whatever encoding the current testdata
+    generation used (see ``normalize_ts``); nanosAsLong is set so the
+    legacy TIMESTAMP(NANOS) encoding is at least readable as a long.
 
     The conf is set HERE, not only in the session factory: callers may
     hand us any vanilla SparkSession (a test harness, a notebook) and a
@@ -42,10 +75,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return normalize_ts(spark, df)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -344,3 +344,37 @@ def test_winnow_stats_match_set(spark):
         assert stats[d]["n_fp"] == len(s)
         assert stats[d]["fp_min"] == min(s)
         assert stats[d]["fp_xor"] == reduce(lambda a, b: a ^ b, s)
+
+
+def test_ngram_length_blocking_lossless(spark, sf_small):
+    """Length-bucket blocking must return EXACTLY the all-pairs result
+    (the {k, k+1} double-assignment guarantees qualifying pairs
+    co-bucket) and its plan must be an equi hash join, never a BNLJ."""
+    from data_engineering_bootcamp_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        release_caches,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    try:
+        blocked = dedup_ngram_jaccard(
+            docs, block_col=None, ngram=3, threshold=0.5, length_blocked=True
+        )
+        plan = blocked._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan
+        assert any(
+            j in plan
+            for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        )
+        allpairs = dedup_ngram_jaccard(
+            docs, block_col=None, ngram=3, threshold=0.5
+        )
+        got = {
+            (r.doc_id_a, r.doc_id_b, r.jaccard) for r in blocked.collect()
+        }
+        want = {
+            (r.doc_id_a, r.doc_id_b, r.jaccard) for r in allpairs.collect()
+        }
+        assert got == want and want  # identical and non-trivial
+    finally:
+        release_caches()

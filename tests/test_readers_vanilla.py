@@ -1,41 +1,103 @@
-"""Regression: readers must be self-sufficient under ANY SparkSession.
+"""Regression: readers must be self-sufficient under ANY SparkSession
+AND any ts storage encoding the driver testdata generator picks.
 
-Round-1 driver harness passed a vanilla SparkSession (no engine session
-factory), and every events.parquet scan died with PARQUET_TYPE_ILLEGAL
-because spark.sql.legacy.parquet.nanosAsLong was set only in
-session.get_spark. load_table now sets the conf itself; these tests
-reproduce the exact driver condition by UNSETTING the conf first.
+History: round 1's testdata stored events.ts as TIMESTAMP(NANOS)
+(readable only as a raw long under nanosAsLong); round 2's regenerated
+testdata switched to TIMESTAMP(MICROS, isAdjustedToUTC=0), which Spark
+surfaces as TIMESTAMP_NTZ — and the nanos-only conversion silently
+passed NTZ through, breaking every unix_micros/timestamp consumer.
+
+These tests synthesize ALL THREE storage variants into tmp parquet and
+assert load_table normalizes each to TimestampType with identical
+instants under a vanilla session (conf unset first, reproducing the
+driver's harness exactly). They cannot be invalidated by the next
+testdata regeneration.
 """
 
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
-from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import functions as F
 
 from data_engineering_bootcamp_spark.sources.readers import load_table
 
+# one unambiguous UTC instant: 2024-01-15T12:34:56.789Z
+EPOCH_US = 1705322096_789000
+WANT = dt.datetime(2024, 1, 15, 12, 34, 56, 789000)
 
-def _unset_nanos(spark):
+
+def _unset(spark, key):
     try:
-        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        spark.conf.unset(key)
     except Exception:
         pass
 
 
-def test_vanilla_session_cannot_read_events_raw(spark, sf_small):
-    # precondition for the regression to be meaningful: without the conf,
-    # a raw read of events (TIMESTAMP(NANOS) ts) must fail
-    _unset_nanos(spark)
-    with pytest.raises(AnalysisException, match="PARQUET_TYPE_ILLEGAL"):
-        spark.read.parquet(f"{sf_small}/events.parquet").schema
+def _vanilla(spark):
+    _unset(spark, "spark.sql.legacy.parquet.nanosAsLong")
 
 
-def test_load_table_self_sufficient_on_events(spark, sf_small):
-    _unset_nanos(spark)
-    ev = load_table(spark, sf_small, "events")
+def _write_variant(tmpdir, variant: str) -> str:
+    """Write a one-table dir containing events.parquet with ts stored
+    as the given encoding plus the other driver columns."""
+    n = 4
+    ts_us = [EPOCH_US + i * 60_000_000 for i in range(n)]
+    if variant == "nanos":
+        ts_arr = pa.array([u * 1000 for u in ts_us], pa.timestamp("ns"))
+    elif variant == "micros_ntz":
+        ts_arr = pa.array(ts_us, pa.timestamp("us"))
+    elif variant == "micros_utc":
+        ts_arr = pa.array(ts_us, pa.timestamp("us", tz="UTC"))
+    else:
+        raise ValueError(variant)
+    table = pa.table(
+        {
+            "event_id": pa.array(list(range(n)), pa.int64()),
+            "ts": ts_arr,
+            "user_id": pa.array([1, 1, 2, None], pa.int64()),
+            "event_type": pa.array(["click", "view", "click", "view"]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "props": pa.array(['{"a":1}'] * n),
+        }
+    )
+    d = tmpdir / variant
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("variant", ["nanos", "micros_ntz", "micros_utc"])
+def test_load_table_normalizes_every_ts_encoding(spark, tmp_path, variant):
+    _vanilla(spark)
+    d = _write_variant(tmp_path, variant)
+    ev = load_table(spark, d, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
-    # run an actual events query end-to-end under the vanilla condition
+    # identical instants regardless of encoding — unix_micros must work
+    # (the exact expression the NTZ regression killed) and agree
+    first = ev.orderBy("event_id").select(
+        F.unix_micros("ts").alias("us"), F.col("ts")
+    ).first()
+    assert first["us"] == EPOCH_US
+    assert first["ts"] == WANT
+    # end-to-end events query under the vanilla condition
     n = ev.where(F.col("user_id").isNotNull()).groupBy("event_type").count()
     assert n.count() > 0
+
+
+def test_load_table_on_driver_testdata(spark, sf_small):
+    """Whatever encoding the CURRENT testdata uses, load_table must
+    yield TimestampType and support unix_micros (sessionization's
+    expression) under a vanilla session."""
+    _vanilla(spark)
+    ev = load_table(spark, sf_small, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert (
+        ev.select(F.unix_micros("ts").alias("us")).where(F.col("us").isNotNull())
+        .count()
+        > 0
+    )
 
 
 def test_streaming_gate_self_sufficient(spark, sf_small):
@@ -43,7 +105,7 @@ def test_streaming_gate_self_sufficient(spark, sf_small):
         q_streaming_tumbling,
     )
 
-    _unset_nanos(spark)
+    _vanilla(spark)
     out = q_streaming_tumbling(spark, sf_small)
     assert out.count() > 0
     assert set(out.columns) == {"window_start", "event_type", "num_hits"}

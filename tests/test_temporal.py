@@ -94,14 +94,12 @@ def test_asof_single_shuffle_plan(spark):
 def test_asof_matches_duckdb_native(spark, sf_dir):
     import duckdb
 
+    from data_engineering_bootcamp_spark.sources.readers import load_table
+
     ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        load_table(spark, sf_dir, "events")
         .where(F.col("user_id").isNotNull())
-        .select(
-            "event_id",
-            "user_id",
-            F.to_date(F.expr("timestamp_micros(ts div 1000)")).alias("ed"),
-        )
+        .select("event_id", "user_id", F.to_date(F.col("ts")).alias("ed"))
     )
     od = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
