@@ -310,55 +310,58 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     _src: DataFrame | None = None,
+    sample_size: int = 4096,
 ) -> np.ndarray:
     """Sampled k-means coarse quantizer, deterministic and oracle-
-    reproducible.
+    reproducible, trained DRIVER-SIDE on a bounded sample.
 
-    Init: the `n_centroids` corpus vectors with the smallest
-    md5(CAST(id AS STRING)) — a uniform pseudo-random sample with a
+    Sample: the `sample_size` corpus vectors with the smallest
+    md5(CAST(id AS STRING)) — a uniform pseudo-random subset with a
     total order both engines agree on (no RNG state, no data order
-    dependence). Then `lloyd_iters` Lloyd iterations: assign every
-    vector to its nearest centroid by cosine (Arrow matmul, no shuffle)
-    and recompute each centroid as the element-wise mean of its members
-    (dim JVM `avg` aggregates — one shuffle, no row explosion), ROUNDed
-    to 6dp so cross-engine float-sum ordering noise cannot leak into
-    the result. Empty clusters keep their seed vector. K-means (vs the
-    old lowest-id seeds) keeps bucket occupancy balanced, so the
-    n_probe/n_centroids pruning claim survives skewed corpora.
+    dependence); fetched with one TakeOrdered job, never a full sort.
+    Seeds are the first `n_centroids` of that same ordering (unchanged
+    from the pre-sample implementation). Then `lloyd_iters` Lloyd
+    iterations run in numpy on the driver: assign each sample vector to
+    its nearest centroid by cosine, recompute centroids as raw-vector
+    means ROUNDed to 6dp (so float-summation-order noise can't leak
+    cross-engine), empty clusters keep their seed.
+
+    Scale rationale (the FAISS `train()` contract): quantizer training
+    touches a FIXED-size sample regardless of corpus size — the
+    pre-sample form ran a full-corpus Arrow pass plus a shuffle PER
+    Lloyd iteration, which at 100 TB is lloyd_iters extra corpus scans.
+    Only the one-pass bucket *assignment* (cosine_topk_ivf) reads the
+    whole corpus. At gate scales (sf0.01/sf0.1 ≤ 4096 vectors) the
+    sample covers the entire corpus, so results are identical to
+    full-corpus Lloyd and the exhaustive SQL oracle remains exact.
     """
-    spark = corpus.sparkSession
     src = _src if _src is not None else fan_out(
         corpus.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     )
-    seed_rows = (
+    sample_rows = (
         src.orderBy(F.md5(F.col("vid").cast("string")), "vid")
-        .limit(n_centroids)
+        .limit(max(sample_size, n_centroids))
         .collect()
     )
-    C = np.array([r.v for r in seed_rows], dtype=np.float64)
-    dim = C.shape[1]
+    X = np.array([r.v for r in sample_rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = X[:n_centroids].copy()
     for _ in range(lloyd_iters):
-        assigned = src.mapInPandas(
-            _ivf_assigner(spark, C),
-            schema="vid bigint, bucket int, v array<double>",
-        )
-        # per-bucket element-wise mean via posexplode + (bucket, pos)
-        # avg: map-side partial aggregation keeps the shuffle at
-        # n_buckets*dim partial rows per partition regardless of corpus
-        # size, and the simple plan avoids the multi-second codegen
-        # compile a dim-wide aggregate list costs on first run
-        mean_rows = (
-            assigned.select("bucket", F.posexplode("v").alias("pos", "val"))
-            .groupBy("bucket", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("mv"))
-            .collect()  # bounded: n_centroids*dim rows by contract
-        )
-        C = C.copy()  # empty clusters keep their seed
-        for r in mean_rows:
-            C[r.bucket][r.pos] = r.mv
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        # ties go to the lowest centroid id (argmax picks the first
+        # maximum) — same rule as _ivf_assigner and the oracle
+        bucket = (Xn @ Cn.T).argmax(axis=1)
+        newC = C.copy()  # empty clusters keep their seed
+        for b in range(n_centroids):
+            members = bucket == b
+            if members.any():
+                m = X[members].mean(axis=0)
+                # HALF_UP away from zero: matches F.round / DuckDB ROUND
+                newC[b] = np.copysign(np.floor(np.abs(m) * 1e6 + 0.5), m) / 1e6
+        C = newC
     return C
 
 
