@@ -1355,6 +1355,7 @@ GATE_ORDER = [
     "streaming_kafka_mirror",      # S12 S14
     # --- driver cap boundary (50) — entries below have in-repo
     # oracle coverage (gate_check/tests) but no driver row ---
+    "streaming_dedup",         # dropDuplicatesWithinWatermark ingest dedup
     "tumbling_hits",           # batch analog of streaming_tumbling_hits
     "region_revenue",          # J13 dup of top_customers
     "top_supplier_per_nation",  # J13/A15 dup

@@ -961,6 +961,73 @@ FROM events GROUP BY 1
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup through the gate: the events table is
+    exposed TWICE to the file-stream source (two symlinks to the same
+    parquet file — an at-least-once replay, every event duplicated),
+    piped through `dedup_stream` (`dropDuplicatesWithinWatermark` on
+    event_id — bounded state, see streaming/pipelines.py), sunk to
+    parquet with a checkpoint, and aggregated batch-side. The oracle
+    aggregates the RAW single-copy table: the gate passes only if the
+    streaming dedup returns exactly the original rows, duplicate-free."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipelines import dedup_stream
+    from ..streaming.sinks import start_foreach_batch
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    d = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events_a.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events_b.parquet")
+    stream = normalize_ts(
+        spark, spark.readStream.schema(schema).format("parquet").load(d)
+    )
+    deduped = dedup_stream(stream, keys=["event_id"], watermark="1 hour")
+    out = tempfile.mkdtemp(prefix="stream_dedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = start_foreach_batch(
+        deduped.select("event_id", "event_type", "user_id", "value"),
+        write_batch,
+        checkpoint=ckpt,
+        available_now=True,
+    )
+    try:
+        q.awaitTermination()
+        q.stop()
+        got = (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("event_id").alias("n_distinct_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+ORACLE_STREAMING_DEDUP = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_id) AS n_distinct_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1
+"""
+
+
 def q_streaming_kafka_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12/S14 value-codec path through the gate: the exact payload
     round-trip the Kafka sink/source pair performs —
@@ -1268,6 +1335,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_foreachbatch_sink": q_streaming_foreachbatch,
     "streaming_stateful_sessions": q_streaming_stateful,
     "streaming_kafka_mirror": q_streaming_kafka_mirror,
+    "streaming_dedup": q_streaming_dedup,
     "skew_salted_agg": q_skew_salted_agg,
     "skew_salted_join": q_skew_salted_join,
     "doc_winnow_fingerprint": q_doc_winnow,
@@ -1295,6 +1363,7 @@ EXT_ORACLES: dict[str, str] = {
     "streaming_foreachbatch_sink": ORACLE_STREAMING_FOREACHBATCH,
     "streaming_stateful_sessions": ORACLE_STREAMING_STATEFUL,
     "streaming_kafka_mirror": ORACLE_STREAMING_KAFKA_MIRROR,
+    "streaming_dedup": ORACLE_STREAMING_DEDUP,
     "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
     "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
     "doc_winnow_fingerprint": _winnow_oracle(),

@@ -9,6 +9,7 @@ stateless enrichment, and foreachBatch / file / kafka sinks.
 
 from .pipelines import (
     avg_events_per_session,
+    dedup_stream,
     enrich_events,
     sessionize_stream,
     tumbling_counts,
@@ -20,6 +21,7 @@ from .sources import json_file_stream, kafka_json_stream, rate_events_stream
 
 __all__ = [
     "avg_events_per_session",
+    "dedup_stream",
     "with_event_time",
     "enrich_events",
     "tumbling_counts",

@@ -144,6 +144,29 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the ingest-side twin of the batch
+    `dedup_exact` (A14): emit only the first occurrence of each key.
+
+    `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: the plain
+    form keeps every key in the state store forever (unbounded state on
+    an unbounded stream); the watermarked form evicts keys once the
+    event-time watermark passes them by `watermark`, so state is
+    bounded by the duplicate-arrival horizon — the contract a 100 TB
+    ingest pipeline actually has (dupes arrive near each other: replays,
+    at-least-once sources, retried batches). Append-mode safe; chains
+    in front of any downstream windowed aggregate.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def avg_events_per_session(sessions: DataFrame, keys: list[str]) -> DataFrame:
     """Batch follow-up over the sessionization sink: average events per
     session per key (the homework's host comparison)."""

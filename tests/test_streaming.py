@@ -293,3 +293,37 @@ def test_stateful_sessionizer_matches_session_window(spark, events_dir, tmp_path
     }
     assert got == want
     assert len(got) >= 4  # the corpus closes at least four sessions
+
+
+def test_dedup_stream_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must emit only the FIRST occurrence
+    of each key, including duplicates arriving in LATER micro-batches
+    (within the watermark horizon) — the at-least-once replay contract."""
+    from data_engineering_bootcamp_spark.streaming.pipelines import dedup_stream
+
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    now = time.time()
+    # batch 0: events 1-4; batch 1: replay of 2 and 3 plus new event 5
+    chunks = [
+        [(1, "2024-01-01T00:00:05.000Z"), (2, "2024-01-01T00:00:10.000Z"),
+         (3, "2024-01-01T00:00:15.000Z"), (4, "2024-01-01T00:00:20.000Z")],
+        [(2, "2024-01-01T00:00:10.000Z"), (3, "2024-01-01T00:00:15.000Z"),
+         (5, "2024-01-01T00:00:25.000Z")],
+    ]
+    for i, chunk in enumerate(chunks):
+        p = d / f"part-{i}.json"
+        with open(p, "w") as f:
+            for eid, et in chunk:
+                f.write(json.dumps({"event_id": eid, "event_time": et}) + "\n")
+        os.utime(p, (now + i, now + i))
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("event_time", StringType())]
+    )
+    stream = with_event_time(
+        json_file_stream(spark, str(d), schema, max_files_per_trigger=1)
+    )
+    deduped = dedup_stream(stream, keys=["event_id"], watermark="10 minutes")
+    out = _drain(deduped, tmp_path, "dedup")
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5]
