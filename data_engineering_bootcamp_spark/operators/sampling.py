@@ -1,0 +1,65 @@
+"""Deterministic content-hash sampling / dataset splitting.
+
+A 100 TB training pipeline needs samples and train/holdout splits that
+are (a) reproducible run-to-run, (b) independent of partitioning,
+cluster layout, and row order, and (c) consistent across engines so an
+offline oracle can audit them. `DataFrame.sample()` / `rand()` give
+none of that (seeded RNG is tied to partition layout). Hashing a stable
+business key does: a row is in the sample iff the md5 of its key falls
+below `fraction` of the hash space.
+
+The comparison runs on the md5 HEX STRING prefix, not a parsed integer:
+fixed-length lowercase hex compares lexicographically exactly like the
+value it encodes, the expression stays in whole-stage codegen, and the
+identical predicate runs verbatim in DuckDB/any SQL engine — which is
+what makes the split exactly auditable.
+
+Spark-first notes: the predicate is a narrow map-side filter — no
+shuffle, pushes through projections; adding `salt` derives independent
+samples from the same keys (feature-holdout vs eval-holdout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 8  # 32 bits of hash space: granularity 2^-32 ≈ 2.3e-10
+
+
+def _threshold_hex(fraction: float) -> str:
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(round(fraction * (16 ** _HEX_DIGITS)), f"0{_HEX_DIGITS}x")
+
+
+def sample_bucket(key: Column, salt: str = "") -> Column:
+    """The 8-hex-char md5 prefix of (key || salt) — the sampling
+    coordinate. Exposed so callers can bucket once and derive several
+    splits from it."""
+    return F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, _HEX_DIGITS
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep the deterministic `fraction` of rows whose key hashes lowest.
+
+    Same key ⇒ same verdict, always: re-runs, new cluster layouts, and
+    other engines all select the identical row set.
+    """
+    return df.where(
+        sample_bucket(F.col(key_col), salt) < F.lit(_threshold_hex(fraction))
+    )
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_fraction: float, salt: str = ""
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) partition by hash threshold: exhaustive and
+    disjoint by construction — every row lands in exactly one side."""
+    thr = F.lit(_threshold_hex(test_fraction))
+    bucket = sample_bucket(F.col(key_col), salt)
+    return df.where(bucket >= thr), df.where(bucket < thr)

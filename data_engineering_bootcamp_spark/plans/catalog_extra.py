@@ -272,12 +272,57 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic hash-based train/test split (sampling family)
+# ---------------------------------------------------------------------------
+
+def q_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25% holdout split of events by md5(event_id), aggregated per
+    (split, event_type). The oracle runs the IDENTICAL hex-prefix
+    predicate in DuckDB — proving the split is engine-independent —
+    and the union of both splits' counts proves the partition is
+    exhaustive and disjoint (no row lost or double-assigned)."""
+    from ..operators.sampling import train_test_split
+
+    ev = _t(spark, sf_dir, "events")
+    train, test = train_test_split(ev, key_col="event_id", test_fraction=0.25)
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.lit(label).alias("split"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+
+    return agg(train, "train").unionByName(agg(test, "test")).select(
+        "split", "event_type", "n_events", "n_users", "total_value"
+    )
+
+
+ORACLE_HASH_SAMPLE_SPLIT = """
+WITH b AS (
+  SELECT *, substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS bucket
+  FROM events),
+lab AS (
+  SELECT *, CASE WHEN bucket < '40000000' THEN 'test' ELSE 'train' END
+              AS split
+  FROM b)
+SELECT split, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 2) AS total_value
+FROM lab GROUP BY 1, 2
+"""
+
+
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_latest_order": q_asof_latest_order,
     "exact_percentiles": q_exact_percentiles,
     "doc_ttr_repetition": q_doc_ttr_repetition,
     "udf_enrich_broadcast": q_udf_enrich_broadcast,
     "bulk_rename_summary": q_bulk_rename_summary,
+    "hash_sample_split": q_hash_sample_split,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -286,4 +331,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "doc_ttr_repetition": ORACLE_DOC_TTR_REPETITION,
     "udf_enrich_broadcast": ORACLE_UDF_ENRICH_BROADCAST,
     "bulk_rename_summary": ORACLE_BULK_RENAME_SUMMARY,
+    "hash_sample_split": ORACLE_HASH_SAMPLE_SPLIT,
 }

@@ -378,3 +378,28 @@ def test_ngram_length_blocking_lossless(spark, sf_small):
         assert got == want and want  # identical and non-trivial
     finally:
         release_caches()
+
+
+def test_hash_sample_split_properties(spark, sf_small):
+    """Hash split must be disjoint, exhaustive, deterministic across
+    repartitionings, and close to the requested fraction."""
+    from data_engineering_bootcamp_spark.operators.sampling import (
+        hash_sample,
+        train_test_split,
+    )
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet").select("event_id")
+    n = ev.count()
+    train, test = train_test_split(ev, "event_id", 0.25)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == n  # exhaustive
+    assert train.join(test, "event_id").count() == 0  # disjoint
+    assert abs(n_test / n - 0.25) < 0.05  # near the requested fraction
+    # layout-independence: same verdicts after an arbitrary repartition
+    test_ids = {r.event_id for r in test.collect()}
+    resampled = hash_sample(ev.repartition(7), "event_id", 0.25)
+    assert {r.event_id for r in resampled.collect()} == test_ids
+    # salt derives an independent split
+    other = hash_sample(ev, "event_id", 0.25, salt="v2")
+    other_ids = {r.event_id for r in other.collect()}
+    assert other_ids != test_ids
