@@ -282,21 +282,25 @@ def q_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate in DuckDB — proving the split is engine-independent —
     and the union of both splits' counts proves the partition is
     exhaustive and disjoint (no row lost or double-assigned)."""
-    from ..operators.sampling import train_test_split
+    from ..operators.sampling import _threshold_hex, sample_bucket
 
     ev = _t(spark, sf_dir, "events")
-    train, test = train_test_split(ev, key_col="event_id", test_fraction=0.25)
-
-    def agg(df: DataFrame, label: str) -> DataFrame:
-        return df.groupBy("event_type").agg(
-            F.lit(label).alias("split"),
+    # single-pass form: ONE scan with the split as a label column, not
+    # two filtered scans (train_test_split's two DataFrames are the
+    # user-facing API; an audit aggregate over both sides should label
+    # and group instead — same semantics, half the reads)
+    split = F.when(
+        sample_bucket(F.col("event_id")) < F.lit(_threshold_hex(0.25)), "test"
+    ).otherwise("train")
+    return (
+        ev.withColumn("split", split)
+        .groupBy("split", "event_type")
+        .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-
-    return agg(train, "train").unionByName(agg(test, "test")).select(
-        "split", "event_type", "n_events", "n_users", "total_value"
+        .select("split", "event_type", "n_events", "n_users", "total_value")
     )
 
 
