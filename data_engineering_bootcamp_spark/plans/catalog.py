@@ -1357,6 +1357,7 @@ GATE_ORDER = [
     # oracle coverage (gate_check/tests) but no driver row ---
     "streaming_dedup",         # dropDuplicatesWithinWatermark ingest dedup
     "hash_sample_split",       # deterministic md5 train/test split
+    "corpus_curation_pipeline",  # flagship composed curation pipeline
     "tumbling_hits",           # batch analog of streaming_tumbling_hits
     "region_revenue",          # J13 dup of top_customers
     "top_supplier_per_nation",  # J13/A15 dup

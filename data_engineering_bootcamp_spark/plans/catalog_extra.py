@@ -320,6 +320,165 @@ FROM lab GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Flagship: end-to-end corpus curation pipeline
+# ---------------------------------------------------------------------------
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data path as ONE composed Spark plan:
+
+      quality score → language ID → filter (en, quality ≥ 0.9)
+      → exact dedup (keep lowest doc_id per md5 fingerprint)
+      → near-dup removal (length-blocked trigram Jaccard ≥ 0.5;
+        drop the higher doc_id of every qualifying pair)
+      → deterministic 25% holdout split (md5 hash of doc_id)
+      → per-split corpus stats.
+
+    Every stage is an already-oracle-proven component (doc_quality,
+    doc_lang_id, doc_dedup_exact, ngram_jaccard_pairs,
+    hash_sample_split); this entry proves they COMPOSE — the DuckDB
+    oracle recomputes the full pipeline in SQL, so any drift in stage
+    order, filter semantics, or removal rule breaks the hash match.
+
+    Scale shape: the filters and scores are scan-speed Catalyst
+    expressions; dedup is one groupBy; near-dup is the lossless
+    length-bucket equi-join; the split is a map-side predicate. No
+    collects, no BNLJ, no row-at-a-time Python.
+
+    Removal rule (deterministic, SQL-expressible): doc b is removed iff
+    SOME qualifying pair (a, b) with a < b exists among the exact-dedup
+    survivors — independent of whether a itself is removed (no
+    transitive chaining; union-find-style clustering is not
+    SQL-reproducible and lives out of scope).
+    """
+    from ..functions.text import (
+        doc_fingerprint,
+        lang_id_heuristic,
+        quality_score,
+        token_count,
+    )
+    from ..operators.dedup import _persist, dedup_keep_first, dedup_ngram_jaccard
+    from ..operators.sampling import _threshold_hex, sample_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        quality_score(F.col("text")).alias("quality"),
+        lang_id_heuristic(F.col("text")).alias("lang_pred"),
+    )
+    filt = scored.where(
+        (F.col("quality") >= 0.9) & (F.col("lang_pred") == "en")
+    )
+    # persist = projection barrier: the quality/lang expression trees
+    # are large (Catalyst inlines token splits per marker reference) and
+    # `kept` feeds three consumers (both pair-join sides via the ngram
+    # operator's own cache, plus the anti-join left side) — without the
+    # barrier the whole tree re-evaluates per consumer. Released by
+    # release_caches() like every dedup-family cache.
+    kept = _persist(
+        dedup_keep_first(
+            filt.withColumn("fp", doc_fingerprint(F.col("text"))),
+            keys=["fp"],
+            order_by=[F.col("doc_id")],
+        ).drop("fp")
+    )
+    pairs = dedup_ngram_jaccard(
+        kept, block_col=None, ngram=3, threshold=0.5, length_blocked=True
+    )
+    removed = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    final = kept.join(removed, "doc_id", "left_anti")
+    split = F.when(
+        sample_bucket(F.col("doc_id")) < F.lit(_threshold_hex(0.25)), "holdout"
+    ).otherwise("train")
+    return (
+        final.withColumn("split", split)
+        .withColumn("tc", token_count(F.col("text")))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("tc").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .select("split", "n_docs", "n_sources", "total_tokens", "avg_quality")
+    )
+
+
+def _corpus_curation_oracle() -> str:
+    from ..functions.text import LANG_MARKERS
+
+    hits = []
+    for lang, words in LANG_MARKERS.items():
+        expr = " + ".join(
+            f"(CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END)"
+            for w in words
+        )
+        hits.append(f"({expr}) AS h_{lang}")
+    cases = "\n           ".join(
+        f"WHEN h_{lang} = best THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, text, source,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+           AS toks,
+         length(text)::DOUBLE AS n,
+         length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE AS n_alpha
+  FROM documents),
+scored AS (
+  SELECT doc_id, text, source, toks,
+         len(toks)::DOUBLE AS tc,
+         ROUND((CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END) * 0.5 +
+               (CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 ELSE 0.5 END) * 0.25 +
+               (CASE WHEN len(toks) > 0 AND n / len(toks) >= 3
+                      AND n / len(toks) <= 12 THEN 1.0 ELSE 0.5 END) * 0.25,
+               6) AS quality,
+         {", ".join(hits)}
+  FROM toks),
+lang AS (
+  SELECT *, greatest(h_en, h_es, h_fr, h_de) AS best FROM scored),
+filt AS (
+  SELECT doc_id, text, source, toks, tc, quality
+  FROM lang
+  WHERE quality >= 0.9
+    AND (CASE WHEN best = 0 THEN 'und'
+           {cases}
+           ELSE 'und' END) = 'en'),
+kept AS (
+  SELECT * FROM filt
+  WHERE doc_id IN (
+    SELECT MIN(doc_id)
+    FROM filt
+    GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))),
+grams AS (
+  SELECT doc_id, toks, tc, quality, source,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+                                        i -> array_to_string(toks[i:i+2], ' ')))
+         ELSE [array_to_string(toks, ' ')] END AS g
+  FROM kept),
+removed AS (
+  SELECT DISTINCT b.doc_id
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE ROUND(len(list_intersect(a.g, b.g))::DOUBLE /
+              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+        >= 0.5),
+final AS (
+  SELECT g.*,
+         CASE WHEN substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8) < '40000000'
+              THEN 'holdout' ELSE 'train' END AS split
+  FROM grams g WHERE g.doc_id NOT IN (SELECT doc_id FROM removed))
+SELECT split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       SUM(tc)::BIGINT AS total_tokens,
+       ROUND(AVG(quality), 6) AS avg_quality
+FROM final GROUP BY 1
+"""
+
+
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_latest_order": q_asof_latest_order,
     "exact_percentiles": q_exact_percentiles,
@@ -327,6 +486,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udf_enrich_broadcast": q_udf_enrich_broadcast,
     "bulk_rename_summary": q_bulk_rename_summary,
     "hash_sample_split": q_hash_sample_split,
+    "corpus_curation_pipeline": q_corpus_curation,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -336,4 +496,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "udf_enrich_broadcast": ORACLE_UDF_ENRICH_BROADCAST,
     "bulk_rename_summary": ORACLE_BULK_RENAME_SUMMARY,
     "hash_sample_split": ORACLE_HASH_SAMPLE_SPLIT,
+    "corpus_curation_pipeline": _corpus_curation_oracle(),
 }
