@@ -486,6 +486,85 @@ def dedup_simhash(
     )
 
 
+def _ngram_jaccard_prefix(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    threshold: float,
+) -> DataFrame:
+    """Prefix-filtered exact n-gram Jaccard join (see
+    dedup_ngram_jaccard docstring for the theorem and citation).
+
+    Stages, all linear except the candidate join itself:
+      1. gram sets per doc (+ set size s)
+      2. corpus gram frequencies (one groupBy over exploded grams)
+      3. per-doc rare-first order: window by (freq, gram); keep the
+         first s - ceil(t*s) + 1 grams as the PREFIX
+      4. candidates: equi self-join of prefixes on gram, with the
+         size-ratio filter t <= s_a/s_b <= 1/t applied in the join
+         condition (map-side, before the shuffle output materializes)
+      5. exact verify: join candidate id-pairs back to the compact
+         (doc_id, grams) side, JVM array_intersect Jaccard, threshold.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("prefix_filtered requires 0 < threshold < 1")
+    base = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        _tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
+        F.array_distinct(_ngrams_of_toks(F.col("_toks"), ngram)).alias("grams"),
+    ).withColumn("s", F.size("grams"))
+    base = _persist(base)  # feeds frequency pass, prefixes, and verify
+
+    exploded = base.select("doc_id", "s", F.explode("grams").alias("gram"))
+    freq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    prefix = (
+        exploded.join(freq, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("s") - F.ceil(F.col("s") * threshold) + 1)
+        .select("doc_id", "s", "gram")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio pruning: J >= t forces t <= s_a/s_b <= 1/t
+            & (F.col("a.s") * threshold <= F.col("b.s"))
+            & (F.col("b.s") * threshold <= F.col("a.s")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    sh = base.select("doc_id", "grams")
+    verified = cand.join(
+        F.broadcast(sh.select(F.col("doc_id").alias("doc_id_a"),
+                              F.col("grams").alias("g_a"))),
+        "doc_id_a",
+    ).join(
+        F.broadcast(sh.select(F.col("doc_id").alias("doc_id_b"),
+                              F.col("grams").alias("g_b"))),
+        "doc_id_b",
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = (F.size("g_a") + F.size("g_b") - inter).cast("double")
+    return (
+        verified.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def dedup_ngram_jaccard(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -494,21 +573,31 @@ def dedup_ngram_jaccard(
     ngram: int = 3,
     threshold: float = 0.5,
     length_blocked: bool = False,
+    prefix_filtered: bool = False,
 ) -> DataFrame:
-    """Blocked pairwise word-n-gram Jaccard similarity.
+    """Exact pairwise word-n-gram Jaccard similarity (lossless scale
+    paths + baselines).
 
     Pair-generation strategies, most to least scalable:
 
-    - ``length_blocked=True`` — LOSSLESS length-bucket blocking, the
-      100 TB primary path. If J(A,B) >= t then (w.l.o.g. |A| <= |B|)
-      t <= J <= |A|/|B|, so gram-set sizes of any qualifying pair are
-      within a factor 1/t; their floor(log_{1/t}(size)) buckets differ
-      by at most 1. Assigning every doc to buckets {k, k+1} therefore
-      guarantees each qualifying pair shares a bucket: an equi hash
-      join on the bucket key (no BNLJ, no all-pairs) that provably
-      returns EXACTLY the all-pairs result for the given threshold.
-      Duplicate candidates from the double assignment are dropped
-      after scoring.
+    - ``prefix_filtered=True`` — PRIMARY 100 TB path: prefix filtering
+      under a global rare-first token order (the AllPairs/PPJoin
+      family, Bayardo et al. 2007). Under ANY global total order of
+      grams, a pair with J(A,B) >= t must share at least one gram
+      within the first ``|X| - ceil(t*|X|) + 1`` grams of each side's
+      sorted set (if all shared grams sat in both suffixes, the
+      intersection would be too small to reach t). Ordering grams by
+      ascending corpus frequency puts RARE grams in the prefix, so
+      unrelated documents almost never collide — candidate volume
+      tracks true-pair volume instead of n². Lossless for any corpus
+      shape, including uniform-length corpora where length blocking
+      degenerates to all-pairs. Plan: linear explode + frequency agg +
+      per-doc window + equi join on gram + exact verify.
+    - ``length_blocked=True`` — lossless length-bucket blocking: sizes
+      of a qualifying pair are within 1/t, so {k, k+1} double
+      assignment on floor(log_{1/t}(size)) buckets guarantees
+      co-bucketing. Cheap (no frequency pass) but only prunes when the
+      length distribution is wide.
     - ``block_col`` — pairs only within caller-chosen groups (source,
       language, …). Cheap but changes results unless the caller knows
       no qualifying pair crosses groups.
@@ -517,6 +606,10 @@ def dedup_ngram_jaccard(
 
     Output (doc_id_a, doc_id_b, jaccard).
     """
+    if prefix_filtered:
+        return _ngram_jaccard_prefix(
+            docs, id_col, text_col, ngram, threshold
+        )
     base = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col and not length_blocked else F.lit(1)).alias(

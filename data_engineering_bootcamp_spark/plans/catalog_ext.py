@@ -468,19 +468,21 @@ FROM ranked WHERE rn = 1
 # ---------------------------------------------------------------------------
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRIMARY n-gram Jaccard entry: lossless length-bucket blocking —
-    every qualifying pair provably co-buckets (sizes within 1/t ⇒
-    adjacent log_{1/t} buckets ⇒ shared via {k, k+1} double
-    assignment), so the result is IDENTICAL to all-pairs while the plan
-    is an equi hash join on the bucket key instead of a BNLJ. The
-    oracle is the exhaustive all-pairs SQL: blocking must be
-    result-invisible, and the gate checks exactly that.
+    """PRIMARY n-gram Jaccard entry: prefix filtering under a global
+    rare-first gram order (AllPairs/PPJoin family) — lossless for ANY
+    corpus shape: a qualifying pair must share a gram in both sides'
+    rare-gram prefixes, so candidates come from an equi join on the
+    gram key and track true-pair volume, not n². The oracle is the
+    exhaustive all-pairs SQL: filtering must be result-invisible, and
+    the gate checks exactly that. (The length-blocked variant remains
+    as a cheaper lossless option for wide length distributions; the
+    BNLJ all-pairs form is the baseline twin.)
     Jaccard over xxhash64'd grams equals Jaccard over the gram strings
     (collision probability ~n²/2⁶⁴), which is what the oracle computes.
     """
     docs = _t(spark, sf_dir, "documents")
     return dedup_ngram_jaccard(
-        docs, block_col=None, ngram=3, threshold=0.5, length_blocked=True
+        docs, block_col=None, ngram=3, threshold=0.5, prefix_filtered=True
     )
 
 

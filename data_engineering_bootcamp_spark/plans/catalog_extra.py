@@ -329,7 +329,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       quality score → language ID → filter (en, quality ≥ 0.9)
       → exact dedup (keep lowest doc_id per md5 fingerprint)
-      → near-dup removal (length-blocked trigram Jaccard ≥ 0.5;
+      → near-dup removal (prefix-filtered exact trigram Jaccard ≥ 0.5;
         drop the higher doc_id of every qualifying pair)
       → deterministic 25% holdout split (md5 hash of doc_id)
       → per-split corpus stats.
@@ -385,7 +385,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).drop("fp")
     )
     pairs = dedup_ngram_jaccard(
-        kept, block_col=None, ngram=3, threshold=0.5, length_blocked=True
+        kept, block_col=None, ngram=3, threshold=0.5, prefix_filtered=True
     )
     removed = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
     final = kept.join(removed, "doc_id", "left_anti")

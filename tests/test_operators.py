@@ -346,10 +346,11 @@ def test_winnow_stats_match_set(spark):
         assert stats[d]["fp_xor"] == reduce(lambda a, b: a ^ b, s)
 
 
-def test_ngram_length_blocking_lossless(spark, sf_small):
-    """Length-bucket blocking must return EXACTLY the all-pairs result
-    (the {k, k+1} double-assignment guarantees qualifying pairs
-    co-bucket) and its plan must be an equi hash join, never a BNLJ."""
+def test_ngram_scale_paths_lossless(spark, sf_small):
+    """Both lossless pair-generation strategies — length-bucket
+    blocking ({k, k+1} double assignment) and prefix filtering
+    (rare-first global order) — must return EXACTLY the all-pairs
+    result, with equi-join plans, never a BNLJ."""
     from data_engineering_bootcamp_spark.operators.dedup import (
         dedup_ngram_jaccard,
         release_caches,
@@ -357,25 +358,27 @@ def test_ngram_length_blocking_lossless(spark, sf_small):
 
     docs = spark.read.parquet(f"{sf_small}/documents.parquet")
     try:
-        blocked = dedup_ngram_jaccard(
-            docs, block_col=None, ngram=3, threshold=0.5, length_blocked=True
-        )
-        plan = blocked._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastNestedLoop" not in plan
-        assert any(
-            j in plan
-            for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
-        )
-        allpairs = dedup_ngram_jaccard(
-            docs, block_col=None, ngram=3, threshold=0.5
-        )
-        got = {
-            (r.doc_id_a, r.doc_id_b, r.jaccard) for r in blocked.collect()
-        }
         want = {
-            (r.doc_id_a, r.doc_id_b, r.jaccard) for r in allpairs.collect()
+            (r.doc_id_a, r.doc_id_b, r.jaccard)
+            for r in dedup_ngram_jaccard(
+                docs, block_col=None, ngram=3, threshold=0.5
+            ).collect()
         }
-        assert got == want and want  # identical and non-trivial
+        assert want  # non-trivial corpus
+        for kw in ({"length_blocked": True}, {"prefix_filtered": True}):
+            fast = dedup_ngram_jaccard(
+                docs, block_col=None, ngram=3, threshold=0.5, **kw
+            )
+            plan = fast._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastNestedLoop" not in plan, kw
+            assert any(
+                j in plan
+                for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+            ), kw
+            got = {
+                (r.doc_id_a, r.doc_id_b, r.jaccard) for r in fast.collect()
+            }
+            assert got == want, kw
     finally:
         release_caches()
 
