@@ -19,8 +19,10 @@ from data_engineering_bootcamp_spark.plans.catalog import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
-    return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship: the composed corpus-curation pipeline (quality →
+    lang-ID → exact dedup → prefix-filtered near-dup removal →
+    deterministic split → per-split stats) on sf0.001."""
+    return QUERIES["corpus_curation_pipeline"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -57,8 +57,16 @@ HEADLINE = [
     "media_features",
     "doc_winnow_fingerprint",
     "skew_salted_agg",
-    # ngram_jaccard_pairs: unblocked O(n²) exact baseline — correctness
-    # query only; the blocked variant is the bench/scale path
+    # round-3 additions: the prefix-filtered exact similarity join is
+    # now a scale path (the O(n²) BNLJ form lives on only as the
+    # ngram_jaccard_allpairs baseline and stays out of the bench),
+    # plus the new sampling/temporal/percentile entries and the
+    # composed flagship pipeline
+    "ngram_jaccard_pairs",
+    "hash_sample_split",
+    "asof_latest_order",
+    "exact_percentiles",
+    "corpus_curation_pipeline",
 ]
 
 
