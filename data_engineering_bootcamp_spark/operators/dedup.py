@@ -486,6 +486,68 @@ def dedup_simhash(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    min_overlap_ratio: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose n-gram
+    sets overlap a benchmark/eval set — the standard guard against
+    test-set leakage into training data (the n-gram-overlap rule used
+    by GPT-3/PaLM-style dataset curation).
+
+    A corpus doc is contaminated when >= ``min_overlap_ratio`` of its
+    distinct ``ngram``-grams appear ANYWHERE in the benchmark side
+    (pooled across benchmark docs — the conservative reading: any eval
+    shard can leak).
+
+    Scale shape: the benchmark gram POOL is a distinct projection
+    (one column of hashes); the overlap count is an equi join from the
+    corpus's exploded grams to that pool followed by a per-doc count —
+    linear in total gram occurrences, no pairwise comparison, no
+    driver collect. Both sides shuffle only on the gram key.
+
+    Output: (doc_id, n_grams, n_overlap, overlap_ratio) for
+    contaminated docs only.
+    """
+    def gram_sets(df: DataFrame) -> DataFrame:
+        return fan_out(df).select(
+            F.col(id_col).alias("doc_id"),
+            _tokens(F.col(text_col)).alias("_toks"),
+        ).select(
+            "doc_id",
+            F.array_distinct(_ngrams_of_toks(F.col("_toks"), ngram)).alias(
+                "grams"
+            ),
+        )
+
+    pool = (
+        gram_sets(benchmark)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus_grams = gram_sets(corpus).withColumn("n_grams", F.size("grams"))
+    exploded = corpus_grams.select(
+        "doc_id", "n_grams", F.explode("grams").alias("gram")
+    )
+    overlap = (
+        exploded.join(pool, "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.withColumn(
+            "overlap_ratio",
+            F.round(F.col("n_overlap") / F.col("n_grams"), 6),
+        )
+        .where(F.col("overlap_ratio") >= min_overlap_ratio)
+        .select("doc_id", "n_grams", "n_overlap", "overlap_ratio")
+    )
+
+
 def _ngram_jaccard_prefix(
     docs: DataFrame,
     id_col: str,

@@ -63,3 +63,32 @@ def train_test_split(
     thr = F.lit(_threshold_hex(test_fraction))
     bucket = sample_bucket(F.col(key_col), salt)
     return df.where(bucket >= thr), df.where(bucket < thr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic fixed-size sample PER GROUP: the `k` rows of each
+    group whose keys hash lowest (md5 order, ties broken by the key).
+
+    The distributed form of reservoir sampling with none of its
+    nondeterminism: membership depends only on (group, key, salt), so
+    re-runs, engines, and cluster layouts agree — and unlike
+    `sampleBy` there is no fraction-guessing to hit an exact per-group
+    count. One shuffle (the window partition); the rank column is
+    dropped so downstream unions are schema-stable.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        sample_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

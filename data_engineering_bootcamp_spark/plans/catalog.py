@@ -1358,6 +1358,8 @@ GATE_ORDER = [
     "streaming_dedup",         # dropDuplicatesWithinWatermark ingest dedup
     "hash_sample_split",       # deterministic md5 train/test split
     "corpus_curation_pipeline",  # flagship composed curation pipeline
+    "stratified_sample",       # deterministic fixed-k per-group sample
+    "doc_decontaminate",       # benchmark n-gram-overlap decontamination
     "tumbling_hits",           # batch analog of streaming_tumbling_hits
     "region_revenue",          # J13 dup of top_customers
     "top_supplier_per_nation",  # J13/A15 dup

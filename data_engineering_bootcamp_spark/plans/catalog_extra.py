@@ -479,6 +479,85 @@ FROM final GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling (sampling family)
+# ---------------------------------------------------------------------------
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic sample per source: the 5 docs per
+    source whose doc_ids hash lowest. The oracle replays the identical
+    md5 rank in SQL — same rows, every engine, every run."""
+    from ..operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        group_cols=["source"],
+        key_col="doc_id",
+        k=5,
+    ).select("source", "doc_id", "n_chars")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+           AS rk
+  FROM documents)
+SELECT source, doc_id, n_chars FROM ranked WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: docs whose doc_id ≡ 0 (mod 20) stand in
+    for a benchmark/eval set; every other doc is flagged when ≥ 30% of
+    its distinct trigrams appear in the pooled benchmark grams. The
+    oracle recomputes the pooled-overlap rule exhaustively in SQL."""
+    from ..operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return decontaminate(
+        corpus, benchmark, ngram=3, min_overlap_ratio=0.3
+    )
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+           AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3 THEN
+           list_distinct(list_transform(range(1, len(tk) - 1),
+                                        i -> array_to_string(tk[i:i+2], ' ')))
+         ELSE [array_to_string(tk, ' ')] END AS g
+  FROM toks),
+pool AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 20 = 0),
+corpus AS (
+  SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram
+  FROM grams WHERE doc_id % 20 <> 0),
+overlap AS (
+  SELECT c.doc_id, c.n_grams, COUNT(*) AS n_overlap
+  FROM corpus c JOIN pool p ON c.gram = p.gram
+  GROUP BY 1, 2)
+SELECT doc_id, n_grams, n_overlap,
+       ROUND(n_overlap * 1.0 / n_grams, 6) AS overlap_ratio
+FROM overlap
+WHERE ROUND(n_overlap * 1.0 / n_grams, 6) >= 0.3
+"""
+
+
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_latest_order": q_asof_latest_order,
     "exact_percentiles": q_exact_percentiles,
@@ -487,6 +566,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bulk_rename_summary": q_bulk_rename_summary,
     "hash_sample_split": q_hash_sample_split,
     "corpus_curation_pipeline": q_corpus_curation,
+    "stratified_sample": q_stratified_sample,
+    "doc_decontaminate": q_decontaminate,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -497,4 +578,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "bulk_rename_summary": ORACLE_BULK_RENAME_SUMMARY,
     "hash_sample_split": ORACLE_HASH_SAMPLE_SPLIT,
     "corpus_curation_pipeline": _corpus_curation_oracle(),
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "doc_decontaminate": ORACLE_DECONTAMINATE,
 }
