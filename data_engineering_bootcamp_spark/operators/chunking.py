@@ -1,0 +1,112 @@
+"""Context-window assembly: document chunking and sequence packing.
+
+The last mile of a training-data pipeline: documents become
+fixed-size token windows (`chunk_docs`), and chunks/documents are
+packed into fixed-capacity context windows (`pack_token_stream`) the
+way GPT-style pretraining concatenates the token stream and splits it
+every N tokens.
+
+Both operators are pure Catalyst (split/slice/transform/posexplode and
+one window cumsum) — scan-speed, no Python — and deterministic, so a
+SQL oracle can replay them exactly.
+
+Scale notes: chunking is embarrassingly parallel per document. Packing
+needs a global order to be deterministic, which would serialize into
+one partition; instead the stream is sharded by a stable key
+(`shard_col`, e.g. doc_id mod n_shards) and packed within each shard —
+the window shuffles once on the shard key and each shard's cumsum is
+independent, which is exactly how multi-worker pretraining shards its
+corpus anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ws_tokens(text):
+    """Whitespace tokens, case-preserving (chunk text must round-trip)."""
+    return F.filter(F.split(text, "\\s+"), lambda t: t != F.lit(""))
+
+
+def chunk_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into whitespace-token windows of
+    ``chunk_tokens``, starting every ``stride`` tokens (overlap =
+    chunk_tokens - stride). The final window may be short; documents
+    shorter than one chunk yield exactly one window.
+
+    Output: (doc_id, chunk_idx, n_tokens, chunk_text).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _ws_tokens(F.col(text_col)).alias("t"),
+    ).withColumn("n", F.size("t"))
+    # number of windows: 1 + ceil(max(n - chunk, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.col("n") - chunk_tokens, F.lit(0)) / stride
+    ).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride + 1
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    starts, lambda s: F.slice(F.col("t"), s, chunk_tokens)
+                )
+            ).alias("chunk_idx", "chunk_toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk_toks").alias("n_tokens"),
+            F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
+        )
+    )
+
+
+def pack_token_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """GPT-style token-stream packing: within each shard, documents are
+    concatenated in ``id_col`` order and the stream is cut every
+    ``capacity`` tokens; a document belongs to the pack its FIRST token
+    falls into. Deterministic: shard = ``id mod n_shards``, order =
+    ``id`` — replayable by any engine.
+
+    Output: one row per (shard, pack_id) with n_docs and n_tokens
+    (every pack but a shard's last holds >= capacity tokens under this
+    first-token rule).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_ws_tokens(F.col(text_col))).alias("n_tokens"),
+    ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        toks.withColumn("pack_id", F.floor(offset / capacity))
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

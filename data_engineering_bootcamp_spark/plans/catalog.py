@@ -1360,6 +1360,8 @@ GATE_ORDER = [
     "corpus_curation_pipeline",  # flagship composed curation pipeline
     "stratified_sample",       # deterministic fixed-k per-group sample
     "doc_decontaminate",       # benchmark n-gram-overlap decontamination
+    "doc_chunks",              # fixed-size token windows with stride
+    "pack_token_stream",       # GPT-style context-window packing
     "tumbling_hits",           # batch analog of streaming_tumbling_hits
     "region_revenue",          # J13 dup of top_customers
     "top_supplier_per_nation",  # J13/A15 dup

@@ -558,6 +558,74 @@ WHERE ROUND(n_overlap * 1.0 / n_grams, 6) >= 0.3
 """
 
 
+# ---------------------------------------------------------------------------
+# Context-window assembly: chunking + token-stream packing
+# ---------------------------------------------------------------------------
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token windows every 48 tokens (16-token overlap) over every
+    document; chunk text reduced to md5 so the gate rows stay narrow.
+    The oracle replays the slicing arithmetic on DuckDB lists."""
+    from ..operators.chunking import chunk_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_docs(docs, chunk_tokens=64, stride=48).select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+ORACLE_DOC_CHUNKS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents),
+sized AS (
+  SELECT doc_id, t, len(t) AS n,
+         1 + CAST(ceil(greatest(len(t) - 64, 0) / 48.0) AS INT) AS n_chunks
+  FROM toks),
+chunks AS (
+  SELECT doc_id,
+         i AS chunk_idx,
+         t[(i * 48 + 1):(i * 48 + 64)] AS chunk_toks
+  FROM sized, UNNEST(range(0, n_chunks)) AS u(i))
+SELECT doc_id, chunk_idx::INT AS chunk_idx,
+       len(chunk_toks) AS n_tokens,
+       md5(array_to_string(chunk_toks, ' ')) AS chunk_md5
+FROM chunks
+"""
+
+
+def q_pack_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing: 8 shards (doc_id mod 8), docs concatenated in
+    id order, stream cut every 256 tokens, doc belongs to the pack of
+    its first token. Oracle replays the windowed cumsum in SQL."""
+    from ..operators.chunking import pack_token_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_token_stream(docs, capacity=256, n_shards=8)
+
+
+ORACLE_PACK_TOKEN_STREAM = r"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents),
+offs AS (
+  SELECT shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+  FROM toks)
+SELECT shard, CAST(floor(off / 256.0) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens)::BIGINT AS n_tokens
+FROM offs GROUP BY 1, 2
+"""
+
+
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_latest_order": q_asof_latest_order,
     "exact_percentiles": q_exact_percentiles,
@@ -568,6 +636,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation_pipeline": q_corpus_curation,
     "stratified_sample": q_stratified_sample,
     "doc_decontaminate": q_decontaminate,
+    "doc_chunks": q_doc_chunks,
+    "pack_token_stream": q_pack_token_stream,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -580,4 +650,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "corpus_curation_pipeline": _corpus_curation_oracle(),
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "doc_decontaminate": ORACLE_DECONTAMINATE,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
+    "pack_token_stream": ORACLE_PACK_TOKEN_STREAM,
 }

@@ -406,3 +406,59 @@ def test_hash_sample_split_properties(spark, sf_small):
     other = hash_sample(ev, "event_id", 0.25, salt="v2")
     other_ids = {r.event_id for r in other.collect()}
     assert other_ids != test_ids
+
+
+def test_chunk_docs_boundaries(spark):
+    """Chunk math edge cases: doc shorter than one chunk -> one window;
+    exact multiple -> no empty trailing window; stride overlap holds."""
+    from data_engineering_bootcamp_spark.operators.chunking import chunk_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(5))),    # < chunk: 1 window
+            (2, " ".join(f"t{i}" for i in range(10))),   # == chunk: 1 window
+            (3, " ".join(f"t{i}" for i in range(17))),   # 10 + stride 7 -> 2
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_docs(docs, chunk_tokens=10, stride=7)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    assert sorted(rows) == [(1, 0), (2, 0), (3, 0), (3, 1)]
+    assert rows[(1, 0)].n_tokens == 5
+    assert rows[(2, 0)].n_tokens == 10
+    assert rows[(3, 0)].n_tokens == 10
+    assert rows[(3, 1)].n_tokens == 10  # tokens 8..17
+    # overlap: chunk 1 starts at token index 7 (0-based)
+    assert rows[(3, 1)].chunk_text.split(" ")[0] == "t7"
+
+
+def test_pack_token_stream_matches_python_replay(spark):
+    """The packing must be exactly the first-token-rule cumsum split:
+    a pure-Python replay over the same docs produces identical
+    (shard, pack_id) → (n_docs, n_tokens) stats, and totals conserve
+    the corpus token count."""
+    from collections import defaultdict
+
+    from data_engineering_bootcamp_spark.operators.chunking import (
+        pack_token_stream,
+    )
+
+    sizes = {i: 3 + (i * 7) % 11 for i in range(60)}
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range(n))) for i, n in sizes.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (p.shard, p.pack_id): (p.n_docs, p.n_tokens)
+        for p in pack_token_stream(docs, capacity=20, n_shards=4).collect()
+    }
+    want: dict[tuple[int, int], list[int]] = defaultdict(lambda: [0, 0])
+    offsets: dict[int, int] = defaultdict(int)
+    for i in sorted(sizes):
+        shard = i % 4
+        pack = offsets[shard] // 20
+        want[(shard, pack)][0] += 1
+        want[(shard, pack)][1] += sizes[i]
+        offsets[shard] += sizes[i]
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert sum(v[1] for v in got.values()) == sum(sizes.values())
