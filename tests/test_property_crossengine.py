@@ -122,3 +122,43 @@ def test_winnow_pipeline_matches_duckdb(raw):
     assert got == [
         (1, len(fps), int(np.bitwise_xor.reduce(fps)), int(fps[0]))
     ]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_prefix_filter_theorem(data):
+    # the losslessness of dedup.py's prefix-filtered similarity join:
+    # for ANY global total order and ANY pair with J(A,B) >= t, the
+    # first |X| - ceil(t*|X|) + 1 elements of each sorted side share
+    # at least one element
+    t = data.draw(st.sampled_from([0.3, 0.5, 0.7, 0.8]))
+    universe = list(range(60))
+    a = data.draw(st.sets(st.sampled_from(universe), min_size=1, max_size=40))
+    b = data.draw(st.sets(st.sampled_from(universe), min_size=1, max_size=40))
+    jac = len(a & b) / len(a | b)
+    if jac < t:
+        return
+    # random global order, modeled as a permutation
+    perm = data.draw(st.permutations(universe))
+    rank = {v: i for i, v in enumerate(perm)}
+    sa = sorted(a, key=rank.get)
+    sb = sorted(b, key=rank.get)
+    pa = sa[: len(a) - math.ceil(t * len(a)) + 1]
+    pb = sb[: len(b) - math.ceil(t * len(b)) + 1]
+    assert set(pa) & set(pb), (sorted(a), sorted(b), t)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.sampled_from([0.3, 0.5, 0.8]),
+    st.integers(1, 10_000),
+    st.integers(1, 10_000),
+)
+def test_length_block_theorem(t, sa, sb):
+    # the co-bucketing guarantee of the length-blocked path: any pair
+    # whose sizes can reach J >= t (t <= sa/sb <= 1/t) lands in a
+    # shared bucket under the {k, k+1} double assignment
+    if not (t <= sa / sb <= 1 / t):
+        return
+    k = lambda s: math.floor(math.log(max(s, 1)) / math.log(1 / t))
+    assert {k(sa), k(sa) + 1} & {k(sb), k(sb) + 1}, (t, sa, sb)
