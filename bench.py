@@ -67,6 +67,10 @@ HEADLINE = [
     "asof_latest_order",
     "exact_percentiles",
     "corpus_curation_pipeline",
+    "stratified_sample",
+    "doc_decontaminate",
+    "doc_chunks",
+    "pack_token_stream",
 ]
 
 
