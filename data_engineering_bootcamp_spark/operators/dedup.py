@@ -493,6 +493,7 @@ def decontaminate(
     text_col: str = "text",
     ngram: int = 3,
     min_overlap_ratio: float = 0.5,
+    broadcast_pool: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents whose n-gram
     sets overlap a benchmark/eval set — the standard guard against
@@ -504,11 +505,15 @@ def decontaminate(
     (pooled across benchmark docs — the conservative reading: any eval
     shard can leak).
 
-    Scale shape: the benchmark gram POOL is a distinct projection
-    (one column of hashes); the overlap count is an equi join from the
-    corpus's exploded grams to that pool followed by a per-doc count —
-    linear in total gram occurrences, no pairwise comparison, no
-    driver collect. Both sides shuffle only on the gram key.
+    Scale shape: the benchmark gram POOL is a distinct projection of
+    single hashes — eval sets are tiny relative to the corpus by
+    definition, so the pool is BROADCAST by default and the overlap
+    count is a map-side semi-join over the corpus's exploded grams
+    followed by a per-doc count: the 100 TB corpus never shuffles on
+    the gram key, only on doc_id for the final count (map-side partial
+    aggregation keeps that small). Pass ``broadcast_pool=False`` for a
+    benchmark too large to broadcast (falls back to a shuffled equi
+    join). No pairwise comparison, no driver collect either way.
 
     Output: (doc_id, n_grams, n_overlap, overlap_ratio) for
     contaminated docs only.
@@ -529,6 +534,8 @@ def decontaminate(
         .select(F.explode("grams").alias("gram"))
         .distinct()
     )
+    if broadcast_pool:
+        pool = F.broadcast(pool)
     corpus_grams = gram_sets(corpus).withColumn("n_grams", F.size("grams"))
     exploded = corpus_grams.select(
         "doc_id", "n_grams", F.explode("grams").alias("gram")

@@ -462,3 +462,41 @@ def test_pack_token_stream_matches_python_replay(spark):
         offsets[shard] += sizes[i]
     assert got == {k: tuple(v) for k, v in want.items()}
     assert sum(v[1] for v in got.values()) == sum(sizes.values())
+
+
+def test_decontaminate_flags_leaked_docs(spark):
+    """A corpus doc sharing most trigrams with any benchmark doc must
+    be flagged; disjoint docs must not; ratio accounting is exact."""
+    from data_engineering_bootcamp_spark.operators.dedup import (
+        decontaminate,
+        release_caches,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # full copy of a benchmark doc -> ratio 1.0
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # 2 of 6 trigrams shared -> ratio 1/3, flagged at 0.3
+            (2, "gamma delta epsilon zeta nu xi omicron pi"),
+            # disjoint vocabulary -> not flagged
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    try:
+        got = {
+            r.doc_id: (r.n_grams, r.n_overlap, r.overlap_ratio)
+            for r in decontaminate(
+                corpus, bench, ngram=3, min_overlap_ratio=0.3
+            ).collect()
+        }
+    finally:
+        release_caches()
+    assert set(got) == {1, 2}
+    assert got[1] == (6, 6, 1.0)
+    # 'gamma delta epsilon' and 'delta epsilon zeta' are the shared pair
+    assert got[2] == (6, 2, 0.333333)
