@@ -55,13 +55,15 @@ def bpe_ish_token_count(text: Column | str) -> Column:
 
 
 def _marker_hits(text: Column | str, words: list[str]) -> Column:
-    """How many of `words` occur (as whole lowercase tokens) in text."""
+    """How many of `words` occur (as whole lowercase tokens) in text.
+
+    One `array_intersect` against the literal marker array — markers
+    are distinct, so the intersect size equals the sum of per-word
+    presence flags, in a single pass over the tokens instead of one
+    `array_contains` scan per word (Catalyst inlines the tokenizer at
+    every reference, so fewer references = a much smaller tree)."""
     toks = tokens(text)
-    hits = [F.when(F.array_contains(toks, w), 1).otherwise(0) for w in words]
-    out = hits[0]
-    for h in hits[1:]:
-        out = out + h
-    return out
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
 
 
 def lang_id_heuristic(text: Column | str) -> Column:
