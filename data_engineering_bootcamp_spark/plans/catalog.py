@@ -1362,6 +1362,7 @@ GATE_ORDER = [
     "doc_decontaminate",       # benchmark n-gram-overlap decontamination
     "doc_chunks",              # fixed-size token windows with stride
     "pack_token_stream",       # GPT-style context-window packing
+    "table_profile",           # single-pass ANALYZE-style profile
     "tumbling_hits",           # batch analog of streaming_tumbling_hits
     "region_revenue",          # J13 dup of top_customers
     "top_supplier_per_nation",  # J13/A15 dup

@@ -626,6 +626,51 @@ FROM offs GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Table profiling (ANALYZE-style completeness/cardinality)
+# ---------------------------------------------------------------------------
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass exact profile of the orders table (plus events —
+    the one driver table that actually has NULLs, so the null
+    accounting is exercised, not just zero)."""
+    from ..operators.profile import profile_table
+
+    orders = profile_table(
+        _t(spark, sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+                 "o_orderpriority"],
+    ).withColumn("table_name", F.lit("orders"))
+    events = profile_table(
+        _t(spark, sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type"],
+    ).withColumn("table_name", F.lit("events"))
+    return orders.unionByName(events).select(
+        "table_name", "column", "n_rows", "n_nonnull", "n_nulls", "n_distinct"
+    )
+
+
+def _profile_oracle() -> str:
+    def per_table(table: str, cols: list[str]) -> str:
+        parts = [
+            f"""SELECT '{table}' AS table_name, '{c}' AS "column",
+       COUNT(*) AS n_rows,
+       COUNT({c}) AS n_nonnull,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct
+FROM {table}"""
+            for c in cols
+        ]
+        return "\nUNION ALL\n".join(parts)
+
+    return (
+        per_table("orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                             "o_orderdate", "o_orderpriority"])
+        + "\nUNION ALL\n"
+        + per_table("events", ["event_id", "user_id", "event_type"])
+    )
+
+
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_latest_order": q_asof_latest_order,
     "exact_percentiles": q_exact_percentiles,
@@ -638,6 +683,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_decontaminate": q_decontaminate,
     "doc_chunks": q_doc_chunks,
     "pack_token_stream": q_pack_token_stream,
+    "table_profile": q_table_profile,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -652,4 +698,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "doc_decontaminate": ORACLE_DECONTAMINATE,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "pack_token_stream": ORACLE_PACK_TOKEN_STREAM,
+    "table_profile": _profile_oracle(),
 }

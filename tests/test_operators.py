@@ -500,3 +500,27 @@ def test_decontaminate_flags_leaked_docs(spark):
     assert got[1] == (6, 6, 1.0)
     # 'gamma delta epsilon' and 'delta epsilon zeta' are the shared pair
     assert got[2] == (6, 2, 0.333333)
+
+
+def test_profile_table_exact_and_approx(spark):
+    from data_engineering_bootcamp_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else f"v{i % 5}") for i in range(30)],
+        "id long, v string",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["id"].asDict() == {
+        "column": "id", "n_rows": 30, "n_nonnull": 30,
+        "n_nulls": 0, "n_distinct": 30,
+    }
+    assert got["v"].asDict() == {
+        "column": "v", "n_rows": 30, "n_nonnull": 20,
+        "n_nulls": 10, "n_distinct": 5,
+    }
+    # the 100 TB variant: HLL sketch within its error envelope
+    approx = {
+        r["column"]: r["n_distinct"]
+        for r in profile_table(df, exact_distinct=False).collect()
+    }
+    assert abs(approx["id"] - 30) <= 3 and abs(approx["v"] - 5) <= 2
