@@ -28,6 +28,7 @@ SKIP = {
     "streaming_foreachbatch_sink",
     "streaming_stateful_sessions",
     "streaming_kafka_mirror",
+    "streaming_dedup",
     "bucketed_join_rollup",
     "partitioned_prune_rollup",
     "sorted_layout_rollup",
