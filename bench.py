@@ -113,13 +113,20 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall_sec",
-        "value": total,
+        # A partial run's sum covers FEWER queries, so publishing it as
+        # "value" would make failures look like speedups. When any query
+        # errored, null the headline value and mark the run invalid; the
+        # per-query timings that did complete stay available under
+        # "queries" and the partial sum under "partial_total_sec".
+        "value": total if not errors else None,
+        "valid": not errors,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         out["errors"] = errors
+        out["partial_total_sec"] = total
     print(json.dumps(out))
     spark.stop()
     # Always exit 0: the driver records this process's stdout as the

@@ -237,6 +237,24 @@ def _intersect_size_udf():
     return inter
 
 
+def _parse_byte_size(v: str | int) -> int:
+    """Parse a Spark size conf value ('10MB', '10485760b', 1048576, or
+    '-1' meaning disabled) into bytes."""
+    if isinstance(v, int):
+        return v
+    s = v.strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(float(s) * mult)
+
+
 def dedup_minhash_lsh(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -245,7 +263,7 @@ def dedup_minhash_lsh(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     shingle_k: int = 5,
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | None = None,
     cache_signatures: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs.
@@ -311,12 +329,29 @@ def dedup_minhash_lsh(
     )
 
     # Exact-Jaccard verification: join the deduped id pairs back to the
-    # compact (doc_id, shingles) side. The doc side is ~2-3 KB/doc, so
-    # broadcasting it keeps the arrays out of the shuffle entirely and
-    # the verify stage is map-side; above the broadcast threshold Spark
-    # falls back to a shuffled join on doc_id automatically (drop the
-    # hint by passing broadcast_verify=False for a >8 GB corpus).
+    # compact (doc_id, shingles) side. Broadcasting that side keeps the
+    # arrays out of the shuffle and makes the verify stage map-side, but
+    # its size scales with the CORPUS (not the candidate volume), so the
+    # choice must be size-based, not a flag: with the default
+    # broadcast_verify=None we measure the persisted signature relation
+    # (one aggregate over the cache) and broadcast only when the
+    # estimate fits the session's autoBroadcastJoinThreshold; past it —
+    # or when the threshold is -1 — the verify stage is a shuffled equi
+    # join on doc_id. Pass True/False to force either plan.
     sh = base.select("doc_id", "shingles")
+    if broadcast_verify is None:
+        est = base.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.size("shingles")), F.lit(0)).alias("tot"),
+        ).first()
+        # 8 B per shingle hash + ~64 B per-row overhead
+        est_bytes = int(est["tot"]) * 8 + int(est["n"]) * 64
+        thr = _parse_byte_size(
+            docs.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+        broadcast_verify = 0 <= est_bytes <= thr
     sh = F.broadcast(sh) if broadcast_verify else sh
     verified = (
         cand.join(
@@ -604,6 +639,32 @@ def decontaminate(
     )
 
 
+def _rational_threshold(threshold: float) -> tuple[int, int]:
+    """Conservative rational lower bound (num/den) for a float Jaccard
+    threshold, used so every pruning bound is computed in EXACT integer
+    arithmetic.
+
+    Two float hazards make the naive ``s * threshold`` bounds lossy:
+      * double repr error: ``0.1 * 30 == 3.0000000000000004`` so
+        ``ceil`` over-counts and the prefix loses its last (required)
+        gram — silently dropping pairs with J exactly t;
+      * the final filter compares ``round(J, 6) >= t``, which admits
+        pairs whose TRUE Jaccard is as low as ``t - 5e-7``; pruning
+        computed at exactly t would discard their candidates.
+
+    ``num/den = (int(t * 1e6) - 1) / 1e6`` is strictly below
+    ``t - 5e-7`` (proof: int(x) <= x + eps for the float product, so
+    num <= t*1e6 - 0.5), and products ``s * num`` stay below 2^53, so
+    long arithmetic is exact. The looser bound only lengthens prefixes
+    marginally; correctness filters still apply the caller's t.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("prefix/length pruning requires 0 < threshold < 1")
+    den = 10**6
+    num = max(1, int(threshold * den) - 1)
+    return num, den
+
+
 def _ngram_jaccard_prefix(
     docs: DataFrame,
     id_col: str,
@@ -611,22 +672,38 @@ def _ngram_jaccard_prefix(
     ngram: int,
     threshold: float,
 ) -> DataFrame:
-    """Prefix-filtered exact n-gram Jaccard join (see
-    dedup_ngram_jaccard docstring for the theorem and citation).
+    """Prefix-filtered exact n-gram Jaccard join with the PPJoin
+    positional filter (see dedup_ngram_jaccard docstring for the
+    theorem and citation; positional filter: Xiao et al., "Efficient
+    Similarity Joins for Near Duplicate Detection", WWW 2008).
 
     Stages, all linear except the candidate join itself:
       1. gram sets per doc (+ set size s)
       2. corpus gram frequencies (one groupBy over exploded grams)
       3. per-doc rare-first order: window by (freq, gram); keep the
-         first s - ceil(t*s) + 1 grams as the PREFIX
-      4. candidates: equi self-join of prefixes on gram, with the
-         size-ratio filter t <= s_a/s_b <= 1/t applied in the join
-         condition (map-side, before the shuffle output materializes)
+         first s - ceil(t*s) + 1 grams as the PREFIX, remembering each
+         gram's position p in the sorted order
+      4. candidates: equi self-join of prefixes on gram with two
+         map-side pruning conditions applied inside the join:
+           * size ratio — J >= t forces t <= s_a/s_b <= 1/t
+           * positional (PPJoin) — a collision at positions (p_a, p_b)
+             bounds the overlap by 1 + min(s_a - p_a, s_b - p_b), which
+             must reach ceil(t/(1+t) * (s_a + s_b)). Lossless: for a
+             qualifying pair, its FIRST shared gram in the global order
+             sits in both prefixes and all other shared grams follow
+             it, so that collision satisfies the bound.
       5. exact verify: join candidate id-pairs back to the compact
          (doc_id, grams) side, JVM array_intersect Jaccard, threshold.
+         Shuffled equi joins on doc_id — candidate volume tracks true-
+         pair volume, and the grams side scales with the corpus, so a
+         broadcast here would OOM at scale (AQE may still choose one
+         when the runtime sizes are small).
+
+    All pruning bounds use exact integer arithmetic via
+    ``_rational_threshold`` — see its docstring for why floats here
+    silently drop boundary pairs.
     """
-    if not (0.0 < threshold < 1.0):
-        raise ValueError("prefix_filtered requires 0 < threshold < 1")
+    num, den = _rational_threshold(threshold)
     base = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         _tokens(F.col(text_col)).alias("_toks"),
@@ -639,11 +716,20 @@ def _ngram_jaccard_prefix(
     exploded = base.select("doc_id", "s", F.explode("grams").alias("gram"))
     freq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    # ceil(s * num / den) in exact long arithmetic
+    ceil_ts = F.expr(f"(s * {num}L + {den - 1}L) div {den}L")
     prefix = (
         exploded.join(freq, "gram")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= F.col("s") - F.ceil(F.col("s") * threshold) + 1)
-        .select("doc_id", "s", "gram")
+        .withColumn("p", F.row_number().over(w))
+        .where(F.col("p") <= F.col("s") - ceil_ts + 1)
+        .select("doc_id", "s", "gram", "p")
+    )
+    # overlap lower bound: J >= t  <=>  inter >= t/(1+t) * (s_a + s_b)
+    alpha = F.expr(
+        f"((a.s + b.s) * {num}L + {num + den - 1}L) div {num + den}L"
+    )
+    overlap_ubound = F.lit(1) + F.least(
+        F.col("a.s") - F.col("a.p"), F.col("b.s") - F.col("b.p")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -652,8 +738,10 @@ def _ngram_jaccard_prefix(
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # size-ratio pruning: J >= t forces t <= s_a/s_b <= 1/t
-            & (F.col("a.s") * threshold <= F.col("b.s"))
-            & (F.col("b.s") * threshold <= F.col("a.s")),
+            & (F.col("a.s") * num <= F.col("b.s") * den)
+            & (F.col("b.s") * num <= F.col("a.s") * den)
+            # PPJoin positional pruning
+            & (overlap_ubound >= alpha),
         )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
@@ -663,12 +751,12 @@ def _ngram_jaccard_prefix(
     )
     sh = base.select("doc_id", "grams")
     verified = cand.join(
-        F.broadcast(sh.select(F.col("doc_id").alias("doc_id_a"),
-                              F.col("grams").alias("g_a"))),
+        sh.select(F.col("doc_id").alias("doc_id_a"),
+                  F.col("grams").alias("g_a")),
         "doc_id_a",
     ).join(
-        F.broadcast(sh.select(F.col("doc_id").alias("doc_id_b"),
-                              F.col("grams").alias("g_b"))),
+        sh.select(F.col("doc_id").alias("doc_id_b"),
+                  F.col("grams").alias("g_b")),
         "doc_id_b",
     )
     inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")

@@ -39,12 +39,14 @@ def normalize_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
 
     - ``bigint``        → integer ns→µs division + ``timestamp_micros``
       (``div``, not ``/``: double division loses precision at 1.7e18).
-    - ``timestamp_ntz`` → cast to ``timestamp`` under a UTC session.
-      SIDE-EFFECT (documented contract): this sets
-      ``spark.sql.session.timeZone=UTC`` on the caller's session so the
-      wall-clock values are reinterpreted as UTC instants — the same
-      reading DuckDB (the oracle) gives naive timestamps. Without the
-      pin, a non-UTC session would shift every instant at cast time.
+    - ``timestamp_ntz`` → reinterpret the naive wall clock as a UTC
+      instant (the same reading DuckDB, the oracle, gives naive
+      timestamps) via ``make_timestamp(..., 'UTC')`` over tz-free NTZ
+      component extraction. Expression-scoped and independent of
+      ``spark.sql.session.timeZone`` — a plain cast would shift the
+      instant in a non-UTC session, and pinning the session timezone
+      here (the previous fix) mutated caller-visible state, silently
+      changing parsing/display semantics of unrelated queries.
     - ``timestamp``     → already the normalized form, pass through.
 
     Works on batch and streaming DataFrames alike (pure column
@@ -57,8 +59,13 @@ def normalize_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
         if kind == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif kind == "timestamp_ntz":
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "make_timestamp(year(ts), month(ts), day(ts), "
+                    "hour(ts), minute(ts), extract(second from ts), 'UTC')"
+                ),
+            )
     return df
 
 

@@ -346,6 +346,39 @@ def test_winnow_stats_match_set(spark):
         assert stats[d]["fp_xor"] == reduce(lambda a, b: a ^ b, s)
 
 
+def test_minhash_verify_broadcast_is_adaptive(spark, sf_small):
+    """With broadcast_verify=None (default) the verify-stage join plan
+    must follow the measured size of the signature relation vs the
+    session's autoBroadcastJoinThreshold: broadcast when it fits,
+    shuffled equi join when it doesn't — same pairs either way."""
+    from data_engineering_bootcamp_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        release_caches,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        # generous threshold: adaptive choice must broadcast
+        spark.conf.set(key, "64MB")
+        wide = dedup_minhash_lsh(docs, jaccard_threshold=0.8)
+        plan = wide._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        want = {(r.doc_id_a, r.doc_id_b, r.jaccard) for r in wide.collect()}
+
+        # tiny threshold: adaptive choice must degrade to shuffled joins
+        spark.conf.set(key, "1024b")
+        narrow = dedup_minhash_lsh(docs, jaccard_threshold=0.8)
+        plan = narrow._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        got = {(r.doc_id_a, r.doc_id_b, r.jaccard) for r in narrow.collect()}
+        assert got == want and want
+    finally:
+        spark.conf.set(key, old)
+        release_caches()
+
+
 def test_ngram_scale_paths_lossless(spark, sf_small):
     """Both lossless pair-generation strategies — length-bucket
     blocking ({k, k+1} double assignment) and prefix filtering
@@ -358,27 +391,32 @@ def test_ngram_scale_paths_lossless(spark, sf_small):
 
     docs = spark.read.parquet(f"{sf_small}/documents.parquet")
     try:
-        want = {
-            (r.doc_id_a, r.doc_id_b, r.jaccard)
-            for r in dedup_ngram_jaccard(
-                docs, block_col=None, ngram=3, threshold=0.5
-            ).collect()
-        }
-        assert want  # non-trivial corpus
-        for kw in ({"length_blocked": True}, {"prefix_filtered": True}):
-            fast = dedup_ngram_jaccard(
-                docs, block_col=None, ngram=3, threshold=0.5, **kw
-            )
-            plan = fast._jdf.queryExecution().executedPlan().toString()
-            assert "BroadcastNestedLoop" not in plan, kw
-            assert any(
-                j in plan
-                for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
-            ), kw
-            got = {
-                (r.doc_id_a, r.doc_id_b, r.jaccard) for r in fast.collect()
+        # 0.2 is a float-dangerous threshold: 0.2 * s can exceed the
+        # decimal product (0.2*35 = 7.000000000000001) so a float ceil
+        # over-prunes; the exact-rational bounds must stay lossless.
+        for threshold in (0.5, 0.2):
+            want = {
+                (r.doc_id_a, r.doc_id_b, r.jaccard)
+                for r in dedup_ngram_jaccard(
+                    docs, block_col=None, ngram=3, threshold=threshold
+                ).collect()
             }
-            assert got == want, kw
+            assert want  # non-trivial corpus
+            for kw in ({"length_blocked": True}, {"prefix_filtered": True}):
+                fast = dedup_ngram_jaccard(
+                    docs, block_col=None, ngram=3, threshold=threshold, **kw
+                )
+                plan = fast._jdf.queryExecution().executedPlan().toString()
+                assert "BroadcastNestedLoop" not in plan, kw
+                assert any(
+                    j in plan
+                    for j in ("SortMergeJoin", "ShuffledHashJoin",
+                              "BroadcastHashJoin")
+                ), kw
+                got = {
+                    (r.doc_id_a, r.doc_id_b, r.jaccard) for r in fast.collect()
+                }
+                assert got == want, (kw, threshold)
     finally:
         release_caches()
 

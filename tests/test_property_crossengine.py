@@ -124,28 +124,74 @@ def test_winnow_pipeline_matches_duckdb(raw):
     ]
 
 
+def _impl_prefix(sorted_side, num, den):
+    # the implementation's prefix length, same exact integer arithmetic
+    # as dedup._ngram_jaccard_prefix: s - ceil(s*num/den) + 1
+    s = len(sorted_side)
+    return sorted_side[: s - (s * num + den - 1) // den + 1]
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.data())
 def test_prefix_filter_theorem(data):
     # the losslessness of dedup.py's prefix-filtered similarity join:
-    # for ANY global total order and ANY pair with J(A,B) >= t, the
-    # first |X| - ceil(t*|X|) + 1 elements of each sorted side share
-    # at least one element
-    t = data.draw(st.sampled_from([0.3, 0.5, 0.7, 0.8]))
+    # for ANY global total order and ANY pair that passes the operator's
+    # final filter round(J, 6) >= t, the implementation's prefixes
+    # (exact rational bound via _rational_threshold — floats here over-
+    # prune at t in {0.1, 0.2, ...}) share at least one element.
+    from data_engineering_bootcamp_spark.operators.dedup import (
+        _rational_threshold,
+    )
+
+    t = data.draw(st.sampled_from([0.1, 0.2, 0.3, 0.5, 0.7, 0.8]))
     universe = list(range(60))
     a = data.draw(st.sets(st.sampled_from(universe), min_size=1, max_size=40))
     b = data.draw(st.sets(st.sampled_from(universe), min_size=1, max_size=40))
     jac = len(a & b) / len(a | b)
-    if jac < t:
+    if round(jac, 6) < t:  # the operator's final (float) filter
         return
+    num, den = _rational_threshold(t)
     # random global order, modeled as a permutation
     perm = data.draw(st.permutations(universe))
     rank = {v: i for i, v in enumerate(perm)}
     sa = sorted(a, key=rank.get)
     sb = sorted(b, key=rank.get)
-    pa = sa[: len(a) - math.ceil(t * len(a)) + 1]
-    pb = sb[: len(b) - math.ceil(t * len(b)) + 1]
+    pa = _impl_prefix(sa, num, den)
+    pb = _impl_prefix(sb, num, den)
     assert set(pa) & set(pb), (sorted(a), sorted(b), t)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_positional_filter_theorem(data):
+    # the PPJoin positional filter keeps at least one prefix collision
+    # for every qualifying pair: at the FIRST shared element's positions
+    # (p_a, p_b), 1 + min(s_a - p_a, s_b - p_b) >= ceil(t' * (s_a+s_b)
+    # / (1+t')) with t' = num/den, and that element is in both prefixes
+    from data_engineering_bootcamp_spark.operators.dedup import (
+        _rational_threshold,
+    )
+
+    t = data.draw(st.sampled_from([0.1, 0.2, 0.3, 0.5, 0.7, 0.8]))
+    universe = list(range(60))
+    a = data.draw(st.sets(st.sampled_from(universe), min_size=1, max_size=40))
+    b = data.draw(st.sets(st.sampled_from(universe), min_size=1, max_size=40))
+    if not (a & b) or round(len(a & b) / len(a | b), 6) < t:
+        return
+    num, den = _rational_threshold(t)
+    perm = data.draw(st.permutations(universe))
+    rank = {v: i for i, v in enumerate(perm)}
+    sa = sorted(a, key=rank.get)
+    sb = sorted(b, key=rank.get)
+    first = min(a & b, key=rank.get)
+    p_a, p_b = sa.index(first) + 1, sb.index(first) + 1  # 1-based like row_number
+    assert first in _impl_prefix(sa, num, den)
+    assert first in _impl_prefix(sb, num, den)
+    s_ab = len(a) + len(b)
+    alpha = (s_ab * num + num + den - 1) // (num + den)
+    assert 1 + min(len(a) - p_a, len(b) - p_b) >= alpha, (
+        sorted(a), sorted(b), t, first, p_a, p_b, alpha
+    )
 
 
 @settings(max_examples=300, deadline=None)

@@ -86,6 +86,28 @@ def test_load_table_normalizes_every_ts_encoding(spark, tmp_path, variant):
     assert n.count() > 0
 
 
+def test_ntz_normalization_is_session_tz_scoped(spark, tmp_path):
+    """Loading an NTZ table must (a) yield the same UTC instants under
+    ANY session timezone and (b) leave spark.sql.session.timeZone
+    untouched — the previous implementation pinned it to UTC as a side
+    effect, silently changing unrelated queries' semantics."""
+    _vanilla(spark)
+    d = _write_variant(tmp_path, "micros_ntz")
+    key = "spark.sql.session.timeZone"
+    old = spark.conf.get(key)
+    try:
+        for tz in ("UTC", "Asia/Kolkata", "America/Los_Angeles"):
+            spark.conf.set(key, tz)
+            ev = load_table(spark, d, "events")
+            us = ev.orderBy("event_id").select(
+                F.unix_micros("ts").alias("us")
+            ).first()["us"]
+            assert us == EPOCH_US, tz
+            assert spark.conf.get(key) == tz  # no side-effect
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_load_table_on_driver_testdata(spark, sf_small):
     """Whatever encoding the CURRENT testdata uses, load_table must
     yield TimestampType and support unix_micros (sessionization's
