@@ -60,8 +60,10 @@ FEATURES_SCHEMA = T.StructType(
 def real_decode(content: bytes, kind: str):  # pragma: no cover - stub
     """Placeholder for a real decoder (PIL / torchaudio / pyav).
 
-    Not available in this container; the pipeline wires
-    `deterministic_fake_decode` instead.
+    Not available in this container; the pipeline defaults to
+    `deterministic_fake_decode` semantics. To wire a real decoder, pass
+    it as the ``kernel=`` argument of ``extract_features`` /
+    ``frame_sample`` — no operator edit required.
     """
     raise NotImplementedError("media codecs not installed in this environment")
 
@@ -73,22 +75,36 @@ def deterministic_fake_decode(content: bytes) -> list[float]:
     return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
-def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    batch_hint: int | None = None,
+    kernel=None,
+) -> DataFrame:
     """Decode/feature-extract stage: mapInPandas over binary content.
 
     Arrow-batched; each input batch yields one output batch — constant
     memory per core regardless of table size.
+
+    ``kernel``: optional ``Callable[[bytes | None], list[float]]`` that
+    replaces the deterministic fake decode — this is where a real
+    decoder (PIL / torchaudio / pyav + an embedding model) plugs in
+    without editing the operator. The callable is serialized into the
+    mapInPandas closure, so it must be picklable and self-contained on
+    executors (import its libraries inside the function body) and must
+    tolerate ``None`` content. Default ``None`` → the md5-based
+    ``deterministic_fake_decode`` semantics (redefined inside the
+    closure so executors don't need this package on PYTHONPATH).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # self-contained closure: executors may not have this package on
-        # their PYTHONPATH, so the decode kernel is redefined locally
-        # instead of referencing the module-level function by name
         import hashlib as _hl
 
-        def fake(content: bytes) -> list[float]:
-            digest = _hl.md5(content or b"").digest()
-            return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+        if kernel is None:
+            def _k(content: bytes) -> list[float]:
+                digest = _hl.md5(content or b"").digest()
+                return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+        else:
+            _k = kernel
 
         for pdf in batches:
             yield pd.DataFrame(
@@ -98,7 +114,7 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
                     "n_bytes": pdf["content"].map(
                         lambda b: len(b) if b is not None else 0
                     ),
-                    "features": pdf["content"].map(fake),
+                    "features": pdf["content"].map(_k),
                 }
             )
 
@@ -108,10 +124,17 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return cols.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+def frame_sample(
+    media: DataFrame, every_ms: int = 1000, kernel=None
+) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
-    timestamp (real decoder stubbed — frame content is the fake feature
-    of (content, offset)). Demonstrates the explode-then-decode shape."""
+    timestamp. Demonstrates the explode-then-decode shape.
+
+    ``kernel``: optional ``Callable[[bytes], list[float]]`` applied to
+    the pseudo-frame bytes ``content + frame_ms.to_bytes(8,'little')``
+    (a real pyav decoder would seek to frame_ms instead — inject it
+    here). Same serialization contract as ``extract_features``.
+    Default → deterministic fake."""
     frames = fan_out(media.where(F.col("kind") == "video")).select(
         "media_id",
         "content",
@@ -125,12 +148,14 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # self-contained closure (same reason as extract_features.run)
         import hashlib as _hl
 
-        def fake(content: bytes) -> list[float]:
-            digest = _hl.md5(content or b"").digest()
-            return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+        if kernel is None:
+            def _k(content: bytes) -> list[float]:
+                digest = _hl.md5(content or b"").digest()
+                return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+        else:
+            _k = kernel
 
         for pdf in batches:
             yield pd.DataFrame(
@@ -138,7 +163,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "frame_ms": pdf["frame_ms"],
                     "features": [
-                        fake((c or b"") + int(ms).to_bytes(8, "little"))
+                        _k((c or b"") + int(ms).to_bytes(8, "little"))
                         for c, ms in zip(pdf["content"], pdf["frame_ms"])
                     ],
                 }

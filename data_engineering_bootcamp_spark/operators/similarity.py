@@ -341,11 +341,32 @@ def ivf_centroids(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     )
-    sample_rows = (
-        src.orderBy(F.md5(F.col("vid").cast("string")), "vid")
-        .limit(max(sample_size, n_centroids))
-        .collect()
-    )
+    need = max(sample_size, n_centroids)
+    # Hash-threshold pre-filter (VERDICT r3 #8): the smallest-md5 sample
+    # is a TakeOrdered — linear with a bounded heap, but still a
+    # full-corpus candidate stream at 100 TB. Pre-filtering to rows
+    # whose 32-bit md5 prefix falls under ~4x the needed fraction keeps
+    # the heap fed by a corpus-size-independent trickle; because the
+    # filter is a prefix of the SAME ordering key, the surviving
+    # smallest `need` rows are identical to the unfiltered result
+    # whenever the filter passes >= `need` rows (deterministic fallback
+    # below covers the vanishingly-rare undershoot). When the corpus
+    # fits in the sample (all gate scales) no filter applies and the
+    # sample covers the entire corpus, unchanged.
+    n = src.count()
+    key = F.md5(F.col("vid").cast("string"))
+    cand = src
+    if n > need:
+        frac = min(1.0, 4.0 * need / n)
+        bound = int(frac * 16**8)
+        if bound < 16**8:
+            cand = src.where(
+                F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+                < F.lit(bound)
+            )
+    sample_rows = cand.orderBy(key, "vid").limit(need).collect()
+    if len(sample_rows) < min(need, n):
+        sample_rows = src.orderBy(key, "vid").limit(need).collect()
     X = np.array([r.v for r in sample_rows], dtype=np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     C = X[:n_centroids].copy()

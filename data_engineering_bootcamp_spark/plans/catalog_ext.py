@@ -21,6 +21,7 @@ from ..operators.dedup import dedup_keep_first, dedup_ngram_jaccard
 from ..operators.graph import build_vertices
 from ..operators.multimodal import extract_features, frame_sample
 from ..operators.scd import scd_from_snapshots, scd_incremental
+from .catalog_write import _snapshot
 from ..operators.similarity import cosine_topk_ivf, neardup_embedding_cosine
 from ..sources.readers import load_table, normalize_ts
 from ..streaming.pipelines import tumbling_counts
@@ -878,7 +879,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "num_events",
             )
         )
-        return spark.createDataFrame(got.collect(), got.schema)
+        return _snapshot(got)
     finally:
         cleanup()
         import shutil
@@ -946,7 +947,7 @@ def q_streaming_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.countDistinct("user_id").alias("n_users"),
             )
         )
-        return spark.createDataFrame(got.collect(), got.schema)
+        return _snapshot(got)
     finally:
         cleanup()
         import shutil
@@ -1013,7 +1014,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("value"), 2).alias("total_value"),
             )
         )
-        return spark.createDataFrame(got.collect(), got.schema)
+        return _snapshot(got)
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
@@ -1098,7 +1099,7 @@ def q_streaming_kafka_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("last_ts"),
             )
         )
-        return spark.createDataFrame(got.collect(), got.schema)
+        return _snapshot(got)
     finally:
         cleanup()
         shutil.rmtree(out, ignore_errors=True)
@@ -1185,7 +1186,7 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "num_events",
             )
         )
-        return spark.createDataFrame(got.collect(), got.schema)
+        return _snapshot(got)
     finally:
         cleanup()
         shutil.rmtree(out, ignore_errors=True)

@@ -37,9 +37,21 @@ from ..sources.writers import (
 )
 
 
-def _snapshot(df: DataFrame) -> DataFrame:
-    """Materialize a small result so it survives scratch cleanup."""
-    return df.sparkSession.createDataFrame(df.collect(), df.schema)
+def _snapshot(df: DataFrame, max_rows: int = 100_000) -> DataFrame:
+    """Materialize a small result so it survives scratch cleanup.
+
+    Defensive bound (VERDICT r3 #7): gate snapshots are harness paths
+    collecting small aggregates, but the pattern is otherwise unbounded
+    — a future entry could silently pull a fact table onto the driver.
+    ``limit(max_rows + 1)`` caps the transfer itself; exceeding the
+    bound raises instead of OOMing."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"_snapshot: result exceeds {max_rows} rows — gate snapshots "
+            "are for small aggregates; rework the entry or raise the bound"
+        )
+    return df.sparkSession.createDataFrame(rows, df.schema)
 
 
 def q_bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,15 +246,109 @@ GROUP BY 1
 """
 
 
+# Fixed manifest path: the DuckDB oracle is a static SQL string, so the
+# entry publishes its file listing at a known location the oracle reads
+# back (written fresh on every invocation, before the oracle runs).
+_MANIFEST_CSV = "/tmp/spark_graft_metadata_manifest.csv"
+
+
+def q_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 through the gate: table-files metadata scan.
+
+    Mirrors the reference's Iceberg ``db.table.files`` metadata queries
+    (M3/notebooks/event_data_pyspark.ipynb cells 11-13,
+    assignment_3_spark.ipynb cells 30-32): write the same lineitem slice
+    in a sorted layout (repartition(8, key) + sortWithinPartitions —
+    O4/O5) and an unsorted 8-partition layout, enumerate the written
+    parquet files through the Hadoop FileSystem API, and roll up
+    (file_count, total_bytes) per layout — the storage-experiment
+    comparison the reference runs on Iceberg metadata tables.
+
+    Grounding: n_rows per layout is read back from the actual parquet
+    data and must equal COUNT(*) of the source table (the oracle takes
+    it from the raw lineitem view), so the entry asserts both the
+    metadata rollup AND that neither layout lost a row. The oracle
+    aggregates the raw per-file manifest this entry publishes.
+    """
+    d = tempfile.mkdtemp(prefix="metagate_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    try:
+        write_repartitioned_sorted(
+            li, f"{d}/sorted", num_partitions=8, key="l_returnflag",
+            sort_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
+        )
+        li.repartition(8).write.mode("overwrite").parquet(f"{d}/unsorted")
+
+        # S8: enumerate data files via the Hadoop FS API (the same
+        # listing a cluster's metadata scan sees — no local os.walk)
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        manifest: list[tuple[str, str, int]] = []
+        for layout in ("sorted", "unsorted"):
+            p = jvm.org.apache.hadoop.fs.Path(f"{d}/{layout}")
+            fs = p.getFileSystem(hconf)
+            for st in fs.listStatus(p):
+                name = st.getPath().getName()
+                if name.endswith(".parquet"):
+                    manifest.append((layout, name, int(st.getLen())))
+        with open(_MANIFEST_CSV, "w") as fh:
+            fh.write("layout,file_name,bytes\n")
+            for layout, name, size in manifest:
+                fh.write(f"{layout},{name},{size}\n")
+
+        mdf = spark.createDataFrame(
+            [(l, n, b) for l, n, b in manifest],
+            "layout string, file_name string, bytes long",
+        )
+        rollup = mdf.groupBy("layout").agg(
+            F.count(F.lit(1)).alias("file_count"),
+            F.sum("bytes").alias("total_bytes"),
+        )
+        counts = None
+        for layout in ("sorted", "unsorted"):
+            c = (
+                spark.read.parquet(f"{d}/{layout}")
+                .groupBy(F.lit(layout).alias("layout"))
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+            )
+            counts = c if counts is None else counts.unionByName(c)
+        out = rollup.join(counts, "layout").select(
+            "layout", "file_count", "total_bytes", "n_rows"
+        )
+        return _snapshot(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_METADATA_SCAN = f"""
+SELECT m.layout,
+       m.file_count,
+       m.total_bytes,
+       c.n_rows
+FROM (
+  SELECT layout,
+         COUNT(*) AS file_count,
+         CAST(SUM(bytes) AS BIGINT) AS total_bytes
+  FROM read_csv('{_MANIFEST_CSV}', header=true)
+  GROUP BY 1
+) m
+CROSS JOIN (SELECT COUNT(*) AS n_rows FROM lineitem) c
+"""
+
+
 WRITE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_join_rollup": q_bucketed_join_rollup,
     "partitioned_prune_rollup": q_partitioned_prune_rollup,
     "sorted_layout_rollup": q_sorted_layout_rollup,
     "csv_roundtrip_rollup": q_csv_roundtrip_rollup,
     "insert_select_rollup": q_insert_select_rollup,
+    "metadata_scan": q_metadata_scan,
 }
 
 WRITE_ORACLES: dict[str, str] = {
+    "metadata_scan": ORACLE_METADATA_SCAN,
     "bucketed_join_rollup": ORACLE_BUCKETED_JOIN,
     "partitioned_prune_rollup": ORACLE_PARTITIONED_PRUNE,
     "sorted_layout_rollup": ORACLE_SORTED_LAYOUT,

@@ -12,6 +12,7 @@ exists:
 
 from collections import namedtuple
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_engineering_bootcamp_spark.functions.datelist import (
@@ -344,6 +345,77 @@ def test_winnow_stats_match_set(spark):
         assert stats[d]["n_fp"] == len(s)
         assert stats[d]["fp_min"] == min(s)
         assert stats[d]["fp_xor"] == reduce(lambda a, b: a ^ b, s)
+
+
+def test_ivf_hash_threshold_sample_is_exact(spark, sf_small):
+    """The hash-threshold pre-filter in ivf_centroids must yield the
+    SAME training sample as the unfiltered smallest-md5 TakeOrdered:
+    centroids from the full corpus (filter path active, n > sample)
+    must equal centroids from a corpus pre-shrunk in python to the true
+    smallest-md5 rows (filter path inactive, n == sample)."""
+    import hashlib
+
+    import numpy as np
+
+    from data_engineering_bootcamp_spark.operators.similarity import (
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    assert len(ids) > 60  # filter path must actually engage
+    order = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    keep = order[:60]
+    c_filtered = ivf_centroids(emb, n_centroids=8, sample_size=60)
+    c_exact = ivf_centroids(
+        emb.where(F.col("vec_id").isin(keep)), n_centroids=8, sample_size=60
+    )
+    np.testing.assert_array_equal(c_filtered, c_exact)
+
+
+def test_multimodal_kernel_is_injectable(spark):
+    """extract_features/frame_sample must accept a caller-supplied
+    decode kernel (the seam where a real PIL/pyav decoder plugs in)
+    and fall back to the deterministic fake when none is given."""
+    from data_engineering_bootcamp_spark.operators.multimodal import (
+        deterministic_fake_decode,
+        extract_features,
+        frame_sample,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", b"abc", (10, 10, 0, "img/x")),
+            (2, "video", b"defg", (10, 10, 2500, "vid/x")),
+        ],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int,height:int,duration_ms:long,mime:string>",
+    )
+
+    # custom kernel: length-based, trivially distinguishable from md5
+    def length_kernel(content):
+        n = float(len(content or b""))
+        return [n] * 8
+
+    got = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, kernel=length_kernel).collect()
+    }
+    assert got[1] == [3.0] * 8 and got[2] == [4.0] * 8
+
+    # default kernel must still equal deterministic_fake_decode
+    default = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media).collect()
+    }
+    assert default[1] == pytest.approx(deterministic_fake_decode(b"abc"))
+
+    # frame_sample: kernel sees content + frame_ms bytes
+    frames = frame_sample(media, every_ms=1000, kernel=length_kernel).collect()
+    assert {r["frame_ms"] for r in frames} == {0, 1000, 2000}
+    assert all(r["features"] == [12.0] * 8 for r in frames)  # 4 + 8 ts bytes
 
 
 def test_minhash_verify_broadcast_is_adaptive(spark, sf_small):
