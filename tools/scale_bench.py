@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Scale-stress benchmark (VERDICT r3 #6): synthesize a skewed and a
+larger slice from the sf0.1 testdata and measure the scale paths
+against their naive twins on identical inputs.
+
+Sections (all timings = full execution via noop write, seconds):
+
+- skew_join: 5M-row fact with 50% of rows on ONE hot key, joined to a
+  200k-row dim too big to broadcast (threshold forced to -1 so both
+  variants shuffle). Variants: plain sort-merge join with AQE skew
+  mitigation OFF (the naive worst case), plain with AQE skew-split ON
+  (Spark's own runtime fix), salted_join with AQE OFF (the explicit
+  operator under test). Row counts must agree across all three.
+- ngram_neardup: one corpus per size N built by exploding each base
+  document into 4 near-identical variants (constant near-dup density).
+  Variants: exact all-pairs BNLJ (naive baseline) at the SMALL size
+  only, prefix-filtered exact join and banded MinHash-LSH at small AND
+  4x size. The scale paths must (a) beat the baseline at the small
+  size and (b) grow far sub-quadratically to the 4x size.
+
+Usage: python tools/scale_bench.py [out_json]
+Writes one JSON document (default BENCH_scale_r04.json).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_engineering_bootcamp_spark.operators.dedup import (  # noqa: E402
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    release_caches,
+)
+from data_engineering_bootcamp_spark.operators.skew import (  # noqa: E402
+    salted_join,
+)
+from data_engineering_bootcamp_spark.session import get_spark  # noqa: E402
+from data_engineering_bootcamp_spark.sources.readers import (  # noqa: E402
+    load_table,
+)
+
+SF_DIR = "/root/testdata/sf0.1"
+FACT_MULT = 50          # 100k events -> 5M fact rows
+HOT_FRACTION = 2        # every 2nd row remapped to the hot key
+DIM_KEYS = 200_000
+DOC_VARIANTS = 4
+NGRAM_SMALL = 1500
+NGRAM_LARGE = 6000
+THRESHOLD = 0.5
+
+
+def timed(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def build_skew(spark):
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    fact = (
+        ev.withColumn("_m", F.explode(F.sequence(F.lit(1), F.lit(FACT_MULT))))
+        .select(
+            (F.col("event_id") * FACT_MULT + F.col("_m")).alias("row_id"),
+            # 50% of rows land on user 1 — the hot key
+            F.when(
+                (F.col("event_id") + F.col("_m")) % HOT_FRACTION == 0, F.lit(1)
+            )
+            .otherwise(F.pmod(F.xxhash64("event_id", "_m"), DIM_KEYS) + 1)
+            .cast("long")
+            .alias("user_key"),
+            (F.col("_m") % 97).cast("double").alias("amount"),
+        )
+    )
+    dim = spark.range(1, DIM_KEYS + 1).select(
+        F.col("id").alias("user_key"),
+        F.concat(F.lit("segment_"), (F.col("id") % 17)).alias("segment"),
+    )
+    return fact, dim
+
+
+def bench_skew(spark) -> dict:
+    fact, dim = build_skew(spark)
+    fact = fact.persist()
+    dim = dim.persist()
+    n_fact = fact.count()
+    dim.count()
+    out: dict = {"fact_rows": n_fact, "dim_rows": DIM_KEYS}
+
+    def joined_plain():
+        return fact.join(dim, "user_key").groupBy("segment").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amt")
+        )
+
+    def joined_salted():
+        return (
+            salted_join(fact, dim, "user_key", n_salts=32)
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amt"))
+        )
+
+    conf = spark.conf
+    old_thr = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_skew = conf.get("spark.sql.adaptive.skewJoin.enabled")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        out["plain_join_no_aqe_sec"] = timed(joined_plain())
+        out["salted_join_sec"] = timed(joined_salted())
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        out["plain_join_aqe_skew_sec"] = timed(joined_plain())
+
+        # all three must agree: salting is result-invisible
+        a = {tuple(r) for r in joined_plain().collect()}
+        b = {tuple(r) for r in joined_salted().collect()}
+        out["results_match"] = a == b
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        conf.set("spark.sql.adaptive.skewJoin.enabled", old_skew)
+        fact.unpersist()
+        dim.unpersist()
+    return out
+
+
+def build_corpus(spark, n_docs: int):
+    bases = n_docs // DOC_VARIANTS
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    return (
+        docs.orderBy("doc_id")
+        .limit(bases)
+        .withColumn(
+            "_v", F.explode(F.sequence(F.lit(0), F.lit(DOC_VARIANTS - 1)))
+        )
+        .select(
+            (F.col("doc_id") * DOC_VARIANTS + F.col("_v")).alias("doc_id"),
+            # variant 0 = original; others append a tiny suffix so the
+            # group stays near-duplicate (Jaccard close to 1)
+            F.when(F.col("_v") == 0, F.col("text"))
+            .otherwise(
+                F.concat(F.col("text"), F.lit(" variant tail "), F.col("_v"))
+            )
+            .alias("text"),
+        )
+    )
+
+
+def bench_ngram(spark) -> dict:
+    out: dict = {
+        "variants_per_base": DOC_VARIANTS,
+        "sizes": {"small": NGRAM_SMALL, "large": NGRAM_LARGE},
+        "threshold": THRESHOLD,
+    }
+    for label, n in (("small", NGRAM_SMALL), ("large", NGRAM_LARGE)):
+        corpus = build_corpus(spark, n).persist()
+        corpus.count()
+        section: dict = {}
+        try:
+            if label == "small":
+                t0 = time.perf_counter()
+                naive = dedup_ngram_jaccard(
+                    corpus, block_col=None, ngram=3, threshold=THRESHOLD
+                )
+                n_naive = naive.count()
+                section["allpairs_bnlj_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                section["allpairs_pairs"] = n_naive
+                release_caches()
+
+            t0 = time.perf_counter()
+            pref = dedup_ngram_jaccard(
+                corpus,
+                block_col=None,
+                ngram=3,
+                threshold=THRESHOLD,
+                prefix_filtered=True,
+            )
+            n_pref = pref.count()
+            section["prefix_filtered_sec"] = round(time.perf_counter() - t0, 3)
+            section["prefix_filtered_pairs"] = n_pref
+            release_caches()
+
+            t0 = time.perf_counter()
+            mh = dedup_minhash_lsh(corpus, jaccard_threshold=0.8)
+            n_mh = mh.count()
+            section["minhash_lsh_sec"] = round(time.perf_counter() - t0, 3)
+            section["minhash_lsh_pairs"] = n_mh
+            release_caches()
+
+            if "allpairs_pairs" in section:
+                # the prefix-filtered join is lossless: same exact pairs
+                section["prefix_matches_allpairs"] = (
+                    section["allpairs_pairs"] == n_pref
+                )
+        finally:
+            corpus.unpersist()
+        out[label] = section
+    return out
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_scale_r04.json"
+    spark = get_spark(app_name="scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    result = {
+        "sf_dir": SF_DIR,
+        "skew_join": bench_skew(spark),
+        "ngram_neardup": bench_ngram(spark),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
