@@ -339,6 +339,10 @@ def dedup_minhash_lsh(
     # or when the threshold is -1 — the verify stage is a shuffled equi
     # join on doc_id. Pass True/False to force either plan.
     sh = base.select("doc_id", "shingles")
+    if broadcast_verify is None and not cache_signatures:
+        # without the cache the measurement pass would recompute every
+        # signature; default to the scale-safe shuffled join instead
+        broadcast_verify = False
     if broadcast_verify is None:
         est = base.select(
             F.count(F.lit(1)).alias("n"),

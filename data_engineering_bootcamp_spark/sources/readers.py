@@ -76,11 +76,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     generation used (see ``normalize_ts``); nanosAsLong is set so the
     legacy TIMESTAMP(NANOS) encoding is at least readable as a long.
 
-    The conf is set HERE, not only in the session factory: callers may
-    hand us any vanilla SparkSession (a test harness, a notebook) and a
-    scan must not depend on who built the session. Runtime-settable.
+    The confs are set HERE, not only in the session factory: callers
+    may hand us any vanilla SparkSession (a test harness, a notebook)
+    and a scan must not depend on who built the session. Both are
+    runtime-settable and affect only how parquet READS type their
+    columns (unlike session.timeZone, which rewrites the semantics of
+    unrelated expressions — see normalize_ts).
+
+    inferTimestampNTZ=false makes the reader surface TIMESTAMP(MICROS,
+    isAdjustedToUTC=0) as plain TimestampType: the stored micros pass
+    through as UTC instants unchanged — the same wall-clock-as-UTC
+    reading DuckDB gives, with zero per-row conversion cost and no
+    session-timezone dependence. normalize_ts stays as the fallback
+    for DataFrames that arrive already typed NTZ.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return normalize_ts(spark, df)
 
