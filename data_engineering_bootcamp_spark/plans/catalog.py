@@ -1385,6 +1385,10 @@ GATE_ORDER = [
     "skew_salted_join",        # salting gated via skew_salted_agg
     "embedding_neardup_allpairs",  # exact baseline twin
     "ngram_jaccard_allpairs",      # exact baseline twin
+    # round-4 additions (recursive-CTE / regex / vocab oracles)
+    "neardup_clusters",        # connected components + keep-one retention
+    "doc_pii_redact",          # regex PII counting + masking
+    "vocab_top_tokens",        # corpus vocabulary df table
 ]
 
 assert set(GATE_ORDER) == set(QUERIES), (

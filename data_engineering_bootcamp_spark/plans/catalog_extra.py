@@ -671,6 +671,183 @@ FROM {table}"""
     )
 
 
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution (connected components + retention)
+# ---------------------------------------------------------------------------
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-based dedup retention: resolve the prefix-filtered exact
+    n-gram Jaccard pairs (the primary near-dup path) into connected
+    components via iterative min-label propagation, then keep exactly
+    one document (the min id) per component. The DuckDB oracle replays
+    the pair computation and resolves components with a recursive-CTE
+    transitive closure — both engines must agree on every doc's
+    cluster id and keep flag."""
+    from ..operators.clustering import neardup_retention
+    from ..operators.dedup import dedup_ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(
+        docs, block_col=None, ngram=3, threshold=0.5, prefix_filtered=True
+    )
+    return neardup_retention(docs, pairs)
+
+
+ORACLE_NEARDUP_CLUSTERS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                      'g')), ' '),
+                     t -> t <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3 THEN
+           list_distinct(list_transform(range(1, len(tk) - 1),
+                                        i -> array_to_string(tk[i:i+2], ' ')))
+         ELSE [array_to_string(tk, ' ')] END AS g
+  FROM toks),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE ROUND(len(list_intersect(a.g, b.g))::DOUBLE /
+              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+        >= 0.5),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (text-curation hygiene)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"user[0-9]+b?@example\.com"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction sweep: count and mask email/phone patterns via
+    regexp_count + chained regexp_replace (pure Catalyst, scan speed).
+    The synthetic corpus contains no PII, so both engines first append
+    the SAME deterministic contact block per doc (1-2 emails + a
+    phone), making the redaction counts non-trivial; the oracle
+    recomputes counts and the redacted length with DuckDB's regex
+    engine — the patterns are dialect-neutral by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" and user"), F.col("doc_id"),
+                    F.lit("b@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(" phone 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return with_pii.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).alias("n_phones"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
+ORACLE_DOC_PII_REDACT = r"""
+WITH with_pii AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' and user' || doc_id || 'b@example.com' ELSE '' END ||
+         ' phone 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, 'user[0-9]+b?@example\.com'))
+         AS n_emails,
+       len(regexp_extract_all(text, '555-[0-9]{4}')) AS n_phones,
+       length(regexp_replace(regexp_replace(text,
+                'user[0-9]+b?@example\.com', '<EMAIL>', 'g'),
+                '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_len
+FROM with_pii
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building (token document-frequency table)
+# ---------------------------------------------------------------------------
+
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode whitespace tokens of normalized text,
+    count total occurrences and document frequency per token, keep the
+    top 50 under a total deterministic order (count desc, token asc).
+    One explode + one groupBy — linear, the standard first pass of
+    tokenizer/vocab training."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                    " ",
+                ),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("token"))
+        .limit(50)
+    )
+
+
+ORACLE_VOCAB_TOP_TOKENS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                        ' '),
+           t -> t <> '')) AS token
+  FROM documents)
+SELECT token,
+       COUNT(*) AS n_total,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM toks
+GROUP BY token
+ORDER BY n_total DESC, token ASC
+LIMIT 50
+"""
+
+
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_latest_order": q_asof_latest_order,
     "exact_percentiles": q_exact_percentiles,
@@ -684,6 +861,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "pack_token_stream": q_pack_token_stream,
     "table_profile": q_table_profile,
+    "neardup_clusters": q_neardup_clusters,
+    "doc_pii_redact": q_doc_pii_redact,
+    "vocab_top_tokens": q_vocab_top_tokens,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -699,4 +879,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "pack_token_stream": ORACLE_PACK_TOKEN_STREAM,
     "table_profile": _profile_oracle(),
+    "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
+    "doc_pii_redact": ORACLE_DOC_PII_REDACT,
+    "vocab_top_tokens": ORACLE_VOCAB_TOP_TOKENS,
 }

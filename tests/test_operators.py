@@ -347,6 +347,44 @@ def test_winnow_stats_match_set(spark):
         assert stats[d]["fp_xor"] == reduce(lambda a, b: a ^ b, s)
 
 
+def test_connected_components_and_retention(spark):
+    """Min-label propagation must resolve chains (multi-iteration
+    diameter), cliques, and leave singletons as their own kept
+    cluster."""
+    from data_engineering_bootcamp_spark.operators.clustering import (
+        connected_components,
+        neardup_retention,
+    )
+
+    # chain 1-2-3-4-5 (diameter 4), clique {10,11,12}, pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "doc_id_a long, doc_id_b long",
+    )
+    comp = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 99]],
+        "doc_id long",
+    )
+    ret = {r.doc_id: (r.cluster_id, r.keep)
+           for r in neardup_retention(docs, pairs).collect()}
+    assert ret[99] == (99, True)  # singleton: own cluster, kept
+    assert ret[1] == (1, True) and ret[5] == (1, False)
+    assert sum(1 for c, k in ret.values() if k) == 4  # one per cluster
+
+    # non-convergence guard: a long chain with max_iter too small
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_id_a long, doc_id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(long_chain, max_iter=3)
+
+
 def test_ivf_hash_threshold_sample_is_exact(spark, sf_small):
     """The hash-threshold pre-filter in ivf_centroids must yield the
     SAME training sample as the unfiltered smallest-md5 TakeOrdered:
