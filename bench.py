@@ -71,6 +71,12 @@ HEADLINE = [
     "doc_decontaminate",
     "doc_chunks",
     "pack_token_stream",
+    # round-4 additions: cluster-based dedup retention, PII redaction,
+    # vocabulary building, and the S8 metadata-scan write path
+    "neardup_clusters",
+    "doc_pii_redact",
+    "vocab_top_tokens",
+    "metadata_scan",
 ]
 
 

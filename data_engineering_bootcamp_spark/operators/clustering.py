@@ -52,18 +52,24 @@ def connected_components(
     # undirected: keep both directions so one groupBy sees all neighbors
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.persist()
-    labels = (
+    # Lineage discipline (the textbook iterative-Spark requirement):
+    # every iteration's result is eagerly localCheckpoint'ed, which
+    # materializes it AND truncates lineage — otherwise plan depth (and
+    # planning time) grows per iteration and any downstream action
+    # would replay the whole iteration chain. The convergence check
+    # then reads the checkpointed blocks, one scalar per iteration.
+    prev = (
         sym.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     try:
         for _ in range(max_iter):
             # candidate label per vertex: min over self and neighbors
             neighbor_min = (
                 sym.join(
-                    labels.withColumnRenamed("doc_id", "b").withColumnRenamed(
+                    prev.withColumnRenamed("doc_id", "b").withColumnRenamed(
                         "cluster_id", "nb_label"
                     ),
                     "b",
@@ -72,7 +78,7 @@ def connected_components(
                 .agg(F.min("nb_label").alias("nb_label"))
             )
             updated = (
-                labels.join(neighbor_min, "doc_id", "left")
+                prev.join(neighbor_min, "doc_id", "left")
                 .select(
                     "doc_id",
                     F.least(
@@ -84,15 +90,12 @@ def connected_components(
                         < F.col("cluster_id")
                     ).alias("_changed"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = updated.where(F.col("_changed")).count()
-            old = labels
-            labels = updated.drop("_changed").persist()
-            old.unpersist()
-            updated.unpersist()
+            prev = updated
             if changed == 0:
-                return labels
+                return updated.drop("_changed")
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations"
         )

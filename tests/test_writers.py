@@ -101,3 +101,15 @@ def test_csv_roundtrip_with_inference(spark, orders, tmp_path):
     got = back.agg({"o_totalprice": "sum"}).collect()[0][0]
     want = cols.agg({"o_totalprice": "sum"}).collect()[0][0]
     assert abs(got - want) < 1e-6 * max(abs(want), 1)
+
+
+def test_snapshot_guard_bounds_driver_collect(spark):
+    # gate snapshots must refuse to pull big results onto the driver
+    import pytest
+
+    from data_engineering_bootcamp_spark.plans.catalog_write import _snapshot
+
+    small = spark.range(10).toDF("n")
+    assert _snapshot(small, max_rows=10).count() == 10
+    with pytest.raises(ValueError, match="exceeds"):
+        _snapshot(spark.range(100).toDF("n"), max_rows=99)

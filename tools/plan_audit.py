@@ -34,6 +34,7 @@ SKIP = {
     "sorted_layout_rollup",
     "csv_roundtrip_rollup",
     "insert_select_rollup",
+    "metadata_scan",
 }
 
 
