@@ -14,8 +14,9 @@ its label and its neighbors' labels; convergence is reached when no
 label changes. Iterations are bounded by the component diameter — for
 near-dup clusters (cliques and short chains) that is typically 2-4 —
 and each iteration is one shuffle (groupBy vertex) over the EDGE list,
-never the corpus. The driver loop's only job is the convergence check
-(a count of changed labels, one scalar per iteration).
+never the corpus. The driver loop's only job is the convergence check:
+labels are per-vertex monotone non-increasing, so one decimal label-sum
+scalar per iteration detects the fixpoint exactly.
 
 Determinism: labels are ids, min is total, result is independent of
 execution order — a DuckDB recursive-CTE oracle replays it exactly.
@@ -41,6 +42,10 @@ def connected_components(
     diameter larger than max_iter — raise the bound for pathological
     chain graphs; near-dup graphs converge in a handful).
     """
+    # Materialize the (possibly expensive) pair computation EXACTLY
+    # once: union branches do NOT share subexpressions, so without this
+    # checkpoint each derived branch below (swap, self-loops, vertex
+    # set, label init) would re-execute the caller's pair join.
     edges = (
         pairs.select(
             F.col(src_col).cast("long").alias("a"),
@@ -48,54 +53,54 @@ def connected_components(
         )
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
-    )
-    # undirected: keep both directions so one groupBy sees all neighbors
-    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.persist()
-    # Lineage discipline (the textbook iterative-Spark requirement):
-    # every iteration's result is eagerly localCheckpoint'ed, which
-    # materializes it AND truncates lineage — otherwise plan depth (and
-    # planning time) grows per iteration and any downstream action
-    # would replay the whole iteration chain. The convergence check
-    # then reads the checkpointed blocks, one scalar per iteration.
-    prev = (
-        sym.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    # undirected + self-loops: both edge directions plus (v, v), so ONE
+    # join+groupBy per iteration computes min(self label, neighbor
+    # labels) — no separate self-preserving left join needed
+    verts = (
+        edges.select("a").union(edges.select(F.col("b").alias("a"))).distinct()
+    )
+    sym = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .union(verts.select("a", F.col("a").alias("b")))
+        .persist()
+    )
+    # Lineage discipline (the textbook iterative-Spark requirement):
+    # every iteration's labels are eagerly localCheckpoint'ed, which
+    # materializes them AND truncates lineage — otherwise plan depth
+    # (and planning time) grows per iteration and any downstream action
+    # replays the whole iteration chain.
+    #
+    # Convergence: labels are per-vertex MONOTONE NON-INCREASING, so
+    # the label total strictly decreases until the fixpoint — one
+    # decimal-sum scalar per iteration (decimal: an id sum over a
+    # 100 TB corpus overflows int64), no diff join, no change counter.
+    labels = (
+        verts.select(F.col("a").alias("doc_id"), F.col("a").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_total = None
     try:
         for _ in range(max_iter):
-            # candidate label per vertex: min over self and neighbors
-            neighbor_min = (
+            labels = (
                 sym.join(
-                    prev.withColumnRenamed("doc_id", "b").withColumnRenamed(
-                        "cluster_id", "nb_label"
+                    labels.select(
+                        F.col("doc_id").alias("b"),
+                        F.col("cluster_id").alias("nb_label"),
                     ),
                     "b",
                 )
                 .groupBy(F.col("a").alias("doc_id"))
-                .agg(F.min("nb_label").alias("nb_label"))
-            )
-            updated = (
-                prev.join(neighbor_min, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("cluster_id"),
-                        F.coalesce(F.col("nb_label"), F.col("cluster_id")),
-                    ).alias("cluster_id"),
-                    (
-                        F.coalesce(F.col("nb_label"), F.col("cluster_id"))
-                        < F.col("cluster_id")
-                    ).alias("_changed"),
-                )
+                .agg(F.min("nb_label").alias("cluster_id"))
                 .localCheckpoint(eager=True)
             )
-            changed = updated.where(F.col("_changed")).count()
-            prev = updated
-            if changed == 0:
-                return updated.drop("_changed")
+            total = labels.agg(
+                F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+            ).first()[0]
+            if total == prev_total:
+                return labels
+            prev_total = total
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations"
         )
