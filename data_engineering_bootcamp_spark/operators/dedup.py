@@ -617,14 +617,22 @@ def decontaminate(
             ),
         )
 
+    # Persist both gram relations BEFORE exploding: without the
+    # materialization barrier Catalyst collapses the projections and
+    # the gram-building transform (the per-doc hot loop) re-evaluates
+    # per EXPLODED row — measured ~10x slower on the corpus side.
+    # Small: one row per doc with an array of longs. Caller releases
+    # via release_caches() like the other dedup operators.
     pool = (
-        gram_sets(benchmark)
+        _persist(gram_sets(benchmark))
         .select(F.explode("grams").alias("gram"))
         .distinct()
     )
     if broadcast_pool:
         pool = F.broadcast(pool)
-    corpus_grams = gram_sets(corpus).withColumn("n_grams", F.size("grams"))
+    corpus_grams = _persist(
+        gram_sets(corpus).withColumn("n_grams", F.size("grams"))
+    )
     exploded = corpus_grams.select(
         "doc_id", "n_grams", F.explode("grams").alias("gram")
     )
