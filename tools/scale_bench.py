@@ -46,7 +46,7 @@ from data_engineering_bootcamp_spark.sources.readers import (  # noqa: E402
 )
 
 SF_DIR = "/root/testdata/sf0.1"
-FACT_MULT = 50          # 100k events -> 5M fact rows
+FACT_MULT = 200         # 100k events -> 20M fact rows
 HOT_FRACTION = 2        # every 2nd row remapped to the hot key
 DIM_KEYS = 200_000
 DOC_VARIANTS = 4
@@ -192,6 +192,28 @@ def bench_ngram(spark) -> dict:
             n_mh = mh.count()
             section["minhash_lsh_sec"] = round(time.perf_counter() - t0, 3)
             section["minhash_lsh_pairs"] = n_mh
+            release_caches()
+
+            # cluster resolution over the prefix-filtered pairs: wall
+            # should track pair volume (linear), not corpus size
+            from data_engineering_bootcamp_spark.operators.clustering import (
+                neardup_retention,
+            )
+
+            t0 = time.perf_counter()
+            pairs = dedup_ngram_jaccard(
+                corpus,
+                block_col=None,
+                ngram=3,
+                threshold=THRESHOLD,
+                prefix_filtered=True,
+            )
+            ret = neardup_retention(corpus, pairs)
+            n_kept = ret.where(F.col("keep")).count()
+            section["cluster_retention_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            section["cluster_retention_kept"] = n_kept
             release_caches()
 
             if "allpairs_pairs" in section:
