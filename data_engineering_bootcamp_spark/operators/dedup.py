@@ -255,6 +255,45 @@ def _parse_byte_size(v: str | int) -> int:
     return int(float(s) * mult)
 
 
+def minhash_banded(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id_col, shingles, band, band_hash) — the banded-LSH projection
+    shared by the batch near-dup join and the STREAMING admission join
+    (stream-static LSH). Pure projections + Arrow-batched pandas UDFs,
+    so it works identically on batch and streaming DataFrames (fan_out
+    is batch-only and skipped for streams — a stream's partitioning
+    follows its source)."""
+    rows_per_band = num_hashes // bands
+    src = docs if docs.isStreaming else fan_out(docs)
+    base = (
+        src.select(
+            F.col(id_col), _norm_text(F.col(text_col)).alias("_norm")
+        )
+        .select(
+            id_col, _shingle_hash_udf(shingle_k)(F.col("_norm")).alias("shingles")
+        )
+        .withColumn("sig", _minhash_sig_udf(num_hashes)(F.col("shingles")))
+    )
+    return base.select(
+        id_col,
+        "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def dedup_minhash_lsh(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1389,6 +1389,7 @@ GATE_ORDER = [
     "neardup_clusters",        # connected components + keep-one retention
     "doc_pii_redact",          # regex PII counting + masking
     "vocab_top_tokens",        # corpus vocabulary df table
+    "streaming_neardup_admission",  # stream-static banded-LSH admission
 ]
 
 assert set(GATE_ORDER) == set(QUERIES), (

@@ -1318,6 +1318,117 @@ def _winnow_pairs_oracle() -> str:
     return winnow_pairs_oracle_sql()
 
 
+def q_streaming_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ADMISSION — the incremental-ingestion shape a
+    live curation pipeline needs: incoming documents (a file stream;
+    doc_id % 4 == 0) are checked against the EXISTING corpus (the
+    other three quarters) through a STREAM-STATIC banded-LSH equi join
+    on (band, band_hash), exact-verified by Arrow-batched shingle
+    Jaccard, and each incoming doc is admitted iff it near-duplicates
+    nothing already in the corpus. The static side's banded signatures
+    are computed once and reused across micro-batches. The oracle
+    recomputes the admission decision exhaustively (all incoming ×
+    corpus pairs) — LSH banding must be recall-complete on this corpus,
+    the same falsifiable contract `minhash_lsh_pairs` is held to."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import _intersect_size_udf, minhash_banded
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    incoming = docs.where(F.col("doc_id") % 4 == 0)
+
+    static_banded = minhash_banded(corpus).select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("shingles").alias("corpus_shingles"),
+        "band",
+        "band_hash",
+    ).persist()
+
+    src = tempfile.mkdtemp(prefix="stream_adm_src_")
+    out = tempfile.mkdtemp(prefix="stream_adm_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_adm_ckpt_")
+    try:
+        incoming.select("doc_id", "text").write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+        cand = minhash_banded(stream).join(
+            static_banded, ["band", "band_hash"]
+        )
+        inter = _intersect_size_udf()(
+            F.col("shingles"), F.col("corpus_shingles")
+        ).cast("double")
+        union = (
+            F.size("shingles") + F.size("corpus_shingles") - inter
+        ).cast("double")
+        matched = (
+            cand.withColumn("_j", F.round(inter / union, 6))
+            .where(F.col("_j") >= 0.8)
+            .select("doc_id", "corpus_id")
+        )
+        # seed the sink with the schema so an all-admitted run still
+        # yields a readable (empty) matches table
+        spark.createDataFrame([], "doc_id long, corpus_id long").write.mode(
+            "overwrite"
+        ).parquet(out)
+
+        q = (
+            matched.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+        matches = spark.read.parquet(out).dropDuplicates()
+        per_doc = incoming.select("doc_id").join(
+            matches.groupBy("doc_id").agg(
+                F.countDistinct("corpus_id").alias("n_neardups")
+            ),
+            "doc_id",
+            "left",
+        )
+        got = per_doc.select(
+            "doc_id",
+            F.coalesce("n_neardups", F.lit(0)).alias("n_neardups"),
+            (F.coalesce("n_neardups", F.lit(0)) == 0).alias("admitted"),
+        )
+        return _snapshot(got)
+    finally:
+        static_banded.unpersist()
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+ORACLE_STREAMING_NEARDUP_ADMISSION = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) - 4, 1) + 1),
+           i -> substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), i::INT, 5)))
+           AS shingles
+  FROM documents),
+inc AS (SELECT * FROM sh WHERE doc_id % 4 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 4 <> 0),
+m AS (
+  SELECT i.doc_id, COUNT(DISTINCT c.doc_id) AS n_neardups
+  FROM inc i JOIN corp c
+    ON ROUND(len(list_intersect(i.shingles, c.shingles))::DOUBLE /
+             (len(i.shingles) + len(c.shingles)
+              - len(list_intersect(i.shingles, c.shingles))), 6) >= 0.8
+  GROUP BY 1)
+SELECT i.doc_id,
+       COALESCE(m.n_neardups, 0) AS n_neardups,
+       COALESCE(m.n_neardups, 0) = 0 AS admitted
+FROM inc i LEFT JOIN m ON i.doc_id = m.doc_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd_incremental": q_scd_incremental,
     "order_history": q_order_history,
@@ -1339,6 +1450,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_stateful_sessions": q_streaming_stateful,
     "streaming_kafka_mirror": q_streaming_kafka_mirror,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_neardup_admission": q_streaming_neardup_admission,
     "skew_salted_agg": q_skew_salted_agg,
     "skew_salted_join": q_skew_salted_join,
     "doc_winnow_fingerprint": q_doc_winnow,
@@ -1367,6 +1479,7 @@ EXT_ORACLES: dict[str, str] = {
     "streaming_stateful_sessions": ORACLE_STREAMING_STATEFUL,
     "streaming_kafka_mirror": ORACLE_STREAMING_KAFKA_MIRROR,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
+    "streaming_neardup_admission": ORACLE_STREAMING_NEARDUP_ADMISSION,
     "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
     "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
     "doc_winnow_fingerprint": _winnow_oracle(),
