@@ -327,3 +327,49 @@ def test_dedup_stream_across_microbatches(spark, tmp_path):
     out = _drain(deduped, tmp_path, "dedup")
     got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 4, 5]
+
+
+def test_minhash_banded_stream_batch_parity(spark, sf_small, tmp_path):
+    """The shared banded-LSH projection must yield IDENTICAL
+    (doc_id, band, band_hash) rows on a streaming source as on the
+    batch table — the contract the stream-static admission join
+    relies on."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_bootcamp_spark.operators.dedup import minhash_banded
+
+    docs = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    src = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(src)
+    batch = {
+        (r.doc_id, r.band, r.band_hash)
+        for r in minhash_banded(spark.read.parquet(src)).select(
+            "doc_id", "band", "band_hash"
+        ).collect()
+    }
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    out = str(tmp_path / "banded_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        minhash_banded(stream)
+        .select("doc_id", "band", "band_hash")
+        .writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    streamed = {
+        (r.doc_id, r.band, r.band_hash)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == batch and batch
