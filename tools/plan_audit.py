@@ -29,6 +29,7 @@ SKIP = {
     "streaming_stateful_sessions",
     "streaming_kafka_mirror",
     "streaming_dedup",
+    "streaming_neardup_admission",
     "bucketed_join_rollup",
     "partitioned_prune_rollup",
     "sorted_layout_rollup",
