@@ -255,6 +255,41 @@ def _parse_byte_size(v: str | int) -> int:
     return int(float(s) * mult)
 
 
+def _signature_base(
+    src: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_k: int,
+) -> DataFrame:
+    """(id_col, shingles, sig) — normalize → shingle → MinHash
+    signature. SINGLE SOURCE OF TRUTH for the projection shared by the
+    batch near-dup join and the streaming admission join: an edit to
+    the normalization, shingling, or signature here changes batch and
+    streaming in lockstep (they previously carried verbatim copies)."""
+    return (
+        src.select(F.col(id_col), _norm_text(F.col(text_col)).alias("_norm"))
+        .select(
+            id_col, _shingle_hash_udf(shingle_k)(F.col("_norm")).alias("shingles")
+        )
+        .withColumn("sig", _minhash_sig_udf(num_hashes)(F.col("shingles")))
+    )
+
+
+def _band_posexplode(sig_col: Column, num_hashes: int, bands: int):
+    """posexplode(band → xxhash64(signature slice)) — the one banding
+    expression both batch and streaming relations are built from."""
+    rows_per_band = num_hashes // bands
+    return F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(
+                F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
+            ),
+        )
+    )
+
+
 def minhash_banded(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -268,29 +303,16 @@ def minhash_banded(
     (stream-static LSH). Pure projections + Arrow-batched pandas UDFs,
     so it works identically on batch and streaming DataFrames (fan_out
     is batch-only and skipped for streams — a stream's partitioning
-    follows its source)."""
-    rows_per_band = num_hashes // bands
+    follows its source). Built from `_signature_base` +
+    `_band_posexplode`, the same helpers `dedup_minhash_lsh` uses."""
     src = docs if docs.isStreaming else fan_out(docs)
-    base = (
-        src.select(
-            F.col(id_col), _norm_text(F.col(text_col)).alias("_norm")
-        )
-        .select(
-            id_col, _shingle_hash_udf(shingle_k)(F.col("_norm")).alias("shingles")
-        )
-        .withColumn("sig", _minhash_sig_udf(num_hashes)(F.col("shingles")))
-    )
+    base = _signature_base(src, id_col, text_col, num_hashes, shingle_k)
     return base.select(
         id_col,
         "shingles",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                ),
-            )
-        ).alias("band", "band_hash"),
+        _band_posexplode(F.col("sig"), num_hashes, bands).alias(
+            "band", "band_hash"
+        ),
     )
 
 
@@ -313,18 +335,18 @@ def dedup_minhash_lsh(
 
     Output: (doc_id_a, doc_id_b, jaccard DOUBLE), doc_id_a < doc_id_b.
     """
-    rows_per_band = num_hashes // bands
     # projection barriers: normalize once per doc, shingle once per doc
-    # (vectorized codepoint rolling hash — see _shingle_hash_udf)
-    base = (
-        fan_out(docs).select(
-            F.col(id_col).alias("doc_id"),
-            _norm_text(F.col(text_col)).alias("_norm"),
-        )
-        .select(
-            "doc_id", _shingle_hash_udf(shingle_k)(F.col("_norm")).alias("shingles")
-        )
-        .withColumn("sig", _minhash_sig_udf(num_hashes)(F.col("shingles")))
+    # (vectorized codepoint rolling hash — see _shingle_hash_udf).
+    # Same `_signature_base` the streaming admission path uses; only
+    # the downstream shape differs (the id-only banded relation below
+    # keeps the persisted base un-exploded — persisting minhash_banded's
+    # output would store the shingle arrays `bands`× over).
+    base = _signature_base(
+        fan_out(docs).select(F.col(id_col).alias("doc_id"), text_col),
+        "doc_id",
+        text_col,
+        num_hashes,
+        shingle_k,
     )
     # the signature subplan feeds BOTH sides of the candidate self-join
     # plus the verify side; without a persist Spark re-evaluates it up
@@ -342,14 +364,9 @@ def dedup_minhash_lsh(
     # the pair join is what kills this at scale (multi-GB per 1M pairs).
     banded = base.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                ),
-            )
-        ).alias("band", "band_hash"),
+        _band_posexplode(F.col("sig"), num_hashes, bands).alias(
+            "band", "band_hash"
+        ),
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -1289,30 +1289,28 @@ QUERIES.update(EXTRA_QUERIES)
 ORACLES.update(EXTRA_ORACLES)
 
 # ---------------------------------------------------------------------------
-# Gate ordering. The round driver gates exactly the FIRST 50 entries of
-# queries(), so registry order is a correctness-visibility decision.
-# Round-4 rotation (VERDICT r3 #1): every entry that had NO driver
-# CORRECTNESS row through round 3 — all of round 3's capability
-# additions plus the new S8 metadata_scan — is promoted into the first
-# 50; the slots come from entries whose SURVEY §2 ids are redundantly
-# covered by other gated entries AND which already carry a green
-# CORRECTNESS_r03 driver row (evidence is cumulative across rounds).
+# Gate ordering. The round driver gates exactly the FIRST `GATE_CAP`
+# entries of queries(), so registry order is a correctness-visibility
+# decision. Round-5 rotation (VERDICT r4 #1 + ADVICE r4 off-by-one):
+# the 8 entries that had NO driver CORRECTNESS row through round 4
+# (neardup_clusters, streaming_neardup_admission, doc_pii_redact,
+# vocab_top_tokens, doc_ttr_repetition, doc_winnow_fingerprint,
+# skew_salted_join, ngram_jaccard_allpairs) are promoted into the
+# gated prefix; the slots come from entries that carry ≥2 cumulative
+# green driver rows (r1+r3+r4). The prefix is now a separate list so
+# its length is asserted against GATE_CAP — the r4 boundary comment
+# silently sat after only 49 entries.
 # Rotated-out entries keep full in-repo coverage: tools/gate_check.py
 # runs the ENTIRE registry with the same oracles each round.
 # ---------------------------------------------------------------------------
 
-GATE_ORDER = [
+GATE_CAP = 50  # the driver gates exactly this many leading entries
+
+_GATE_FIRST = [
     # core relational surface (P/A/W/J/O/U ids)
-    "pricing_summary",         # P3 A3 A17
-    "top_customers",           # J3 J13 A15 O1 O2 O3
-    "grouping_sets",           # A9 S3
     "rolling_revenue",         # W5-W8 W11
     "customer_order_spine",    # J10 J11 J15
     "part_pair_edges",         # J9
-    "funnel_conversion",       # P7 J8 A16
-    "scd_streaks",             # W1 W2 A1
-    "users_cumulated",         # P4 A7 J1
-    "datelist_int",            # A10 A11
     "array_metrics",           # J2 J4 J5 A12 A13 A6
     "order_history",           # A6 W10
     "best_stretch",            # W9 W12 (90-row stretch half)
@@ -1328,12 +1326,14 @@ GATE_ORDER = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "ngram_jaccard_pairs",     # prefix-filtered primary
+    "ngram_jaccard_allpairs",  # exact baseline twin — first driver row r5
     "ann_cosine_ivf",
     "ann_cosine_lsh",          # first driver row r4
     "embedding_neardup",
     "media_features",
     "media_frame_sample",      # first driver row r4
     "skew_salted_agg",
+    "skew_salted_join",        # join twin — first driver row r5
     "asof_latest_order",
     "udf_enrich_broadcast",    # T6 / §2.10
     "hash_sample_split",       # first driver row r4
@@ -1342,12 +1342,17 @@ GATE_ORDER = [
     "doc_chunks",              # first driver row r4
     "pack_token_stream",       # first driver row r4
     "table_profile",           # A4/A5-style distincts; first driver row r4
+    "doc_ttr_repetition",      # first driver row r5
+    "doc_winnow_fingerprint",  # set-stats winnow twin — first driver row r5
+    "doc_pii_redact",          # regex PII counting + masking — first row r5
+    "vocab_top_tokens",        # corpus vocabulary df table — first row r5
+    "neardup_clusters",        # CC + keep-one retention — first row r5
     "corpus_curation_pipeline",  # flagship; first driver row r4
     # write-path round-trips (S4-S10, O4/O5, J14, S8)
     "bucketed_join_rollup",    # S4 S5 J14
     "partitioned_prune_rollup",  # S6 S7
     "insert_select_rollup",    # S9 S10
-    "metadata_scan",           # S8 + O4/O5 layouts (new in r4)
+    "metadata_scan",           # S8 + O4/O5 layouts (first driver row r4)
     # streaming through the real engine (T1-T8, S12-S14)
     "streaming_tumbling_hits",     # T1 T3 T4
     "streaming_session_windows",   # T5
@@ -1355,11 +1360,22 @@ GATE_ORDER = [
     "streaming_stateful_sessions",  # custom stateful op
     "streaming_kafka_mirror",      # S12 S14
     "streaming_dedup",         # dropDuplicatesWithinWatermark; first row r4
-    # --- driver cap boundary (50) — every entry below EITHER carries a
-    # green CORRECTNESS_r03 driver row (rotated out this round) OR is a
-    # dup/baseline twin of a gated primary; all still oracle-checked
-    # in-repo by tools/gate_check.py every round ---
-    "sessionization",          # r03 row; W2/P4 via scd_streaks+users_cumulated
+    "streaming_neardup_admission",  # stream-static LSH admission — first r5
+]
+
+_GATE_REST = [
+    # Every entry below carries a green cumulative driver CORRECTNESS
+    # row (round noted) or is a dup/baseline twin of a gated primary;
+    # all still oracle-checked in-repo by tools/gate_check.py every
+    # round.
+    "pricing_summary",         # r1+r3+r4 rows; P3 A3 A17
+    "top_customers",           # r1+r3+r4 rows; J3 J13 A15 O1-O3
+    "grouping_sets",           # r1+r3+r4 rows; A9 S3
+    "funnel_conversion",       # r1+r3+r4 rows; P7 J8 A16
+    "scd_streaks",             # r1+r3+r4 rows; W1 W2 A1
+    "users_cumulated",         # r1+r3+r4 rows; P4 A7 J1
+    "datelist_int",            # r1+r3+r4 rows; A10 A11
+    "sessionization",          # r03+r04 rows; W2/P4
     "part_type_tiers",         # r03 row; P5 LIKE via retention_curve channel
     "acctbal_tiers",           # r03 row; P6 tiering via union_order_tiers
     "filter_by_top1",          # r03 row; P8/O6
@@ -1380,17 +1396,14 @@ GATE_ORDER = [
     "top_supplier_per_nation",  # J13/A15 dup
     "user_vertices",           # W3 dup of dedup_keep_first
     "host_activity_reduced",   # J2/J12 (series via customer_order_spine)
-    "doc_ttr_repetition",
-    "doc_winnow_fingerprint",  # set-stats twin of doc_winnow_neardup_pairs
-    "skew_salted_join",        # salting gated via skew_salted_agg
     "embedding_neardup_allpairs",  # exact baseline twin
-    "ngram_jaccard_allpairs",      # exact baseline twin
-    # round-4 additions (recursive-CTE / regex / vocab oracles)
-    "neardup_clusters",        # connected components + keep-one retention
-    "doc_pii_redact",          # regex PII counting + masking
-    "vocab_top_tokens",        # corpus vocabulary df table
-    "streaming_neardup_admission",  # stream-static banded-LSH admission
 ]
+
+assert len(_GATE_FIRST) == GATE_CAP, (
+    f"gated prefix has {len(_GATE_FIRST)} entries, driver cap is {GATE_CAP}"
+)
+
+GATE_ORDER = _GATE_FIRST + _GATE_REST
 
 assert set(GATE_ORDER) == set(QUERIES), (
     "GATE_ORDER out of sync with registry: "

@@ -21,6 +21,8 @@ Pattern notes:
 
 from __future__ import annotations
 
+import atexit
+import os
 import shutil
 import tempfile
 import uuid
@@ -246,10 +248,16 @@ GROUP BY 1
 """
 
 
-# Fixed manifest path: the DuckDB oracle is a static SQL string, so the
-# entry publishes its file listing at a known location the oracle reads
-# back (written fresh on every invocation, before the oracle runs).
-_MANIFEST_CSV = "/tmp/spark_graft_metadata_manifest.csv"
+# Process-unique manifest path: the DuckDB oracle is a static SQL
+# string PER PROCESS (the f-string below is evaluated at import), so
+# the path is minted once under a fresh private tempdir — two
+# concurrent gate/bench runs can no longer clobber each other's
+# manifest, and a pre-planted symlink at a predictable /tmp name can't
+# redirect the write. The entry rewrites the file fresh on every
+# invocation, before the oracle runs.
+_MANIFEST_DIR = tempfile.mkdtemp(prefix="spark_graft_manifest_")
+_MANIFEST_CSV = os.path.join(_MANIFEST_DIR, "metadata_manifest.csv")
+atexit.register(shutil.rmtree, _MANIFEST_DIR, ignore_errors=True)
 
 
 def q_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

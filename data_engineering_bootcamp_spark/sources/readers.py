@@ -89,10 +89,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reading DuckDB gives, with zero per-row conversion cost and no
     session-timezone dependence. normalize_ts stays as the fallback
     for DataFrames that arrive already typed NTZ.
+
+    SCOPING: both confs are saved and restored around the read, so the
+    caller's own unrelated ``spark.read.parquet`` calls keep their
+    session's typing (``spark.read.parquet`` resolves the schema
+    eagerly, so the confs have done their type-shaping work before the
+    restore). One documented residual: when the scan surfaces a legacy
+    TIMESTAMP(NANOS) column (a ``bigint`` ts), ``nanosAsLong`` must
+    stay set for the session — the per-file parquet schema conversion
+    re-reads that conf at EXECUTION time, and restoring it would make
+    the deferred scan fail with "Illegal Parquet type" on the
+    nanos-encoded file.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    confs = {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    df = None
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    finally:
+        has_nanos_ts = df is None or any(
+            f.name == "ts" and f.dataType.simpleString() == "bigint"
+            for f in df.schema.fields
+        )
+        for k, v in prev.items():
+            if k == "spark.sql.legacy.parquet.nanosAsLong" and has_nanos_ts:
+                continue  # execution-time dependency, see docstring
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return normalize_ts(spark, df)
 
 

@@ -384,6 +384,74 @@ def test_connected_components_and_retention(spark):
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(long_chain, max_iter=3)
 
+    # the star algorithm handles the same long chain in O(log n)
+    # rounds — no raise under the bound minlabel just failed
+    star = {r.doc_id: r.cluster_id
+            for r in connected_components(
+                long_chain, max_iter=6, algorithm="star"
+            ).collect()}
+    assert star == {i: 0 for i in range(11)}
+
+    # non-integral ids must raise, not silently drop every edge
+    str_pairs = spark.createDataFrame(
+        [("a", "b")], "doc_id_a string, doc_id_b string"
+    )
+    with pytest.raises(TypeError, match="non-integral"):
+        connected_components(str_pairs)
+    str_docs = spark.createDataFrame([("a",)], "doc_id string")
+    with pytest.raises(TypeError, match="non-integral"):
+        neardup_retention(str_docs, pairs)
+
+
+def test_connected_components_star_equals_minlabel(spark):
+    """Property: on seeded random graphs the star and minlabel
+    algorithms produce identical (doc_id, cluster_id) maps, and both
+    match a pure-python union-find ground truth."""
+    import random
+
+    from data_engineering_bootcamp_spark.operators.clustering import (
+        connected_components,
+    )
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        n = rng.randint(8, 40)
+        m = rng.randint(n // 2, 2 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]  # includes self-loops and duplicates on purpose
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        seen = {v for e in edges for v in e}
+        truth = {v: find(v) for v in sorted(seen)}
+        # union-find roots are not necessarily component minima; fold
+        root_min: dict[int, int] = {}
+        for v, r in truth.items():
+            root_min[r] = min(root_min.get(r, v), v)
+        truth = {v: root_min[find(v)] for v in seen}
+
+        pairs = spark.createDataFrame(
+            edges, "doc_id_a long, doc_id_b long"
+        )
+        for algo in ("minlabel", "star"):
+            got = {
+                r.doc_id: r.cluster_id
+                for r in connected_components(
+                    pairs, algorithm=algo
+                ).collect()
+            }
+            assert got == truth, f"trial={trial} algo={algo}"
+
 
 def test_ivf_hash_threshold_sample_is_exact(spark, sf_small):
     """The hash-threshold pre-filter in ivf_centroids must yield the
