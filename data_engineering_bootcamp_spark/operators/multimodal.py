@@ -58,14 +58,184 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def real_decode(content: bytes, kind: str):  # pragma: no cover - stub
-    """Placeholder for a real decoder (PIL / torchaudio / pyav).
+    """Placeholder for a heavyweight decoder (PIL / torchaudio / pyav).
 
-    Not available in this container; the pipeline defaults to
-    `deterministic_fake_decode` semantics. To wire a real decoder, pass
-    it as the ``kernel=`` argument of ``extract_features`` /
-    ``frame_sample`` — no operator edit required.
+    Those libraries are not in this container; for actual decoding of
+    PNG and WAV payloads use ``stdlib_decode_kernel`` below (pure
+    stdlib — zlib/struct/wave — no optional imports), injected through
+    the ``kernel=`` seam of ``extract_features`` / ``frame_sample``.
     """
     raise NotImplementedError("media codecs not installed in this environment")
+
+
+# ---------------------------------------------------------------------------
+# Real decode path: pure-stdlib PNG + WAV codecs. These execute actual
+# file-format decoding (zlib inflate + PNG filter reconstruction;
+# RIFF/WAVE chunk parse + PCM sample decode) so the mapInPandas decode
+# stage runs a REAL kernel in this container — no external media libs.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def synth_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Encode a valid single-color 8-bit RGB PNG (zlib + CRC chunks).
+    Round-trips through any conformant PNG decoder."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = b"\x00" + bytes(rgb) * width  # filter 0 per scanline
+    idat = zlib.compress(row * height)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_wav(
+    n_frames: int, framerate: int = 8000, amplitude: int = 12000,
+    period: int = 16,
+) -> bytes:
+    """Encode a valid 16-bit mono PCM WAV square wave via stdlib wave."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        samples = [
+            amplitude if (i // period) % 2 == 0 else -amplitude
+            for i in range(n_frames)
+        ]
+        w.writeframes(struct.pack(f"<{n_frames}h", *samples))
+    return buf.getvalue()
+
+
+def _decode_png(content: bytes) -> list[float]:
+    """Actual PNG decode: chunk walk, zlib inflate, per-scanline filter
+    reconstruction (None/Sub/Up/Average/Paeth), 8-bit RGB/RGBA/gray.
+    Features: [1.0, width, height, channels, mean_ch0/255, mean_ch1/255,
+    mean_ch2/255, 0.0]."""
+    import struct
+    import zlib
+
+    pos = len(_PNG_SIG)
+    idat = b""
+    width = height = channels = None
+    while pos < len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        tag = content[pos + 4 : pos + 8]
+        payload = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype not in (0, 2, 6):
+                raise ValueError(f"unsupported PNG depth={depth} ctype={ctype}")
+            channels = {0: 1, 2: 3, 6: 4}[ctype]
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    prev = bytearray(stride)
+    sums = [0] * channels
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        for x in range(stride):
+            a = line[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if ftype == 1:
+                line[x] = (line[x] + a) & 0xFF
+            elif ftype == 2:
+                line[x] = (line[x] + b) & 0xFF
+            elif ftype == 3:
+                line[x] = (line[x] + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        for x in range(stride):
+            sums[x % channels] += line[x]
+        prev = line
+    n_px = width * height
+    means = [s / n_px / 255.0 for s in sums] + [0.0] * (3 - min(channels, 3))
+    return [
+        1.0, float(width), float(height), float(channels),
+        round(means[0], 6), round(means[1], 6), round(means[2], 6), 0.0,
+    ]
+
+
+def _decode_wav(content: bytes) -> list[float]:
+    """Actual WAV decode via stdlib wave: PCM params + RMS amplitude.
+    Features: [2.0, n_channels, framerate, n_frames, rms_norm,
+    sampwidth, 0.0, 0.0]."""
+    import io
+    import math
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        nch, sw, rate, nf = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(),
+            w.getnframes(),
+        )
+        frames = w.readframes(nf)
+    if sw == 2:
+        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+        denom = 32768.0
+    elif sw == 1:
+        samples = [b - 128 for b in frames]
+        denom = 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    rms = (
+        math.sqrt(sum(s * s for s in samples) / len(samples)) / denom
+        if samples
+        else 0.0
+    )
+    return [
+        2.0, float(nch), float(rate), float(nf), round(rms, 6), float(sw),
+        0.0, 0.0,
+    ]
+
+
+def stdlib_decode_kernel(content: bytes | None) -> list[float]:
+    """REAL decode kernel for the ``kernel=`` seam: sniffs the payload
+    and runs an actual format decoder — PNG (zlib inflate + filter
+    reconstruction) or WAV (RIFF/PCM) — falling back to the
+    deterministic md5 fake for unrecognized bytes, so mixed tables
+    (e.g. the text-bytes gate fixture) keep working unchanged.
+    Self-contained and picklable: every import is stdlib, inside the
+    decoder bodies."""
+    if content and content[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(content)
+    if (
+        content
+        and len(content) >= 12
+        and content[:4] == b"RIFF"
+        and content[8:12] == b"WAVE"
+    ):
+        return _decode_wav(content)
+    return deterministic_fake_decode(content)
 
 
 def deterministic_fake_decode(content: bytes) -> list[float]:

@@ -1310,7 +1310,6 @@ _GATE_FIRST = [
     # core relational surface (P/A/W/J/O/U ids)
     "rolling_revenue",         # W5-W8 W11
     "customer_order_spine",    # J10 J11 J15
-    "part_pair_edges",         # J9
     "array_metrics",           # J2 J4 J5 A12 A13 A6
     "order_history",           # A6 W10
     "best_stretch",            # W9 W12 (90-row stretch half)
@@ -1332,6 +1331,7 @@ _GATE_FIRST = [
     "embedding_neardup",
     "media_features",
     "media_frame_sample",      # first driver row r4
+    "media_real_decode",       # real stdlib PNG round-trip — first row r5
     "skew_salted_agg",
     "skew_salted_join",        # join twin — first driver row r5
     "asof_latest_order",
@@ -1369,6 +1369,7 @@ _GATE_REST = [
     # all still oracle-checked in-repo by tools/gate_check.py every
     # round.
     "pricing_summary",         # r1+r3+r4 rows; P3 A3 A17
+    "part_pair_edges",         # r3+r4 rows; J9
     "top_customers",           # r1+r3+r4 rows; J3 J13 A15 O1-O3
     "grouping_sets",           # r1+r3+r4 rows; A9 S3
     "funnel_conversion",       # r1+r3+r4 rows; P7 J8 A16

@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from ..functions.arrays import array_last, ordered_collect
 from ..operators.dedup import dedup_keep_first, dedup_ngram_jaccard
 from ..operators.graph import build_vertices
-from ..operators.multimodal import extract_features, frame_sample
+from ..operators.multimodal import (
+    extract_features,
+    frame_sample,
+    stdlib_decode_kernel,
+)
 from ..operators.scd import scd_from_snapshots, scd_incremental
 from .catalog_write import _snapshot
 from ..operators.similarity import cosine_topk_ivf, neardup_embedding_cosine
@@ -654,6 +658,70 @@ SELECT media_id,
        ((duration_ms - 1) // 1000 + 1)::BIGINT AS n_frames,
        (((duration_ms - 1) // 1000) * 1000)::BIGINT AS max_frame_ms
 FROM vids
+"""
+
+
+def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip through the mapInPandas decode seam: one
+    valid PNG is ENCODED per document (size and color deterministic in
+    doc_id), then DECODED executor-side by the pure-stdlib kernel
+    (zlib inflate + PNG filter reconstruction — no external media
+    libs), emitting the decoded dimensions and channel means. The
+    oracle predicts those features from the synthesis parameters
+    alone, so the entry only matches if the encode→decode round-trip
+    actually ran. Both stages are Arrow-batched mapInPandas — the
+    exact shape a 100 TB decode pipeline uses (narrow, no shuffle)."""
+    import pandas as pd  # noqa: PLC0415 — closure-local, executor-safe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        from data_engineering_bootcamp_spark.operators.multimodal import (
+            synth_png,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": [
+                        synth_png(
+                            int(4 + d % 13),
+                            int(2 + d % 7),
+                            (
+                                int(d * 37 % 256),
+                                int(d * 59 % 256),
+                                int(d * 83 % 256),
+                            ),
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(
+        encode, "media_id long, kind string, content binary"
+    )
+    feats = extract_features(media, kernel=stdlib_decode_kernel)
+    return feats.select(
+        "media_id",
+        F.element_at("features", 2).cast("int").alias("width"),
+        F.element_at("features", 3).cast("int").alias("height"),
+        F.element_at("features", 5).alias("mean_r"),
+        F.element_at("features", 6).alias("mean_g"),
+        F.element_at("features", 7).alias("mean_b"),
+    )
+
+
+ORACLE_MEDIA_REAL_DECODE = """
+SELECT doc_id AS media_id,
+       CAST(4 + doc_id % 13 AS INT) AS width,
+       CAST(2 + doc_id % 7 AS INT) AS height,
+       ROUND((doc_id * 37 % 256) / 255.0, 6) AS mean_r,
+       ROUND((doc_id * 59 % 256) / 255.0, 6) AS mean_g,
+       ROUND((doc_id * 83 % 256) / 255.0, 6) AS mean_b
+FROM documents
 """
 
 
@@ -1455,6 +1523,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_allpairs": q_embedding_neardup_allpairs,
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
+    "media_real_decode": q_media_real_decode,
     "streaming_tumbling_hits": q_streaming_tumbling,
     "streaming_session_windows": q_streaming_sessions,
     "streaming_foreachbatch_sink": q_streaming_foreachbatch,
@@ -1484,6 +1553,7 @@ EXT_ORACLES: dict[str, str] = {
     "embedding_neardup_allpairs": ORACLE_EMBEDDING_NEARDUP_ALLPAIRS,
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_frame_sample": ORACLE_MEDIA_FRAMES,
+    "media_real_decode": ORACLE_MEDIA_REAL_DECODE,
     "streaming_tumbling_hits": ORACLE_STREAMING_TUMBLING,
     "streaming_session_windows": ORACLE_STREAMING_SESSIONS,
     "streaming_foreachbatch_sink": ORACLE_STREAMING_FOREACHBATCH,

@@ -329,27 +329,31 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       quality score → language ID → filter (en, quality ≥ 0.9)
       → exact dedup (keep lowest doc_id per md5 fingerprint)
-      → near-dup removal (prefix-filtered exact trigram Jaccard ≥ 0.5;
-        drop the higher doc_id of every qualifying pair)
+      → near-dup CLUSTER retention (prefix-filtered exact trigram
+        Jaccard ≥ 0.5 pairs → connected components → keep exactly the
+        minimum doc_id per component)
       → deterministic 25% holdout split (md5 hash of doc_id)
       → per-split corpus stats.
 
     Every stage is an already-oracle-proven component (doc_quality,
     doc_lang_id, doc_dedup_exact, ngram_jaccard_pairs,
-    hash_sample_split); this entry proves they COMPOSE — the DuckDB
-    oracle recomputes the full pipeline in SQL, so any drift in stage
-    order, filter semantics, or removal rule breaks the hash match.
+    neardup_clusters, hash_sample_split); this entry proves they
+    COMPOSE — the DuckDB oracle recomputes the full pipeline in SQL
+    (components via a recursive-CTE transitive closure), so any drift
+    in stage order, filter semantics, or retention rule breaks the
+    hash match.
 
     Scale shape: the filters and scores are scan-speed Catalyst
     expressions; dedup is one groupBy; near-dup is the lossless
-    length-bucket equi-join; the split is a map-side predicate. No
-    collects, no BNLJ, no row-at-a-time Python.
+    length-bucket equi-join; component resolution is the audited
+    min-label loop over the PAIR list (never the corpus); the split is
+    a map-side predicate. No collects, no BNLJ, no row-at-a-time
+    Python.
 
-    Removal rule (deterministic, SQL-expressible): doc b is removed iff
-    SOME qualifying pair (a, b) with a < b exists among the exact-dedup
-    survivors — independent of whether a itself is removed (no
-    transitive chaining; union-find-style clustering is not
-    SQL-reproducible and lives out of scope).
+    Retention rule (pairs → clusters → keep, the flow real pipelines
+    use): a doc is removed iff it is NOT the minimum id of its
+    connected near-dup component — transitive chains collapse to one
+    survivor instead of the pair-level rule's order-dependent culls.
     """
     from ..functions.text import (
         doc_fingerprint,
@@ -357,6 +361,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
         token_count,
     )
+    from ..operators.clustering import connected_components
     from ..operators.dedup import _persist, dedup_keep_first, dedup_ngram_jaccard
     from ..operators.sampling import _threshold_hex, sample_bucket
 
@@ -387,7 +392,13 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ngram_jaccard(
         kept, block_col=None, ngram=3, threshold=0.5, prefix_filtered=True
     )
-    removed = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    # cluster retention (neardup_retention's rule, phrased as an anti
+    # join so the payload columns ride along without a second join):
+    # resolve pairs into components, drop every non-minimum member
+    comp = connected_components(pairs)
+    removed = comp.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
     final = kept.join(removed, "doc_id", "left_anti")
     split = F.when(
         sample_bucket(F.col("doc_id")) < F.lit(_threshold_hex(0.25)), "holdout"
@@ -420,7 +431,7 @@ def _corpus_curation_oracle() -> str:
         f"WHEN h_{lang} = best THEN '{lang}'" for lang in LANG_MARKERS
     )
     return rf"""
-WITH toks AS (
+WITH RECURSIVE toks AS (
   SELECT doc_id, text, source,
          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
            AS toks,
@@ -459,12 +470,26 @@ grams AS (
                                         i -> array_to_string(toks[i:i+2], ' ')))
          ELSE [array_to_string(toks, ' ')] END AS g
   FROM kept),
-removed AS (
-  SELECT DISTINCT b.doc_id
+pairs AS MATERIALIZED (
+  -- MATERIALIZED: referenced by both edge directions AND the
+  -- recursion below; inlined, DuckDB re-runs the O(n^2)
+  -- list_intersect join per recursive iteration (~3x wall)
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
   FROM grams a JOIN grams b ON a.doc_id < b.doc_id
   WHERE ROUND(len(list_intersect(a.g, b.g))::DOUBLE /
               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
         >= 0.5),
+edges AS MATERIALIZED (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+removed AS (
+  SELECT a AS doc_id FROM reach GROUP BY a
+  HAVING LEAST(a, MIN(b)) <> a),
 final AS (
   SELECT g.*,
          CASE WHEN substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8) < '40000000'
@@ -707,13 +732,15 @@ grams AS (
                                         i -> array_to_string(tk[i:i+2], ' ')))
          ELSE [array_to_string(tk, ' ')] END AS g
   FROM toks),
-pairs AS (
+pairs AS MATERIALIZED (
+  -- MATERIALIZED: see corpus-curation oracle — keeps the O(n^2)
+  -- pair join out of the recursive iteration replan
   SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
   FROM grams a JOIN grams b ON a.doc_id < b.doc_id
   WHERE ROUND(len(list_intersect(a.g, b.g))::DOUBLE /
               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
         >= 0.5),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
   UNION
   SELECT doc_id_b, doc_id_a FROM pairs),

@@ -524,6 +524,76 @@ def test_multimodal_kernel_is_injectable(spark):
     assert all(r["features"] == [12.0] * 8 for r in frames)  # 4 + 8 ts bytes
 
 
+def test_multimodal_real_stdlib_decoder(spark):
+    """A REAL decoder must run end-to-end through extract_features:
+    synthesize valid PNG and WAV payloads, decode them executor-side
+    via the pure-stdlib kernel (zlib inflate + PNG filter
+    reconstruction; RIFF/PCM parse), and check the features against
+    ground truth known from the synthesis parameters — not from the
+    kernel itself."""
+    from data_engineering_bootcamp_spark.operators.multimodal import (
+        _PNG_SIG,
+        deterministic_fake_decode,
+        extract_features,
+        stdlib_decode_kernel,
+        synth_png,
+        synth_wav,
+    )
+
+    png = synth_png(16, 8, (200, 100, 50))
+    wav = synth_wav(4000, framerate=8000, amplitude=12000)
+    media = spark.createDataFrame(
+        [
+            (1, "image", png, (16, 8, 0, "image/png")),
+            (2, "audio", wav, (0, 0, 500, "audio/wav")),
+            (3, "image", b"not media", (0, 0, 0, "text/plain")),
+        ],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int,height:int,duration_ms:long,mime:string>",
+    )
+    got = {
+        r["media_id"]: (r["n_bytes"], r["features"])
+        for r in extract_features(media, kernel=stdlib_decode_kernel).collect()
+    }
+    # PNG: [marker, w, h, channels, meanR, meanG, meanB, 0]
+    assert got[1][0] == len(png)
+    assert got[1][1][:4] == [1.0, 16.0, 8.0, 3.0]
+    assert got[1][1][4:7] == pytest.approx(
+        [200 / 255, 100 / 255, 50 / 255], abs=1e-6
+    )
+    # WAV: [marker, nch, rate, frames, rms, sampwidth, 0, 0]
+    assert got[2][1][:4] == [2.0, 1.0, 8000.0, 4000.0]
+    assert got[2][1][4] == pytest.approx(12000 / 32768, abs=1e-6)
+    # unrecognized bytes fall back to the md5 stub — mixed tables work
+    assert got[3][1] == pytest.approx(deterministic_fake_decode(b"not media"))
+
+    # filter reconstruction is real: hand-encode scanlines with Sub(1)
+    # and Up(2) filters and require the same means as the filter-0 form
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    w_px, rgb = 4, (30, 60, 90)
+    # row 0: Sub filter — first pixel raw, rest delta-0 from left pixel
+    row0 = b"\x01" + bytes(rgb) + b"\x00" * (3 * (w_px - 1))
+    # row 1: Up filter — all zero deltas from row 0
+    row1 = b"\x02" + b"\x00" * (3 * w_px)
+    ihdr = struct.pack(">IIBBBBB", w_px, 2, 8, 2, 0, 0, 0)
+    filtered_png = (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(row0 + row1))
+        + chunk(b"IEND", b"")
+    )
+    feats = stdlib_decode_kernel(filtered_png)
+    assert feats == stdlib_decode_kernel(synth_png(w_px, 2, rgb))
+
+
 def test_minhash_verify_broadcast_is_adaptive(spark, sf_small):
     """With broadcast_verify=None (default) the verify-stage join plan
     must follow the measured size of the signature relation vs the
