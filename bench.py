@@ -77,12 +77,18 @@ HEADLINE = [
     "doc_pii_redact",
     "vocab_top_tokens",
     "metadata_scan",
+    # round-5 addition: real stdlib PNG encode→decode round-trip
+    "media_real_decode",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # machine-contention marker: loadavg BEFORE the run — a driver bench
+    # sharing the box with other work showed 3-5x phantom regressions in
+    # round 4, so contaminated runs must be detectable post-hoc
+    load_start = os.getloadavg()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -129,6 +135,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # 1/5/15-min loadavg at start and end; compare against
+        # $SPARK_GRAFT_CPUS to judge whether the box was idle
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     if errors:
         out["errors"] = errors

@@ -373,3 +373,72 @@ def test_minhash_banded_stream_batch_parity(spark, sf_small, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert streamed == batch and batch
+
+
+def test_admission_stream_static_join_plan_shape(spark, sf_small, tmp_path):
+    """The stream-static admission join must stay INCREMENTAL: each
+    micro-batch's physical plan has to (a) read the static banded
+    corpus from its persisted relation (InMemoryTableScan — no
+    per-batch recompute of the corpus projection) and (b) join it to
+    the micro-batch via an equi HASH join keyed on (band, band_hash) —
+    never a nested-loop/cartesian shape. Captured from the running
+    query's explain after processing two micro-batches."""
+    from data_engineering_bootcamp_spark.operators.dedup import (
+        minhash_banded,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    static_banded = (
+        minhash_banded(docs.where(F.col("doc_id") % 4 != 0).limit(60))
+        .select(
+            F.col("doc_id").alias("corpus_id"),
+            "band",
+            "band_hash",
+        )
+        .persist()
+    )
+    try:
+        src = str(tmp_path / "adm_src")
+        incoming = docs.where(F.col("doc_id") % 4 == 0).limit(20)
+        # two source files → two micro-batches under maxFilesPerTrigger=1
+        incoming.where(F.col("doc_id") % 8 == 0).write.parquet(f"{src}/a")
+        incoming.where(F.col("doc_id") % 8 != 0).write.parquet(f"{src}/b")
+        schema = spark.read.parquet(f"{src}/a").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(f"{src}/*")
+        )
+        joined = minhash_banded(stream).join(
+            static_banded, ["band", "band_hash"]
+        ).select("doc_id", "corpus_id")
+        out = str(tmp_path / "adm_out")
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "adm_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        plan = q._jsq.explainInternal(False)
+        q.stop()
+    finally:
+        static_banded.unpersist()
+
+    assert q.lastProgress["batchId"] >= 1  # two micro-batches ran
+    # static side read from the persisted relation, not recomputed
+    assert "InMemoryTableScan" in plan, plan
+    # equi hash join on the banding keys; no loop/cartesian fallback
+    assert "HashJoin" in plan, plan
+    join_line = next(
+        ln for ln in plan.splitlines() if "HashJoin" in ln
+    )
+    assert "band" in join_line and "band_hash" in join_line, join_line
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
