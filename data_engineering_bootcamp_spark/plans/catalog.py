@@ -1309,7 +1309,6 @@ GATE_CAP = 50  # the driver gates exactly this many leading entries
 _GATE_FIRST = [
     # core relational surface (P/A/W/J/O/U ids)
     "rolling_revenue",         # W5-W8 W11
-    "customer_order_spine",    # J10 J11 J15
     "array_metrics",           # J2 J4 J5 A12 A13 A6
     "order_history",           # A6 W10
     "best_stretch",            # W9 W12 (90-row stretch half)
@@ -1347,6 +1346,7 @@ _GATE_FIRST = [
     "doc_pii_redact",          # regex PII counting + masking — first row r5
     "vocab_top_tokens",        # corpus vocabulary df table — first row r5
     "neardup_clusters",        # CC + keep-one retention — first row r5
+    "neardup_clusters_star",   # large/small-star CC — first row r5
     "corpus_curation_pipeline",  # flagship; first driver row r4
     # write-path round-trips (S4-S10, O4/O5, J14, S8)
     "bucketed_join_rollup",    # S4 S5 J14
@@ -1370,6 +1370,7 @@ _GATE_REST = [
     # round.
     "pricing_summary",         # r1+r3+r4 rows; P3 A3 A17
     "part_pair_edges",         # r3+r4 rows; J9
+    "customer_order_spine",    # r3+r4 rows; J10 J11 J15
     "top_customers",           # r1+r3+r4 rows; J3 J13 A15 O1-O3
     "grouping_sets",           # r1+r3+r4 rows; A9 S3
     "funnel_conversion",       # r1+r3+r4 rows; P7 J8 A16

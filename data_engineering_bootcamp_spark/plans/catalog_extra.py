@@ -758,6 +758,70 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 """
 
 
+def q_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster retention via the ALTERNATING large-star/small-star
+    algorithm (Kiveris et al. 2014) — the O(log n)-round connected
+    components the min-label loop can't match on long-diameter graphs.
+    Edges here are the SimHash near-dup pairs (Hamming ≤ 3 over the
+    md5-derived 60-bit fingerprint, pigeonhole-blocked), so this entry
+    driver-gates BOTH the star implementation and its composition with
+    a second pair family; the oracle brute-forces the fingerprints and
+    resolves components with a recursive-CTE transitive closure."""
+    from ..operators.clustering import neardup_retention
+    from ..operators.dedup import dedup_simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_simhash(docs, max_hamming=3, hash_fn="md5")
+    return neardup_retention(docs, pairs, algorithm="star")
+
+
+ORACLE_NEARDUP_CLUSTERS_STAR = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                      'g')), ' '),
+                     t -> t <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 2 THEN
+           list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         ELSE [array_to_string(tk, ' ')] END AS g
+  FROM toks),
+gh AS (
+  SELECT doc_id, CAST('0x' || substr(md5(unnest(g)), 1, 15) AS BIGINT) AS h
+  FROM grams),
+bits AS (
+  SELECT gh.doc_id, bs.b,
+         SUM(CASE WHEN ((gh.h >> bs.b) & 1) = 1 THEN 1 ELSE -1 END) AS c
+  FROM gh CROSS JOIN (SELECT unnest(range(60)) AS b) bs
+  GROUP BY 1, 2),
+fp AS MATERIALIZED (
+  SELECT doc_id,
+         SUM(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
+  FROM bits GROUP BY 1),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+edges AS MATERIALIZED (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # PII redaction (text-curation hygiene)
 # ---------------------------------------------------------------------------
@@ -889,6 +953,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_token_stream": q_pack_token_stream,
     "table_profile": q_table_profile,
     "neardup_clusters": q_neardup_clusters,
+    "neardup_clusters_star": q_neardup_clusters_star,
     "doc_pii_redact": q_doc_pii_redact,
     "vocab_top_tokens": q_vocab_top_tokens,
 }
@@ -907,6 +972,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "pack_token_stream": ORACLE_PACK_TOKEN_STREAM,
     "table_profile": _profile_oracle(),
     "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
+    "neardup_clusters_star": ORACLE_NEARDUP_CLUSTERS_STAR,
     "doc_pii_redact": ORACLE_DOC_PII_REDACT,
     "vocab_top_tokens": ORACLE_VOCAB_TOP_TOKENS,
 }

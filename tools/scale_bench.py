@@ -227,14 +227,80 @@ def bench_ngram(spark) -> dict:
     return out
 
 
+def bench_cc(spark) -> dict:
+    """Connected-components algorithm face-off on the two graph shapes
+    that matter: a LONG CHAIN (pathological diameter — the case the
+    round-4 verdict flagged for min-label) and a CLIQUE FOREST (the
+    near-dup shape). Star must resolve the chain min-label cannot
+    touch, and stay competitive on cliques."""
+    from data_engineering_bootcamp_spark.operators.clustering import (
+        connected_components,
+    )
+
+    out: dict = {}
+    n_chain = 30_000
+    chain = spark.range(n_chain - 1).select(
+        F.col("id").alias("doc_id_a"), (F.col("id") + 1).alias("doc_id_b")
+    )
+    t0 = time.perf_counter()
+    labels = connected_components(chain, algorithm="star", max_iter=60)
+    ok = (
+        labels.agg(F.max("cluster_id")).first()[0] == 0
+        and labels.count() == n_chain
+    )
+    out["chain_star"] = {
+        "vertices": n_chain,
+        "diameter": n_chain - 1,
+        "sec": round(time.perf_counter() - t0, 3),
+        "single_component": bool(ok),
+    }
+    try:
+        connected_components(chain, algorithm="minlabel", max_iter=5)
+        out["chain_minlabel"] = "converged (UNEXPECTED at diameter 30k)"
+    except RuntimeError:
+        out["chain_minlabel"] = (
+            "raises (diameter-bounded, as documented) — star is the "
+            "long-chain path"
+        )
+
+    # clique forest: 30k vertices in 7.5k cliques of 4 — the near-dup
+    # shape; both algorithms must agree and both stay in a handful of
+    # rounds
+    cliq = (
+        spark.range(n_chain)
+        .select(
+            (F.col("id") - F.col("id") % 4).alias("doc_id_a"),
+            F.col("id").alias("doc_id_b"),
+        )
+        .where(F.col("doc_id_a") != F.col("doc_id_b"))
+    )
+    secs = {}
+    counts = {}
+    for algo in ("minlabel", "star"):
+        t0 = time.perf_counter()
+        lab = connected_components(cliq, algorithm=algo)
+        counts[algo] = lab.select("cluster_id").distinct().count()
+        secs[algo] = round(time.perf_counter() - t0, 3)
+    out["cliques"] = {
+        "vertices": n_chain,
+        "n_components_minlabel": counts["minlabel"],
+        "n_components_star": counts["star"],
+        "components_match": counts["minlabel"] == counts["star"] == n_chain // 4,
+        "minlabel_sec": secs["minlabel"],
+        "star_sec": secs["star"],
+    }
+    return out
+
+
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_scale_r04.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_scale_r05.json"
     spark = get_spark(app_name="scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
     result = {
         "sf_dir": SF_DIR,
         "skew_join": bench_skew(spark),
         "ngram_neardup": bench_ngram(spark),
+        "connected_components": bench_cc(spark),
     }
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)
