@@ -20,8 +20,8 @@ from data_engineering_bootcamp_spark.plans.catalog import ORACLES, QUERIES
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the composed corpus-curation pipeline (quality →
-    lang-ID → exact dedup → prefix-filtered near-dup removal →
-    deterministic split → per-split stats) on sf0.001."""
+    lang-ID → exact dedup → near-dup connected-components cluster
+    retention → deterministic split → per-split stats) on sf0.001."""
     return QUERIES["corpus_curation_pipeline"](spark, "/root/testdata/sf0.001")
 
 
