@@ -79,6 +79,14 @@ HEADLINE = [
     "metadata_scan",
     # round-5 addition: real stdlib PNG encode→decode round-trip
     "media_real_decode",
+    # round-5 additions: reshaping + LLM-pipeline depth (sub-document
+    # dedup, source mixing, quantile trimming, int8 quantization)
+    "pivot_lang_counts",
+    "unpivot_region_metrics",
+    "chunk_dedup_rebuild",
+    "corpus_mix_plan",
+    "quantile_band_filter",
+    "embedding_quantize_error",
 ]
 
 

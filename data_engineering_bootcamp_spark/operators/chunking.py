@@ -110,3 +110,71 @@ def pack_token_stream(
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+def dedup_chunks_rebuild(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+) -> DataFrame:
+    """Corpus-wide CHUNK-level exact dedup with document rebuild —
+    the sub-document dedup pass (boilerplate headers, license
+    blocks, repeated navigation text) that doc-level exact dedup
+    misses entirely.
+
+    Documents are cut into non-overlapping ``chunk_tokens`` windows
+    (stride = chunk size, so a rebuild is well-defined); each distinct
+    chunk text survives exactly once corpus-wide, at its first
+    occurrence (lowest doc_id, then lowest chunk_idx); every document
+    is then rebuilt from its surviving chunks in order.
+
+    Output: one row per input document —
+    (doc_id, n_chunks, n_kept, kept_tokens, rebuilt_md5), where
+    rebuilt_md5 is the md5 of the space-joined surviving chunks
+    (md5('') for a document that lost everything).
+
+    Scale: chunking is map-side; the dedup is ONE shuffle partitioned
+    by md5(chunk_text) — a 32-byte key, never the chunk text itself,
+    so shuffle width is bounded regardless of chunk size; the rebuild
+    is one more shuffle on doc_id. Both are plain hash exchanges with
+    map-side partial aggregation; nothing quadratic, nothing
+    collected.
+    """
+    from pyspark.sql import Window
+
+    chunks = chunk_docs(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        chunk_tokens=chunk_tokens,
+        stride=chunk_tokens,
+    ).withColumn("chunk_md5", F.md5("chunk_text"))
+    w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+    flagged = chunks.withColumn(
+        "_keep", F.row_number().over(w) == 1
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("_keep"), F.col("n_tokens")).cast("long")),
+            F.lit(0),
+        ).alias("kept_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct("chunk_idx", "chunk_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("chunk_text"),
+                ),
+            )
+        ).alias("rebuilt_md5"),
+    )

@@ -92,3 +92,42 @@ def stratified_sample(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    rate_pct: Column,
+    salt: str = "",
+) -> DataFrame:
+    """Corpus-mixing sampler: keep a per-group PERCENTAGE of rows,
+    with the quota computed in integer arithmetic so every engine
+    agrees on the cutoff exactly.
+
+    ``rate_pct`` is an integer-percent column/expression (0..100)
+    that must be functionally determined by ``group_cols`` (e.g. a
+    per-source mixing weight à la Pile/Dolma source proportions).
+    quota = ceil(n_rows * rate_pct / 100) computed as
+    ``(n * pct + 99) DIV 100`` — no floating point, no engine skew.
+    Membership = the quota rows whose keys md5-hash lowest (same
+    deterministic coordinate as `stratified_sample`, so mixes are
+    reproducible across runs, engines, and cluster layouts).
+
+    Plan shape: one window shuffle on the group key computes BOTH the
+    per-group count and the rank in a single pass — no separate
+    count+join, no broadcast needed, no second shuffle.
+    """
+    from pyspark.sql import Window
+
+    wrank = Window.partitionBy(*group_cols).orderBy(
+        sample_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    wall = Window.partitionBy(*group_cols)
+    quota = (F.count(F.lit(1)).over(wall) * rate_pct + 99) / 100
+    return (
+        df.withColumn("_rk", F.row_number().over(wrank))
+        .withColumn("_quota", F.floor(quota))
+        .where(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota")
+    )

@@ -1288,6 +1288,13 @@ from .catalog_extra import EXTRA_ORACLES, EXTRA_QUERIES  # noqa: E402
 QUERIES.update(EXTRA_QUERIES)
 ORACLES.update(EXTRA_ORACLES)
 
+# round-5 additions (pivot/unpivot reshaping, chunk-level dedup,
+# corpus mixing, quantile-band filtering, int8 embedding quantization)
+from .catalog_mix import MIX_ORACLES, MIX_QUERIES  # noqa: E402
+
+QUERIES.update(MIX_QUERIES)
+ORACLES.update(MIX_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Gate ordering. The round driver gates exactly the FIRST `GATE_CAP`
 # entries of queries(), so registry order is a correctness-visibility
@@ -1399,6 +1406,13 @@ _GATE_REST = [
     "user_vertices",           # W3 dup of dedup_keep_first
     "host_activity_reduced",   # J2/J12 (series via customer_order_spine)
     "embedding_neardup_allpairs",  # exact baseline twin
+    # round-5 additions — no driver row yet (promote in the r6 rotation)
+    "pivot_lang_counts",       # groupBy().pivot() with pinned values
+    "unpivot_region_metrics",  # DataFrame.unpivot wide->long
+    "chunk_dedup_rebuild",     # sub-document exact dedup + rebuild
+    "corpus_mix_plan",         # per-source mixing quotas (integer math)
+    "quantile_band_filter",    # exact-percentile length trimming
+    "embedding_quantize_error",  # int8 SQ reconstruction error
 ]
 
 assert len(_GATE_FIRST) == GATE_CAP, (

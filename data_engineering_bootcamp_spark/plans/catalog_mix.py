@@ -1,0 +1,361 @@
+"""Round-5 catalog additions: reshaping (pivot/unpivot), sub-document
+dedup, corpus mixing, quantile-band filtering, and embedding
+quantization.
+
+Two groups:
+
+- **Relational-surface closure** — `pivot`/`unpivot` are the one
+  reshaping pair the catalog's SURVEY §2 families (§2.4 aggregation,
+  §2.7 set ops) exercise only implicitly: `pivot_lang_counts` runs
+  Spark's `groupBy().pivot()` (with an EXPLICIT value list — at scale
+  the implicit form adds a collect-distinct job over the corpus) and
+  `unpivot_region_metrics` runs `DataFrame.unpivot` (wide→long is a
+  zero-shuffle projection; the oracle replays it as the classic
+  UNION ALL rewrite the reference's SQL lessons would use).
+- **LLM-pipeline depth** (brief: dedup / mixing / quality /
+  similarity-at-scale as first-class components) —
+  `chunk_dedup_rebuild` (sub-document boilerplate removal),
+  `corpus_mix_plan` (deterministic per-source mixing quotas, the
+  Pile/Dolma source-weighting step), `quantile_band_filter`
+  (length-outlier trimming with EXACT percentile cutoffs, the
+  C4/Gopher length-filter shape), `embedding_quantize_error`
+  (int8 scalar quantization with per-vector reconstruction error —
+  the measurement that gates shipping a 4x-smaller ANN index).
+
+Every entry has an exact DuckDB oracle; determinism contracts
+(integer quota arithmetic, spelled-out half-up rounding, left-fold
+error sums) are documented on the operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long -> wide) with explicit value list
+# ---------------------------------------------------------------------------
+
+def q_pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language distribution as a wide table.
+
+    `pivot(col, values)` with the value list pinned: the implicit
+    form first runs a distinct-collect job to discover the columns —
+    a full extra pass at 100 TB and a nondeterministic schema if a
+    rare lang appears; pinning keeps it a single hash aggregate whose
+    schema is known at plan time. Missing cells are 0, not NULL
+    (a source with no docs of a language has a count of zero).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    piv = (
+        docs.groupBy("source")
+        .pivot("lang", _LANGS)
+        .count()
+        .na.fill(0, _LANGS)
+    )
+    total = sum((F.col(c) for c in _LANGS), F.lit(0)).cast("long")
+    return (
+        piv.withColumn("total", total)
+        .withColumn("en_share", F.round(F.col("en") / F.col("total"), 6))
+    )
+
+
+ORACLE_PIVOT_LANG_COUNTS = """
+SELECT source,
+       COUNT(*) FILTER (WHERE lang = 'de') AS de,
+       COUNT(*) FILTER (WHERE lang = 'en') AS en,
+       COUNT(*) FILTER (WHERE lang = 'es') AS es,
+       COUNT(*) FILTER (WHERE lang = 'fr') AS fr,
+       COUNT(*) FILTER (WHERE lang = 'zh') AS zh,
+       COUNT(*) AS total,
+       ROUND((COUNT(*) FILTER (WHERE lang = 'en')) * 1.0 / COUNT(*), 6)
+         AS en_share
+FROM documents
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long)
+# ---------------------------------------------------------------------------
+
+def q_unpivot_region_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region KPIs computed wide, shipped long (metric, value) —
+    the melt a metrics store ingests. `DataFrame.unpivot` is a
+    zero-shuffle generator projection (each input row fans out to 3
+    output rows map-side); all values cast to one double column, the
+    unpivot type contract. Dimension joins are broadcast.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    wide = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.countDistinct("c_custkey").cast("double").alias("n_customers"),
+        )
+    )
+    return wide.unpivot(
+        ["r_name"], ["revenue", "n_orders", "n_customers"], "metric", "value"
+    )
+
+
+ORACLE_UNPIVOT_REGION_METRICS = """
+WITH wide AS (
+  SELECT r.r_name,
+         ROUND(SUM(o.o_totalprice), 2) AS revenue,
+         COUNT(*) AS n_orders,
+         COUNT(DISTINCT c.c_custkey) AS n_customers
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name)
+SELECT r_name, 'revenue' AS metric, revenue::DOUBLE AS value FROM wide
+UNION ALL
+SELECT r_name, 'n_orders', n_orders::DOUBLE FROM wide
+UNION ALL
+SELECT r_name, 'n_customers', n_customers::DOUBLE FROM wide
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sub-document (chunk-level) exact dedup + rebuild
+# ---------------------------------------------------------------------------
+
+def q_chunk_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide chunk-level exact dedup (32-token non-overlapping
+    windows, first occurrence wins) and per-document rebuild stats.
+    See `operators.chunking.dedup_chunks_rebuild` for the shuffle
+    budget (two hash exchanges, md5-keyed)."""
+    from ..operators.chunking import dedup_chunks_rebuild
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_chunks_rebuild(docs, chunk_tokens=32)
+
+
+ORACLE_CHUNK_DEDUP_REBUILD = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents),
+sized AS (
+  SELECT doc_id, t,
+         1 + CAST(ceil(greatest(len(t) - 32, 0) / 32.0) AS INT) AS n_chunks
+  FROM toks),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         t[(i * 32 + 1):(i * 32 + 32)] AS ctoks
+  FROM sized, UNNEST(range(0, n_chunks)) AS u(i)),
+keyed AS (
+  SELECT doc_id, chunk_idx, len(ctoks) AS n_tokens,
+         array_to_string(ctoks, ' ') AS ctext,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(array_to_string(ctoks, ' '))
+           ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       COALESCE(SUM(CASE WHEN rn = 1 THEN n_tokens END), 0)::BIGINT
+         AS kept_tokens,
+       md5(COALESCE(
+         string_agg(CASE WHEN rn = 1 THEN ctext END, ' '
+                    ORDER BY chunk_idx), '')) AS rebuilt_md5
+FROM keyed
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing plan (per-source quota sampling)
+# ---------------------------------------------------------------------------
+
+def q_corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixing: each source keeps an integer
+    percentage of its documents (rate derived from the source id so
+    the oracle can replay it), membership by lowest md5 hash. Quota
+    arithmetic is all-integer — `(n * pct + 99) DIV 100` — so Spark
+    and the oracle agree exactly; see `operators.sampling.
+    weighted_mix` (single window shuffle, no count+join round trip).
+    """
+    from ..operators.sampling import weighted_mix
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    rate = (
+        F.lit(20)
+        + F.lit(5)
+        * (F.regexp_extract("source", r"(\d+)", 1).cast("int") % 7)
+    )
+    kept = weighted_mix(docs, ["source"], "doc_id", rate)
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(rate).alias("rate_pct"),
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+    return (
+        totals.join(kept_agg, "source", "left")
+        .select(
+            "source",
+            "rate_pct",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+        )
+    )
+
+
+ORACLE_CORPUS_MIX_PLAN = r"""
+WITH rated AS (
+  SELECT doc_id, source, n_chars,
+         20 + 5 * (CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 7)
+           AS rate_pct,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_docs
+  FROM documents)
+SELECT source,
+       MIN(rate_pct) AS rate_pct,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE rk <= (n_docs * rate_pct + 99) // 100)
+         AS n_kept,
+       COALESCE(SUM(n_chars)
+                  FILTER (WHERE rk <= (n_docs * rate_pct + 99) // 100),
+                0)::BIGINT AS kept_chars
+FROM rated
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quantile-band length filter (exact percentile cutoffs)
+# ---------------------------------------------------------------------------
+
+def q_quantile_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim length outliers: keep documents whose n_chars lies in
+    [floor(p10), ceil(p90)] of the corpus, report the survivors per
+    language. The thresholds are one EXACT percentile aggregate
+    (Spark `percentile` == DuckDB `quantile_cont`, type-7 linear
+    interpolation) floored/ceiled to integers so the band comparison
+    is integer-exact; the 1-row threshold relation is crossJoin-
+    broadcast to the scan — the sanctioned scalar-broadcast shape
+    (cf. `filter_by_top1`), a no-op at any scale.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    th = docs.agg(
+        F.floor(F.percentile("n_chars", F.lit(0.1))).alias("lo"),
+        F.ceil(F.percentile("n_chars", F.lit(0.9))).alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(th))
+        .where((F.col("n_chars") >= F.col("lo"))
+               & (F.col("n_chars") <= F.col("hi")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+ORACLE_QUANTILE_BAND_FILTER = """
+WITH th AS (
+  SELECT CAST(floor(quantile_cont(n_chars, 0.1)) AS BIGINT) AS lo,
+         CAST(ceil(quantile_cont(n_chars, 0.9)) AS BIGINT) AS hi
+  FROM documents)
+SELECT lang,
+       COUNT(*) AS n_kept,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       ROUND(AVG(n_chars), 6) AS avg_chars
+FROM documents, th
+WHERE n_chars >= lo AND n_chars <= hi
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization error report
+# ---------------------------------------------------------------------------
+
+def q_embedding_quantize_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-vector int8 symmetric-quantization reconstruction error
+    (sse + max abs), the measurement that gates shipping a 4x-smaller
+    ANN index. Pure Catalyst higher-order functions, zero shuffle;
+    determinism contract (left-fold sum, spelled-out half-up
+    rounding) documented in `operators.quantize`."""
+    from ..operators.quantize import quantization_error
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantization_error(emb, ["vec_id", "label"], "embedding", 6)
+
+
+ORACLE_EMBEDDING_QUANTIZE_ERROR = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+s AS (
+  SELECT vec_id, label, x, len(x)::INT AS dim,
+         CASE WHEN list_max(list_transform(x, e -> abs(e))) > 0
+              THEN 127.0 / list_max(list_transform(x, e -> abs(e)))
+              ELSE 1.0 END AS scale
+  FROM v),
+e AS (
+  SELECT vec_id, label, dim, scale,
+         list_transform(x, t -> t - floor(t * scale + 0.5) / scale)
+           AS err
+  FROM s)
+SELECT vec_id, label, dim,
+       ROUND(scale, 6) AS q_scale,
+       ROUND(list_reduce(list_transform(err, t -> t * t),
+                         (a, b) -> a + b), 6) AS sse,
+       ROUND(list_max(list_transform(err, t -> abs(t))), 6)
+         AS max_abs_err
+FROM e
+"""
+
+
+MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pivot_lang_counts": q_pivot_lang_counts,
+    "unpivot_region_metrics": q_unpivot_region_metrics,
+    "chunk_dedup_rebuild": q_chunk_dedup_rebuild,
+    "corpus_mix_plan": q_corpus_mix_plan,
+    "quantile_band_filter": q_quantile_band_filter,
+    "embedding_quantize_error": q_embedding_quantize_error,
+}
+
+MIX_ORACLES: dict[str, str] = {
+    "pivot_lang_counts": ORACLE_PIVOT_LANG_COUNTS,
+    "unpivot_region_metrics": ORACLE_UNPIVOT_REGION_METRICS,
+    "chunk_dedup_rebuild": ORACLE_CHUNK_DEDUP_REBUILD,
+    "corpus_mix_plan": ORACLE_CORPUS_MIX_PLAN,
+    "quantile_band_filter": ORACLE_QUANTILE_BAND_FILTER,
+    "embedding_quantize_error": ORACLE_EMBEDDING_QUANTIZE_ERROR,
+}

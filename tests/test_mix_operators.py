@@ -1,0 +1,112 @@
+"""Unit tests for the round-5 operators: weighted_mix quota edges,
+int8 quantization invariants, and chunk-level dedup + rebuild."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_engineering_bootcamp_spark.operators.chunking import (
+    dedup_chunks_rebuild,
+)
+from data_engineering_bootcamp_spark.operators.quantize import (
+    quantization_error,
+    quantize_int8,
+)
+from data_engineering_bootcamp_spark.operators.sampling import weighted_mix
+
+
+def test_weighted_mix_quota_is_integer_ceiling(spark):
+    # 7 rows at 30% -> ceil(2.1) = 3 kept; 100% keeps all; tiny rates
+    # keep at least one row (ceil never rounds a positive quota to 0).
+    df = spark.createDataFrame(
+        [(i, "g") for i in range(7)], ["k", "g"]
+    )
+    assert weighted_mix(df, ["g"], "k", F.lit(30)).count() == 3
+    assert weighted_mix(df, ["g"], "k", F.lit(100)).count() == 7
+    assert weighted_mix(df, ["g"], "k", F.lit(1)).count() == 1
+
+
+def test_weighted_mix_is_deterministic_and_nested(spark):
+    # membership depends only on (group, key): re-runs agree, and a
+    # lower rate selects a subset of a higher rate's selection.
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(60)], ["k", "g"]
+    )
+    lo = {
+        (r.g, r.k)
+        for r in weighted_mix(df, ["g"], "k", F.lit(25)).collect()
+    }
+    hi = {
+        (r.g, r.k)
+        for r in weighted_mix(df, ["g"], "k", F.lit(75)).collect()
+    }
+    assert lo < hi
+    again = {
+        (r.g, r.k)
+        for r in weighted_mix(df, ["g"], "k", F.lit(25)).collect()
+    }
+    assert lo == again
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {
+        r.vec_id: r
+        for r in quantize_int8(df, "embedding").collect()
+    }
+    # max-abs element maps to exactly +/-127; everything within int8
+    assert min(rows[1].q8) == -127
+    assert all(-127 <= q <= 127 for q in rows[1].q8)
+    # zero vector: scale 1.0, all-zero codes (no inf/NaN)
+    assert rows[2].q_scale == 1.0
+    assert rows[2].q8 == [0, 0, 0]
+
+
+def test_quantization_error_small_for_smooth_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, 0, [float(i) / 64.0 for i in range(-32, 32)])],
+        ["vec_id", "label", "embedding"],
+    )
+    r = quantization_error(df, ["vec_id", "label"], "embedding").head()
+    assert r.dim == 64
+    # int8 symmetric: per-element error <= 0.5/scale = max_abs/254
+    # (reported values are rounded to 6 dp, hence the 5e-7 slack)
+    assert r.max_abs_err <= 0.5 / r.q_scale + 5e-7
+    assert r.sse < 64 * (0.5 / r.q_scale) ** 2 + 5e-7
+
+
+def test_chunk_dedup_rebuild_drops_repeated_chunks(spark):
+    a = " ".join(f"w{i}" for i in range(32))       # chunk A
+    b = " ".join(f"x{i}" for i in range(32))       # chunk B
+    doc1 = a + " " + b                              # chunks: A, B
+    doc2 = a + " " + " ".join(f"y{i}" for i in range(5))  # A, short tail
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in dedup_chunks_rebuild(docs, chunk_tokens=32).collect()
+    }
+    # doc1 owns both chunks (first occurrence); doc2 loses chunk A
+    assert rows[1].n_chunks == 2 and rows[1].n_kept == 2
+    assert rows[1].kept_tokens == 64
+    assert rows[2].n_chunks == 2 and rows[2].n_kept == 1
+    assert rows[2].kept_tokens == 5
+
+
+def test_chunk_dedup_rebuild_total_loss_yields_empty_md5(spark):
+    import hashlib
+
+    t = " ".join(f"z{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in dedup_chunks_rebuild(docs, chunk_tokens=32).collect()
+    }
+    assert rows[2].n_kept == 0 and rows[2].kept_tokens == 0
+    assert rows[2].rebuilt_md5 == hashlib.md5(b"").hexdigest()
+    assert rows[1].n_kept == 1
