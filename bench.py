@@ -87,6 +87,7 @@ HEADLINE = [
     "corpus_mix_plan",
     "quantile_band_filter",
     "embedding_quantize_error",
+    "ann_q8_rerank",
 ]
 
 

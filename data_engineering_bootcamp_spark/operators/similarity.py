@@ -609,3 +609,115 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cosine_topk_q8_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: int8-quantized candidate generation + exact
+    float rerank — the SQ8 serving architecture (faiss `SQ8`, ScaNN
+    int8): the scan phase touches 4x fewer bytes per vector, and only
+    the `n_candidates` survivors per query are scored at full
+    precision.
+
+    Determinism contract (what makes an *approximate* index exactly
+    oracle-checkable): stage-1 scores are integer dot products of int8
+    codes (`operators.quantize.quantize_int8` — floor(x*scale+0.5),
+    engine-pinned) divided by exact integer-norm square roots; every
+    intermediate is an exact integer below 2^53, so the doubles are
+    bit-identical in any engine and the candidate CUT itself — rank by
+    (q8 cosine DESC, neighbor_id) — replays exactly in SQL. Stage 2 is
+    the same exact cosine + (cosine DESC, neighbor_id) window the
+    brute-force baseline uses.
+
+    Scale posture: queries are a bounded dim-side (J13) — broadcast
+    joined, never shuffled; the corpus scan carries codes only (64
+    bytes/vector at dim 64); stage-2 re-reads float vectors for just
+    |queries| * n_candidates rows via one equi join. No crossJoin node:
+    the scorer is a broadcast nested loop over the bounded query side,
+    the same shape as `cosine_topk_bruteforce`'s broadcast matmul.
+
+    Output: (query_id, neighbor_id, cosine DOUBLE(6dp), rank INT).
+    """
+    from .quantize import quantize_int8
+
+    def _int_dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    coded = quantize_int8(corpus, vec_col=vec_col).select(
+        F.col(id_col).alias("nid"),
+        F.col("q8").alias("nc"),
+        F.sqrt(_int_dot(F.col("q8"), F.col("q8")).cast("double")).alias(
+            "nn"
+        ),
+    )
+    qcoded = quantize_int8(queries, vec_col=vec_col).select(
+        F.col(id_col).alias("qid"),
+        F.col("q8").alias("qc"),
+        F.sqrt(_int_dot(F.col("q8"), F.col("q8")).cast("double")).alias(
+            "qn"
+        ),
+    )
+    scored = (
+        coded.join(F.broadcast(qcoded), F.col("qid") != F.col("nid"))
+        .withColumn(
+            "q8_cosine",
+            _int_dot(F.col("qc"), F.col("nc")).cast("double")
+            / (F.col("qn") * F.col("nn")),
+        )
+        .select("qid", "nid", "q8_cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("q8_cosine").desc(), F.col("nid")
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= n_candidates)
+        .select("qid", "nid")
+    )
+    fv = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "cv"
+        ),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "qv"
+        ),
+    )
+    rer = (
+        cand.join(fv, "nid")
+        .join(F.broadcast(qv), "qid")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

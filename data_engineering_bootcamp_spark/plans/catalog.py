@@ -1413,6 +1413,8 @@ _GATE_REST = [
     "corpus_mix_plan",         # per-source mixing quotas (integer math)
     "quantile_band_filter",    # exact-percentile length trimming
     "embedding_quantize_error",  # int8 SQ reconstruction error
+    "ann_q8_rerank",           # SQ8 candidates + float rerank
+    "streaming_interval_join",  # stream-stream interval join
 ]
 
 assert len(_GATE_FIRST) == GATE_CAP, (

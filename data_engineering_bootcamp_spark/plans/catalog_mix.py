@@ -342,6 +342,154 @@ FROM e
 """
 
 
+# ---------------------------------------------------------------------------
+# Quantized-candidate + float-rerank ANN (SQ8 serving architecture)
+# ---------------------------------------------------------------------------
+
+def q_ann_q8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN over the embedding table: int8-code candidate
+    generation (exact integer dots — bit-replayable in SQL) + full-
+    precision rerank of the 20 survivors per query. See
+    `operators.similarity.cosine_topk_q8_rerank` for the determinism
+    contract and the 4x-bandwidth scale posture."""
+    from ..operators.similarity import cosine_topk_q8_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_q8_rerank(emb, queries, k=5, n_candidates=20)
+
+
+ORACLE_ANN_Q8_RERANK = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sc AS (
+  SELECT vec_id, e,
+         CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+              THEN 127.0 / list_max(list_transform(e, x -> abs(x)))
+              ELSE 1.0 END AS s
+  FROM v),
+n AS (
+  SELECT vec_id, e,
+         list_transform(e, x -> floor(x * s + 0.5)) AS c,
+         sqrt(list_dot_product(list_transform(e, x -> floor(x * s + 0.5)),
+                               list_transform(e, x -> floor(x * s + 0.5))))
+           AS nrm
+  FROM sc),
+cand0 AS (
+  SELECT q.vec_id AS qid, t.vec_id AS nid,
+         list_dot_product(q.c, t.c) / (q.nrm * t.nrm) AS q8_cosine
+  FROM n q, n t
+  WHERE q.vec_id < 10 AND q.vec_id <> t.vec_id),
+cand AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY q8_cosine DESC, nid) AS crank
+    FROM cand0) WHERE crank <= 20),
+scored AS (
+  SELECT cand.qid AS query_id, cand.nid AS neighbor_id,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+  FROM cand
+  JOIN v a ON a.vec_id = cand.qid
+  JOIN v b ON b.vec_id = cand.nid),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank::INT AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (click -> purchase attribution)
+# ---------------------------------------------------------------------------
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner interval join through the real engine: click
+    events join purchase events of the same user within the following
+    30 minutes — the attribution query. Both sides are watermarked and
+    the join condition bounds event time in both directions (state
+    eviction works); inner matches emit as soon as both sides arrive,
+    so one availableNow pass over the finite source produces the
+    complete join and the batch-SQL oracle is exact. See
+    `streaming.pipelines.interval_join_streams`."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.pipelines import interval_join_streams
+    from .catalog_ext import _events_file_stream
+    from .catalog_write import _snapshot
+
+    stream, cleanup = _events_file_stream(spark, sf_dir)
+    clicks = stream.where(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select("user_id", F.col("event_id").alias("click_id"), "ts")
+    purchases = stream.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        within="30 minutes",
+        watermark="1 hour",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("ts")).alias(
+            "secs_after"
+        ),
+    )
+    out = tempfile.mkdtemp(prefix="stream_ssj_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ssj_ckpt_")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .queryName(f"stream_ssj_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        q.stop()
+        return _snapshot(spark.read.parquet(out))
+    finally:
+        cleanup()
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+ORACLE_STREAMING_INTERVAL_JOIN = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       date_diff('second',
+                 date_trunc('second', c.ts),
+                 date_trunc('second', p.ts)) AS secs_after
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL '30 minutes'
+WHERE c.event_type = 'click'
+  AND p.event_type = 'purchase'
+  AND c.user_id IS NOT NULL
+"""
+
+
 MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_lang_counts": q_pivot_lang_counts,
     "unpivot_region_metrics": q_unpivot_region_metrics,
@@ -349,6 +497,8 @@ MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix_plan": q_corpus_mix_plan,
     "quantile_band_filter": q_quantile_band_filter,
     "embedding_quantize_error": q_embedding_quantize_error,
+    "ann_q8_rerank": q_ann_q8_rerank,
+    "streaming_interval_join": q_streaming_interval_join,
 }
 
 MIX_ORACLES: dict[str, str] = {
@@ -358,4 +508,6 @@ MIX_ORACLES: dict[str, str] = {
     "corpus_mix_plan": ORACLE_CORPUS_MIX_PLAN,
     "quantile_band_filter": ORACLE_QUANTILE_BAND_FILTER,
     "embedding_quantize_error": ORACLE_EMBEDDING_QUANTIZE_ERROR,
+    "ann_q8_rerank": ORACLE_ANN_Q8_RERANK,
+    "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
 }

@@ -174,3 +174,40 @@ def avg_events_per_session(sessions: DataFrame, keys: list[str]) -> DataFrame:
         F.round(F.avg("num_events"), 6).alias("avg_events_per_session"),
         F.count(F.lit(1)).alias("n_sessions"),
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER interval join: each left event matches right
+    events with the same key whose timestamp falls in
+    [left_ts, left_ts + within] — the click→purchase attribution shape.
+
+    Both sides carry a watermark AND the join condition bounds event
+    time in both directions; that pair is what lets the state store
+    evict rows once the watermark passes (unbounded state otherwise —
+    the #1 stream-stream-join production failure). Inner-join matches
+    are emitted as soon as both sides arrive, so a single availableNow
+    pass over a finite source emits the complete join — which is what
+    makes the entry exactly oracle-checkable as a batch SQL join.
+
+    Column hygiene: sides must not share column names other than the
+    key; callers pre-select and alias.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    return lw.join(
+        rw,
+        F.expr(
+            f"l.{key} = r.{key} AND "
+            f"r.{right_ts} >= l.{left_ts} AND "
+            f"r.{right_ts} <= l.{left_ts} + INTERVAL {within}"
+        ),
+        "inner",
+    )

@@ -110,3 +110,34 @@ def test_chunk_dedup_rebuild_total_loss_yields_empty_md5(spark):
     assert rows[2].n_kept == 0 and rows[2].kept_tokens == 0
     assert rows[2].rebuilt_md5 == hashlib.md5(b"").hexdigest()
     assert rows[1].n_kept == 1
+
+
+def test_q8_rerank_matches_bruteforce_on_separated_clusters(spark):
+    # two well-separated directions: quantization noise must not change
+    # top-k membership, so q8+rerank == exact brute force
+    import math
+
+    from data_engineering_bootcamp_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_q8_rerank,
+    )
+
+    rows = []
+    for i in range(40):
+        ang = 0.02 * (i % 20) + (0.0 if i < 20 else math.pi / 2)
+        rows.append(
+            (i, [math.cos(ang), math.sin(ang), 0.1 * (i % 3), 0.05])
+        )
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = emb.where(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_bruteforce(emb, qs, k=3).collect()
+    }
+    q8 = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_q8_rerank(
+            emb, qs, k=3, n_candidates=10
+        ).collect()
+    }
+    assert q8 == exact
