@@ -35,6 +35,13 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _scale_of(v: Column) -> Column:
+    max_abs = F.array_max(F.transform(v, F.abs))
+    return F.when(max_abs > 0.0, F.lit(127.0) / max_abs).otherwise(
+        F.lit(1.0)
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -47,18 +54,22 @@ def quantize_int8(
     q_i = floor(x_i * scale + 0.5) — exact half-up, engine-agnostic.
     Output columns: ``out_col`` array<int>, ``scale_col`` double.
     Dequantize with q_i / scale.
+
+    Expression-shape note: the scale is threaded through
+    ``zip_with(v, array_repeat(scale, size))`` instead of a named
+    column the lambda references — CollapseProject inlines a plain
+    column INTO the lambda body, re-evaluating the array_max-based
+    scale once PER ELEMENT (a measured ~60x slowdown on 64-dim
+    vectors); array_repeat's argument is structurally evaluated once
+    per row no matter how projects collapse.
     """
     v = _as_double(F.col(vec_col))
-    max_abs = F.array_max(F.transform(v, F.abs))
-    scale = F.when(max_abs > 0.0, F.lit(127.0) / max_abs).otherwise(
-        F.lit(1.0)
+    q = F.zip_with(
+        v,
+        F.array_repeat(_scale_of(v), F.size(F.col(vec_col))),
+        lambda x, s: F.floor(x * s + 0.5).cast("int"),
     )
-    df = df.withColumn(scale_col, scale)
-    q = F.transform(
-        _as_double(F.col(vec_col)),
-        lambda x: F.floor(x * F.col(scale_col) + 0.5).cast("int"),
-    )
-    return df.withColumn(out_col, q)
+    return df.withColumn(scale_col, _scale_of(v)).withColumn(out_col, q)
 
 
 def quantization_error(
@@ -75,20 +86,19 @@ def quantization_error(
     shuffle — one narrow projection over the scan.
     """
     v = _as_double(F.col(vec_col))
-    max_abs = F.array_max(F.transform(v, F.abs))
-    scale = F.when(max_abs > 0.0, F.lit(127.0) / max_abs).otherwise(
-        F.lit(1.0)
-    )
     tmp = df.select(
         *id_cols,
         F.size(F.col(vec_col)).alias("dim"),
-        scale.alias("_scale"),
+        _scale_of(v).alias("_scale"),
         _as_double(F.col(vec_col)).alias("_v"),
     )
-    err = F.transform(
+    # same CollapseProject hazard as quantize_int8: thread the scale
+    # per-row via array_repeat rather than referencing the column
+    # inside the lambda
+    err = F.zip_with(
         F.col("_v"),
-        lambda x: x
-        - F.floor(x * F.col("_scale") + 0.5) / F.col("_scale"),
+        F.array_repeat(F.col("_scale"), F.size(F.col("_v"))),
+        lambda x, s: x - F.floor(x * s + 0.5) / s,
     )
     tmp = tmp.withColumn("_err", err)
     sse = F.aggregate(

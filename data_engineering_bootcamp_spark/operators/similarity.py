@@ -618,6 +618,8 @@ def cosine_topk_q8_rerank(
     n_candidates: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Two-stage ANN: int8-quantized candidate generation + exact
     float rerank — the SQ8 serving architecture (faiss `SQ8`, ScaNN
@@ -642,11 +644,36 @@ def cosine_topk_q8_rerank(
     the scorer is a broadcast nested loop over the bounded query side,
     the same shape as `cosine_topk_bruteforce`'s broadcast matmul.
 
+    Two stage-1 scorers, identical results (integer dots are exact, so
+    the scoring backend is result-invisible):
+
+    - ``vectorized=True`` (default): Arrow-batched numpy int64 matmul
+      per corpus partition against the broadcast query-code matrix —
+      the production ANN scan kernel shape — with an exact map-side
+      top-candidate prune (every row whose score ties or beats the
+      partition's n_candidates-th best survives to the global window,
+      so the global cut is unchanged: top-C of a union is top-C of
+      per-part top-C supersets).
+    - ``vectorized=False``: pure-Catalyst unrolled integer-dot
+      expression under the broadcast join — zero Python, for
+      environments where the JVM-only path matters.
+
     Output: (query_id, neighbor_id, cosine DOUBLE(6dp), rank INT).
     """
     from .quantize import quantize_int8
 
     def _int_dot(a: Column, b: Column) -> Column:
+        # with `dim` known, unroll into a plain arithmetic expression
+        # so the hot scoring join stays inside whole-stage codegen
+        # (same reasoning as `_dot`); exact integer sums make the
+        # association change result-invisible, unlike the float path
+        if dim is not None:
+            out = F.element_at(a, 1).cast("long") * F.element_at(b, 1)
+            for i in range(2, dim + 1):
+                out = out + F.element_at(a, i).cast("long") * F.element_at(
+                    b, i
+                )
+            return out
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
             F.lit(0).cast("long"),
@@ -667,15 +694,68 @@ def cosine_topk_q8_rerank(
             "qn"
         ),
     )
-    scored = (
-        coded.join(F.broadcast(qcoded), F.col("qid") != F.col("nid"))
-        .withColumn(
-            "q8_cosine",
-            _int_dot(F.col("qc"), F.col("nc")).cast("double")
-            / (F.col("qn") * F.col("nn")),
+    if vectorized:
+        qrows = qcoded.collect()
+        q_ids = np.array([r.qid for r in qrows], dtype=np.int64)
+        Qc = np.array([r.qc for r in qrows], dtype=np.int64)
+        qn = np.array([r.qn for r in qrows], dtype=np.float64)
+        bc = corpus.sparkSession.sparkContext.broadcast((q_ids, Qc, qn))
+        n_cand = n_candidates
+
+        def score(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            bq_ids, bQc, bqn = bc.value
+            nq = len(bq_ids)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                nids = pdf["nid"].to_numpy()
+                C = _np.array(list(pdf["nc"]), dtype=_np.int64)
+                nn = pdf["nn"].to_numpy(dtype=_np.float64)
+                # exact: int64 matmul, then the SAME double ops the
+                # expression path / SQL oracle perform per cell
+                S = (C @ bQc.T).astype(_np.float64)
+                qcos = S / (_np.outer(nn, bqn))
+                # mask self-pairs before the cut, like the join cond.
+                qcos[nids[:, None] == bq_ids[None, :]] = -_np.inf
+                out_q, out_n, out_s = [], [], []
+                for j in range(nq):
+                    col = qcos[:, j]
+                    if len(col) > n_cand:
+                        thr = _np.partition(col, -n_cand)[-n_cand]
+                        # keep threshold ties; the -inf guard drops
+                        # self-pairs even when thr itself is -inf
+                        idx = _np.nonzero(
+                            (col >= thr) & (col > -_np.inf)
+                        )[0]
+                    else:
+                        idx = _np.nonzero(col > -_np.inf)[0]
+                    out_q.append(_np.full(len(idx), bq_ids[j]))
+                    out_n.append(nids[idx])
+                    out_s.append(col[idx])
+                yield _pd.DataFrame(
+                    {
+                        "qid": _np.concatenate(out_q),
+                        "nid": _np.concatenate(out_n),
+                        "q8_cosine": _np.concatenate(out_s),
+                    }
+                )
+
+        scored = coded.mapInPandas(
+            score, "qid long, nid long, q8_cosine double"
         )
-        .select("qid", "nid", "q8_cosine")
-    )
+    else:
+        scored = (
+            coded.join(F.broadcast(qcoded), F.col("qid") != F.col("nid"))
+            .withColumn(
+                "q8_cosine",
+                _int_dot(F.col("qc"), F.col("nc")).cast("double")
+                / (F.col("qn") * F.col("nn")),
+            )
+            .select("qid", "nid", "q8_cosine")
+        )
     w = Window.partitionBy("qid").orderBy(
         F.col("q8_cosine").desc(), F.col("nid")
     )

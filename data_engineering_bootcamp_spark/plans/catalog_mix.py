@@ -356,7 +356,7 @@ def q_ann_q8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return cosine_topk_q8_rerank(emb, queries, k=5, n_candidates=20)
+    return cosine_topk_q8_rerank(emb, queries, k=5, n_candidates=20, dim=64)
 
 
 ORACLE_ANN_Q8_RERANK = """

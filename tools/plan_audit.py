@@ -30,6 +30,7 @@ SKIP = {
     "streaming_kafka_mirror",
     "streaming_dedup",
     "streaming_neardup_admission",
+    "streaming_interval_join",
     "bucketed_join_rollup",
     "partitioned_prune_rollup",
     "sorted_layout_rollup",

@@ -292,6 +292,64 @@ def bench_cc(spark) -> dict:
     return out
 
 
+def bench_ann_q8(spark) -> dict:
+    """SQ8-candidate + rerank vs brute-force float top-k on a 10x
+    corpus (50k vectors from the 5k sf0.1 embeddings, deterministic
+    per-variant jitter so vectors stay distinct). Measures wall AND
+    recall@5 against the exact answer — an approximate path is only
+    shippable with its recall measured on the same corpus."""
+    from data_engineering_bootcamp_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_q8_rerank,
+    )
+
+    mult = 10
+    n_queries = 50
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = (
+        emb.withColumn(
+            "_v", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+        )
+        .select(
+            (F.col("vec_id") * mult + F.col("_v")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                + 0.004
+                * F.col("_v")
+                * (((i * 7 + F.col("_v")) % 11) - 5),
+            ).alias("embedding"),
+        )
+        .persist()
+    )
+    n_corpus = corpus.count()
+    queries = corpus.where(F.col("vec_id") % (n_corpus // n_queries) == 0)
+    out: dict = {"corpus_vectors": n_corpus, "queries": n_queries, "dim": 64}
+
+    t0 = time.perf_counter()
+    exact = cosine_topk_bruteforce(corpus, queries, k=5)
+    exact_rows = exact.collect()
+    out["bruteforce_blas_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    q8 = cosine_topk_q8_rerank(
+        corpus, queries, k=5, n_candidates=20, dim=64
+    )
+    q8_rows = q8.collect()
+    out["q8_rerank_sec"] = round(time.perf_counter() - t0, 3)
+
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    q8_set = {(r.query_id, r.neighbor_id) for r in q8_rows}
+    out["topk_pairs"] = len(exact_set)
+    out["recall_at_5"] = round(
+        len(exact_set & q8_set) / max(len(exact_set), 1), 4
+    )
+    corpus.unpersist()
+    return out
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_scale_r05.json"
     spark = get_spark(app_name="scale-bench")
@@ -301,6 +359,7 @@ def main() -> None:
         "skew_join": bench_skew(spark),
         "ngram_neardup": bench_ngram(spark),
         "connected_components": bench_cc(spark),
+        "ann_q8": bench_ann_q8(spark),
     }
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)
