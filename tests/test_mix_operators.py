@@ -141,3 +141,33 @@ def test_q8_rerank_matches_bruteforce_on_separated_clusters(spark):
         ).collect()
     }
     assert q8 == exact
+
+
+def test_q8_rerank_backends_identical(spark, sf_dir):
+    # the vectorized (numpy matmul + map-side prune) and pure-Catalyst
+    # scorers must return IDENTICAL rows: integer dots are exact, so
+    # the scoring backend is result-invisible by construction
+    from data_engineering_bootcamp_spark.operators.similarity import (
+        cosine_topk_q8_rerank,
+    )
+    from data_engineering_bootcamp_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5)
+    a = sorted(
+        map(
+            tuple,
+            cosine_topk_q8_rerank(
+                emb, qs, k=5, n_candidates=20, dim=64, vectorized=True
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            cosine_topk_q8_rerank(
+                emb, qs, k=5, n_candidates=20, dim=64, vectorized=False
+            ).collect(),
+        )
+    )
+    assert a == b
