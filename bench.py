@@ -88,6 +88,9 @@ HEADLINE = [
     "quantile_band_filter",
     "embedding_quantize_error",
     "ann_q8_rerank",
+    "bpe_merge_candidates",
+    "dup_span_extract",
+    "tfidf_top_terms",
 ]
 
 

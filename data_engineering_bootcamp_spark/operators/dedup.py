@@ -930,3 +930,73 @@ def dedup_ngram_jaccard(
         # the {k, k+1} double assignment can score a pair twice
         out = out.dropDuplicates(["doc_id_a", "doc_id_b"])
     return out
+
+
+def dup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact cross-document duplicate-SPAN extraction — the
+    suffix-array substring-dedup capability (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better")
+    re-expressed as a distributed query: every k-token window shared
+    verbatim by >= 2 DISTINCT documents, with adjacent duplicated
+    windows merged into maximal spans per document (gaps-and-islands).
+    Output: (id_col, span_start, span_tokens), span_start 1-based in
+    token positions. Distinct from the whole-doc similarity family
+    (MinHash/Jaccard) and from within-doc repetition stats: this
+    localizes the duplicated REGION, the input a span-removal pass
+    needs.
+
+    Scale shape: window enumeration is a generator explode (one row
+    per corpus token, no shuffle); cross-doc detection is ONE shuffle
+    on the window hash using min!=max over a hash-partition window —
+    no join-back, the position rides along; span merge is one shuffle
+    on the document id. Windows are xxhash64'd (group membership is
+    hash-invariant modulo ~n^2/2^64 collisions — the same contract as
+    the hashed n-gram Jaccard paths). Within-one-doc repeats of a
+    window that appears nowhere else are intentionally NOT flagged
+    (min==max over the hash partition): cross-corpus leakage, not
+    in-doc style, is what span removal targets.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("tk")
+    ).where(F.size("tk") >= k)
+    wins = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(F.concat_ws(" ", F.slice("tk", i, k))).alias(
+                        "h"
+                    ),
+                ),
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.pos").cast("long").alias("pos"), "w.h")
+    byh = Window.partitionBy("h")
+    hits = (
+        wins.withColumn(
+            "xdoc", F.min(id_col).over(byh) != F.max(id_col).over(byh)
+        )
+        .where("xdoc")
+        .drop("xdoc")
+    )
+    bydoc = Window.partitionBy(id_col).orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(bydoc))
+    return (
+        isl.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(k))
+            .cast("long")
+            .alias("span_tokens"),
+        )
+        .select(id_col, "span_start", "span_tokens")
+    )

@@ -1415,6 +1415,10 @@ _GATE_REST = [
     "embedding_quantize_error",  # int8 SQ reconstruction error
     "ann_q8_rerank",           # SQ8 candidates + float rerank
     "streaming_interval_join",  # stream-stream interval join
+    "bpe_merge_candidates",    # BPE pass-2 pair statistics
+    "streaming_upsert_sink",   # streaming ON-CONFLICT merge sink
+    "dup_span_extract",        # cross-doc duplicate-span extraction
+    "tfidf_top_terms",         # tf-idf keyword extraction
 ]
 
 assert len(_GATE_FIRST) == GATE_CAP, (

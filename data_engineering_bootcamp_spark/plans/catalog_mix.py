@@ -490,6 +490,296 @@ WHERE c.event_type = 'click'
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge candidates (tokenizer training, pass 2)
+# ---------------------------------------------------------------------------
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-pair-encoding merge-selection step as a distributed
+    query: adjacent character-pair frequencies over the corpus, the
+    statistic each BPE training iteration maximizes (Sennrich et al.
+    2016). Classic BPE trick: pairs are enumerated over the DISTINCT
+    word table weighted by word frequency, not over the token stream —
+    the explode fans out |vocab| * avg_len rows, not |corpus| tokens.
+    Two linear aggregations; deterministic top-20 under
+    (total DESC, pair ASC). Normalization matches `vocab_top_tokens`
+    (pass 1 of the same training loop)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                    " ",
+                ),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token")
+    )
+    wf = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.length("token") >= 2)
+    )
+    pairs = wf.select(
+        "token",
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("token") - 1),
+                lambda i: F.col("token").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").cast("long").alias("total"),
+            F.countDistinct("token").alias("n_words"),
+        )
+        .orderBy(F.desc("total"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+ORACLE_BPE_MERGE_CANDIDATES = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                        ' '),
+           t -> t <> '')) AS token
+  FROM documents),
+wf AS (
+  SELECT token, COUNT(*) AS freq
+  FROM toks GROUP BY token HAVING len(token) >= 2),
+pairs AS (
+  SELECT token, freq, substr(token, CAST(i AS INT), 2) AS pair
+  FROM wf, UNNEST(range(1, len(token))) AS u(i))
+SELECT pair,
+       SUM(freq)::BIGINT AS total,
+       COUNT(DISTINCT token) AS n_words
+FROM pairs
+GROUP BY pair
+ORDER BY total DESC, pair ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming upsert sink (streaming analog of S11 ON CONFLICT)
+# ---------------------------------------------------------------------------
+
+def q_streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream events in FOUR micro-batches (maxFilesPerTrigger=1 over a
+    4-file copy of the table) through a foreachBatch UPSERT handler
+    that keeps, per user, the row with the greatest (ts, event_id) —
+    the streaming form of the reference's Postgres ON-CONFLICT sink.
+    Because max() over the order tuple is associative/commutative, the
+    final store is independent of micro-batch boundaries, so the batch
+    argmax oracle is exact; the multi-batch split proves the MERGE path
+    (read store + combine + swap), not just a single-batch write."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.sinks import upsert_batch_writer
+    from .catalog_write import _snapshot
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    src = tempfile.mkdtemp(prefix="stream_upsert_src_")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    store = tempfile.mkdtemp(prefix="stream_upsert_store_")
+    ckpt = tempfile.mkdtemp(prefix="stream_upsert_ckpt_")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            upsert_batch_writer(store, ["user_id"], ["ts", "event_id"])
+        )
+        .option("checkpointLocation", ckpt)
+        .queryName(f"stream_upsert_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        q.stop()
+        got = spark.read.parquet(os.path.join(store, "live")).select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        return _snapshot(got)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+ORACLE_STREAMING_UPSERT_SINK = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id IS NOT NULL)
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate-span extraction (exact substring dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # window length in tokens
+
+
+def q_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document duplicate-SPAN extraction — the
+    suffix-array substring-dedup capability (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better")
+    re-expressed as a distributed query: every ``_SPAN_K``-token
+    window shared verbatim by >= 2 distinct documents, with adjacent
+    duplicated windows merged into MAXIMAL spans per document
+    (gaps-and-islands). Distinct from `doc_ttr_repetition`
+    (within-doc repetition) and the Jaccard/MinHash families
+    (whole-doc similarity): this localizes the duplicated REGION, the
+    input a span-removal pass needs.
+
+    Plan shape and the hash-vs-string oracle contract are documented
+    on the operator (`operators.dedup.dup_spans`); the oracle groups
+    the literal window strings."""
+    from ..operators.dedup import dup_spans
+
+    return dup_spans(_t(spark, sf_dir, "documents"), k=_SPAN_K)
+
+
+ORACLE_DUP_SPAN_EXTRACT = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+',
+                                                      ' ', 'g')), ' '),
+                     t -> t <> '') AS tk
+  FROM documents),
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(tk[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS win
+  FROM toks, UNNEST(range(1, len(tk) - 6)) AS u(i)
+  WHERE len(tk) >= 8),
+hits AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           MIN(doc_id) OVER (PARTITION BY win) AS mn,
+           MAX(doc_id) OVER (PARTITION BY win) AS mx
+    FROM wins) WHERE mn <> mx),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits)
+SELECT doc_id, MIN(pos)::BIGINT AS span_start,
+       (MAX(pos) - MIN(pos) + 8)::BIGINT AS span_tokens
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (top-3 terms per document)
+# ---------------------------------------------------------------------------
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by a tf-idf-style
+    score, the classic relevance ranking a corpus-exploration /
+    search-indexing layer needs. The score is the DIVISION-ONLY form
+    ``tf * N / df`` (no log): a single IEEE double division of exact
+    integers, bit-identical across engines — the log variant ranks
+    identically for fixed tf (idf is monotone in N/df) but its
+    transcendental evaluation is not a cross-engine contract.
+    Determinism: dense ranking over (score DESC, term ASC) — a total
+    order, so top-3 is unique.
+
+    Scale shape: tf is one shuffle on (doc_id, term); df is one
+    shuffle on term; the df relation is |vocab|-sized (zipfian, far
+    smaller than the corpus) and joins back on term; top-3 per doc is
+    one window shuffle on doc_id. All Catalyst, no Python."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = F.lit(docs.count())
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                    " ",
+                ),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term"),
+    ).where(F.length("term") >= 3)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_rel = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(df_rel, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round((F.col("tf") * n_docs) / F.col("df"), 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM documents,
+       UNNEST(list_filter(string_split(trim(regexp_replace(lower(text),
+                                                           '\s+', ' ', 'g')),
+                                       ' '),
+                          x -> x <> '')) AS u(t)
+  WHERE len(t) >= 3),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROUND(tf.tf * n.n_docs / df.df, 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, rank, term, tf, df, score
+FROM ranked WHERE rank <= 3
+"""
+
+
 MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_lang_counts": q_pivot_lang_counts,
     "unpivot_region_metrics": q_unpivot_region_metrics,
@@ -499,6 +789,10 @@ MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize_error": q_embedding_quantize_error,
     "ann_q8_rerank": q_ann_q8_rerank,
     "streaming_interval_join": q_streaming_interval_join,
+    "bpe_merge_candidates": q_bpe_merge_candidates,
+    "streaming_upsert_sink": q_streaming_upsert_sink,
+    "dup_span_extract": q_dup_span_extract,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 MIX_ORACLES: dict[str, str] = {
@@ -510,4 +804,8 @@ MIX_ORACLES: dict[str, str] = {
     "embedding_quantize_error": ORACLE_EMBEDDING_QUANTIZE_ERROR,
     "ann_q8_rerank": ORACLE_ANN_Q8_RERANK,
     "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
+    "bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
+    "streaming_upsert_sink": ORACLE_STREAMING_UPSERT_SINK,
+    "dup_span_extract": ORACLE_DUP_SPAN_EXTRACT,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
 }

@@ -171,3 +171,64 @@ def test_q8_rerank_backends_identical(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_upsert_batch_writer_is_batch_split_independent(spark, tmp_path):
+    # merging in two micro-batches must equal one-shot: max over the
+    # order tuple is associative, so batching cannot change the store
+    import os
+
+    from data_engineering_bootcamp_spark.streaming.sinks import (
+        upsert_batch_writer,
+    )
+
+    rows = [
+        (1, 10, "a"), (1, 30, "c"), (1, 20, "b"),
+        (2, 5, "x"), (2, 6, "y"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "val"])
+
+    def run(batches):
+        d = tmp_path / f"store_{len(batches)}"
+        os.makedirs(d, exist_ok=True)
+        w = upsert_batch_writer(str(d), ["k"], ["seq"])
+        for i, b in enumerate(batches):
+            w(b, i)
+        out = spark.read.parquet(str(d / "live"))
+        return {tuple(r) for r in out.select("k", "seq", "val").collect()}
+
+    one_shot = run([df])
+    split = run([df.where(F.col("seq") <= 10), df.where(F.col("seq") > 10)])
+    assert one_shot == split == {(1, 30, "c"), (2, 6, "y")}
+
+
+def test_dup_spans_islands_and_within_doc_exclusion(spark):
+    # two docs share a 6-token run -> one maximal span each; a window
+    # repeated only WITHIN one doc is not flagged; two disjoint shared
+    # runs in one doc stay two separate spans
+    from data_engineering_bootcamp_spark.operators.dedup import dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 C1 C2 C3 C4 C5 C6 x1 x2"),
+            (2, "C1 C2 C3 C4 C5 C6 y1 y2 y3"),
+            (3, "r1 r2 r3 r4 z1 r1 r2 r3 r4 z2"),
+            (4, "E1 E2 E3 E4 g1 g2 g3 F1 F2 F3 F4"),
+            (5, "F1 F2 F3 F4 h1 h2 h3 E1 E2 E3 E4"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        tuple(r)
+        for r in dup_spans(docs, k=4)
+        .select("doc_id", "span_start", "span_tokens")
+        .collect()
+    }
+    assert got == {
+        (1, 3, 6),
+        (2, 1, 6),
+        (4, 1, 4),
+        (4, 8, 4),
+        (5, 1, 4),
+        (5, 8, 4),
+    }

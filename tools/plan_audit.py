@@ -31,6 +31,7 @@ SKIP = {
     "streaming_dedup",
     "streaming_neardup_admission",
     "streaming_interval_join",
+    "streaming_upsert_sink",
     "bucketed_join_rollup",
     "partitioned_prune_rollup",
     "sorted_layout_rollup",
