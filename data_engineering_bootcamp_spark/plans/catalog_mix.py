@@ -710,10 +710,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: dense ranking over (score DESC, term ASC) — a total
     order, so top-3 is unique.
 
-    Scale shape: tf is one shuffle on (doc_id, term); df is one
-    shuffle on term; the df relation is |vocab|-sized (zipfian, far
-    smaller than the corpus) and joins back on term; top-3 per doc is
-    one window shuffle on doc_id. All Catalyst, no Python."""
+    Scale shape — ONE corpus pass, three keyed shuffles, no join:
+    tf is one shuffle on (doc_id, term); df is NOT a separate
+    aggregate-plus-join-back (which would re-run the scan+explode
+    subplan — the plan audit caught exactly that in the first cut)
+    but a count over a term-partition window on tf, where one row per
+    (doc, term) makes the partition row count equal df; top-3 per doc
+    is one window shuffle on doc_id. All Catalyst, no Python. n_docs
+    comes from a parquet metadata count (no data read)."""
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
@@ -733,10 +737,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    df_rel = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    scored = tf.join(df_rel, "term").select(
+    byterm = Window.partitionBy("term")
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(byterm)
+    ).select(
         "doc_id",
         "term",
         "tf",
