@@ -937,6 +937,7 @@ def dup_spans(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    detect: str = "window",
 ) -> DataFrame:
     """Exact cross-document duplicate-SPAN extraction — the
     suffix-array substring-dedup capability (Lee et al. 2021,
@@ -960,6 +961,13 @@ def dup_spans(
     window that appears nowhere else are intentionally NOT flagged
     (min==max over the hash partition): cross-corpus leakage, not
     in-doc style, is what span removal targets.
+
+    ``detect`` picks the cross-doc detection strategy: ``"window"``
+    (default, the scale path — one shuffle of the token-scale wins
+    relation) or ``"joinback"`` (the naive twin scale_bench races it
+    against: groupBy the hash then equi-join the keys back, i.e. TWO
+    full shuffles of the wins relation when the dup-key set is too
+    big to broadcast). Both return identical spans.
     """
     from pyspark.sql import Window
 
@@ -980,14 +988,27 @@ def dup_spans(
             )
         ).alias("w"),
     ).select(id_col, F.col("w.pos").cast("long").alias("pos"), "w.h")
-    byh = Window.partitionBy("h")
-    hits = (
-        wins.withColumn(
-            "xdoc", F.min(id_col).over(byh) != F.max(id_col).over(byh)
+    if detect == "window":
+        byh = Window.partitionBy("h")
+        hits = (
+            wins.withColumn(
+                "xdoc", F.min(id_col).over(byh) != F.max(id_col).over(byh)
+            )
+            .where("xdoc")
+            .drop("xdoc")
         )
-        .where("xdoc")
-        .drop("xdoc")
-    )
+    elif detect == "joinback":
+        dup_keys = (
+            wins.groupBy("h")
+            .agg(
+                (F.min(id_col) != F.max(id_col)).alias("xdoc")
+            )
+            .where("xdoc")
+            .select("h")
+        )
+        hits = wins.join(dup_keys, "h")
+    else:
+        raise ValueError(f"unknown detect strategy {detect!r}")
     bydoc = Window.partitionBy(id_col).orderBy("pos")
     isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(bydoc))
     return (

@@ -218,13 +218,7 @@ def test_dup_spans_islands_and_within_doc_exclusion(spark):
         ],
         ["doc_id", "text"],
     )
-    got = {
-        tuple(r)
-        for r in dup_spans(docs, k=4)
-        .select("doc_id", "span_start", "span_tokens")
-        .collect()
-    }
-    assert got == {
+    expected = {
         (1, 3, 6),
         (2, 1, 6),
         (4, 1, 4),
@@ -232,3 +226,11 @@ def test_dup_spans_islands_and_within_doc_exclusion(spark):
         (5, 1, 4),
         (5, 8, 4),
     }
+    for detect in ("window", "joinback"):
+        got = {
+            tuple(r)
+            for r in dup_spans(docs, k=4, detect=detect)
+            .select("doc_id", "span_start", "span_tokens")
+            .collect()
+        }
+        assert got == expected, detect

@@ -292,6 +292,49 @@ def bench_cc(spark) -> dict:
     return out
 
 
+def bench_dup_span(spark) -> dict:
+    """Duplicate-span extraction: window min/max detection (ONE
+    shuffle of the token-scale wins relation) vs the groupBy +
+    join-back twin (TWO full shuffles once the dup-key set can't
+    broadcast — forced here with autoBroadcastJoinThreshold=-1).
+    The variant corpus duplicates every base doc 4x, so shared spans
+    are dense; both strategies must return identical span sets."""
+    from data_engineering_bootcamp_spark.operators.dedup import dup_spans
+
+    out: dict = {"k": 8, "sizes": {"small": NGRAM_SMALL, "large": NGRAM_LARGE}}
+    for label, n in (("small", NGRAM_SMALL), ("large", NGRAM_LARGE)):
+        corpus = build_corpus(spark, n).persist()
+        corpus.count()
+        section: dict = {}
+        try:
+            t0 = time.perf_counter()
+            win = dup_spans(corpus, k=8)
+            n_win = win.count()
+            section["window_sec"] = round(time.perf_counter() - t0, 3)
+            section["spans"] = n_win
+
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                t0 = time.perf_counter()
+                jb = dup_spans(corpus, k=8, detect="joinback")
+                n_jb = jb.count()
+                section["joinback_sec"] = round(time.perf_counter() - t0, 3)
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+            if label == "small":
+                a = {tuple(r) for r in win.collect()}
+                b = {tuple(r) for r in jb.collect()}
+                section["results_match"] = a == b
+            else:
+                section["results_match"] = n_win == n_jb
+        finally:
+            corpus.unpersist()
+        out[label] = section
+    return out
+
+
 def bench_ann_q8(spark) -> dict:
     """SQ8-candidate + rerank vs brute-force float top-k on a 10x
     corpus (50k vectors from the 5k sf0.1 embeddings, deterministic
@@ -359,6 +402,7 @@ def main() -> None:
         "skew_join": bench_skew(spark),
         "ngram_neardup": bench_ngram(spark),
         "connected_components": bench_cc(spark),
+        "dup_span": bench_dup_span(spark),
         "ann_q8": bench_ann_q8(spark),
     }
     with open(out_path, "w") as fh:
