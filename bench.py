@@ -91,6 +91,7 @@ HEADLINE = [
     "bpe_merge_candidates",
     "dup_span_extract",
     "tfidf_top_terms",
+    "dup_span_removal",
 ]
 
 

@@ -932,6 +932,32 @@ def dedup_ngram_jaccard(
     return out
 
 
+def _span_windows(
+    docs: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos, h) for every k-token window: the shared projection
+    under `dup_spans` and `dup_span_removal` — a generator explode
+    (one output row per corpus token), xxhash64 over the
+    space-rejoined window, positions 1-based."""
+    toks = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("tk")
+    ).where(F.size("tk") >= k)
+    return toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(F.concat_ws(" ", F.slice("tk", i, k))).alias(
+                        "h"
+                    ),
+                ),
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.pos").cast("long").alias("pos"), "w.h")
+
+
 def dup_spans(
     docs: DataFrame,
     k: int = 8,
@@ -971,23 +997,7 @@ def dup_spans(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col), _tokens(F.col(text_col)).alias("tk")
-    ).where(F.size("tk") >= k)
-    wins = toks.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - (k - 1)),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.xxhash64(F.concat_ws(" ", F.slice("tk", i, k))).alias(
-                        "h"
-                    ),
-                ),
-            )
-        ).alias("w"),
-    ).select(id_col, F.col("w.pos").cast("long").alias("pos"), "w.h")
+    wins = _span_windows(docs, k, text_col, id_col)
     if detect == "window":
         byh = Window.partitionBy("h")
         hits = (
@@ -1020,4 +1030,75 @@ def dup_spans(
             .alias("span_tokens"),
         )
         .select(id_col, "span_start", "span_tokens")
+    )
+
+
+def dup_span_removal(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Close the extraction -> removal loop: rebuild a cleaned corpus
+    with every cross-document duplicated span cut EXCEPT in its
+    canonical holder (what Lee et al. 2021 actually do after finding
+    duplicated substrings — keep one occurrence, delete the rest).
+
+    Canonical-holder rule (deterministic, engine-independent): an
+    island (maximal run of duplicated k-token windows, as in
+    `dup_spans`) is KEPT in the document that is the MINIMUM doc id
+    among holders of its FIRST window's hash, and removed everywhere
+    else. The min-holder rides the same hash-partition window pass
+    that detects duplication — still no join-back on the token-scale
+    relation; the only join is docs LEFT JOIN the per-doc removed
+    interval lists (doc-count sized, equi on the id).
+
+    Output, one row per INPUT document (untouched docs included):
+    (id_col, n_tokens, n_removed, clean_md5) where clean_md5 is the
+    md5 of the space-rejoined surviving tokens — the strongest
+    cheap cross-engine witness that the rebuilt text is identical.
+    Token removal is positional: a token is cut iff some removed
+    island's token range [s, e] covers it (ranges of a removed and a
+    kept island may overlap; removal wins, which is the conservative
+    direction for leakage).
+    """
+    from pyspark.sql import Window
+
+    wins = _span_windows(docs, k, text_col, id_col)
+    byh = Window.partitionBy("h")
+    marked = wins.select(
+        id_col,
+        "pos",
+        F.min(id_col).over(byh).alias("mn"),
+        F.max(id_col).over(byh).alias("mx"),
+    )
+    hits = marked.where(F.col("mn") != F.col("mx"))
+    bydoc = Window.partitionBy(id_col).orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(bydoc))
+    islands = isl.groupBy(id_col, "grp").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(k - 1)).alias("e"),
+        F.min_by("mn", "pos").alias("holder"),
+    )
+    removed = (
+        islands.where(F.col("holder") != F.col(id_col))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    )
+    toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("tk"))
+    joined = toks.join(removed, id_col, "left")
+    cleaned = F.when(F.col("ivs").isNull(), F.col("tk")).otherwise(
+        F.filter(
+            "tk",
+            lambda x, i: ~F.exists(
+                "ivs",
+                lambda iv: (i + 1 >= iv["s"]) & (i + 1 <= iv["e"]),
+            ),
+        )
+    )
+    return joined.select(
+        id_col,
+        F.size("tk").cast("long").alias("n_tokens"),
+        (F.size("tk") - F.size(cleaned)).cast("long").alias("n_removed"),
+        F.md5(F.concat_ws(" ", cleaned)).alias("clean_md5"),
     )

@@ -1419,6 +1419,7 @@ _GATE_REST = [
     "streaming_upsert_sink",   # streaming ON-CONFLICT merge sink
     "dup_span_extract",        # cross-doc duplicate-span extraction
     "tfidf_top_terms",         # tf-idf keyword extraction
+    "dup_span_removal",        # cleaned-corpus rebuild (md5 witness)
 ]
 
 assert len(_GATE_FIRST) == GATE_CAP, (

@@ -696,6 +696,73 @@ FROM isl GROUP BY doc_id, grp
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-span REMOVAL (cleaned-corpus rebuild)
+# ---------------------------------------------------------------------------
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of substring dedup: cut every cross-document
+    duplicated span except in its canonical holder (minimum doc id
+    over the island's first window hash) and rebuild the cleaned
+    token stream, witnessed per document by an md5 of the surviving
+    tokens. One row per input document. Semantics, determinism
+    contract, and plan shape on `operators.dedup.dup_span_removal`;
+    the oracle replays the full rebuild in SQL over the literal
+    window strings and compares the md5s."""
+    from ..operators.dedup import dup_span_removal
+
+    return dup_span_removal(_t(spark, sf_dir, "documents"), k=_SPAN_K)
+
+
+ORACLE_DUP_SPAN_REMOVAL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+',
+                                                      ' ', 'g')), ' '),
+                     t -> t <> '') AS tk
+  FROM documents),
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(tk[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS win
+  FROM toks, UNNEST(range(1, len(tk) - 6)) AS u(i)
+  WHERE len(tk) >= 8),
+marked AS (
+  SELECT doc_id, pos,
+         MIN(doc_id) OVER (PARTITION BY win) AS mn,
+         MAX(doc_id) OVER (PARTITION BY win) AS mx
+  FROM wins),
+hits AS (SELECT doc_id, pos, mn FROM marked WHERE mn <> mx),
+isl AS (
+  SELECT doc_id, pos, mn,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits),
+islands AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e,
+         arg_min(mn, pos) AS holder
+  FROM isl GROUP BY doc_id, grp),
+rem AS (
+  SELECT doc_id, list({'s': s, 'e': e}) AS ivs
+  FROM islands WHERE holder <> doc_id GROUP BY doc_id),
+base AS (
+  SELECT t.doc_id, t.tk, r.ivs
+  FROM toks t LEFT JOIN rem r USING (doc_id)),
+clean AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         CASE WHEN ivs IS NULL THEN tk
+              ELSE list_transform(
+                     list_filter(range(1, len(tk) + 1),
+                       i -> len(list_filter(ivs,
+                              iv -> i BETWEEN iv.s AND iv.e)) = 0),
+                     i -> tk[CAST(i AS INT)])
+         END AS ctk
+  FROM base)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       (n_tokens - len(ctk))::BIGINT AS n_removed,
+       md5(COALESCE(array_to_string(ctk, ' '), '')) AS clean_md5
+FROM clean
+"""
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF keyword extraction (top-3 terms per document)
 # ---------------------------------------------------------------------------
 
@@ -797,6 +864,7 @@ MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_upsert_sink": q_streaming_upsert_sink,
     "dup_span_extract": q_dup_span_extract,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "dup_span_removal": q_dup_span_removal,
 }
 
 MIX_ORACLES: dict[str, str] = {
@@ -812,4 +880,5 @@ MIX_ORACLES: dict[str, str] = {
     "streaming_upsert_sink": ORACLE_STREAMING_UPSERT_SINK,
     "dup_span_extract": ORACLE_DUP_SPAN_EXTRACT,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "dup_span_removal": ORACLE_DUP_SPAN_REMOVAL,
 }

@@ -234,3 +234,40 @@ def test_dup_spans_islands_and_within_doc_exclusion(spark):
             .collect()
         }
         assert got == expected, detect
+
+
+def test_dup_span_removal_canonical_holder(spark):
+    # the minimum doc id holding an island's first window keeps the
+    # span; every other holder has it cut and the md5 witnesses the
+    # rebuilt token stream (tokens are lowercased by normalization)
+    import hashlib
+
+    from data_engineering_bootcamp_spark.operators.dedup import (
+        dup_span_removal,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 C1 C2 C3 C4 C5 C6 x1 x2"),
+            (2, "C1 C2 C3 C4 C5 C6 y1 y2 y3"),
+            (3, "r1 r2 r3 r4 z1 r1 r2 r3 r4 z2"),
+            (4, "E1 E2 E3 E4 g1 g2 g3 F1 F2 F3 F4"),
+            (5, "F1 F2 F3 F4 h1 h2 h3 E1 E2 E3 E4"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_md5)
+        for r in dup_span_removal(docs, k=4).collect()
+    }
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got == {
+        1: (10, 0, h("w1 w2 c1 c2 c3 c4 c5 c6 x1 x2")),
+        2: (9, 6, h("y1 y2 y3")),
+        3: (10, 0, h("r1 r2 r3 r4 z1 r1 r2 r3 r4 z2")),
+        4: (11, 0, h("e1 e2 e3 e4 g1 g2 g3 f1 f2 f3 f4")),
+        5: (11, 8, h("h1 h2 h3")),
+    }
