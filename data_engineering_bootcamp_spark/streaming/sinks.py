@@ -106,6 +106,39 @@ def start_to_kafka(
     )
 
 
+def upsert_merge_sql(
+    table: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+) -> str:
+    """The JDBC statement `upsert_batch_writer`'s handler body issues
+    against a real database: Postgres-style ``INSERT ... ON CONFLICT
+    DO UPDATE`` guarded so a row only wins if its order tuple is
+    strictly greater — the same keep-the-max merge rule the parquet
+    store applies, so batch-split independence carries over. The
+    handler reduces each micro-batch to its newest row per key first
+    (one statement per key per batch, not per event).
+
+    Parameterized with ``?`` placeholders in column order
+    key_cols + order_cols + payload_cols. The generated statement is
+    executable as-is by DuckDB too, which is how the tests PROVE the
+    merge semantics without a database in the sandbox."""
+    cols = [*key_cols, *order_cols, *payload_cols]
+    placeholders = ", ".join("?" for _ in cols)
+    sets = ", ".join(
+        f"{c} = excluded.{c}" for c in [*order_cols, *payload_cols]
+    )
+    exc = ", ".join(f"excluded.{c}" for c in order_cols)
+    cur = ", ".join(f"{table}.{c}" for c in order_cols)
+    return (
+        f"INSERT INTO {table} ({', '.join(cols)}) "
+        f"VALUES ({placeholders}) "
+        f"ON CONFLICT ({', '.join(key_cols)}) DO UPDATE SET {sets} "
+        f"WHERE ({exc}) > ({cur})"
+    )
+
+
 def upsert_batch_writer(
     store_dir: str,
     key_cols: list[str],

@@ -120,3 +120,34 @@ def test_jdbc_batch_writer_bindings():
     assert fn.url == "jdbc:postgresql://db:5432/postgres"
     assert fn.table == "processed_events"
     assert fn.mode == "append"
+
+
+def test_upsert_merge_sql_semantics_in_duckdb():
+    # the generated ON-CONFLICT statement is executable SQL: prove the
+    # keep-the-max merge rule (and batch-order independence) by
+    # actually running it in DuckDB instead of only pinning the string
+    import duckdb
+
+    from data_engineering_bootcamp_spark.streaming.sinks import (
+        upsert_merge_sql,
+    )
+
+    sql = upsert_merge_sql("store", ["k"], ["ts", "eid"], ["val"])
+    assert "ON CONFLICT (k) DO UPDATE" in sql
+    assert "WHERE (excluded.ts, excluded.eid) > (store.ts, store.eid)" in sql
+
+    rows = [
+        (1, 10, 1, "a"), (1, 30, 2, "c"), (1, 20, 3, "b"),
+        (2, 5, 4, "x"), (2, 5, 5, "y"),  # ts tie -> eid breaks it
+    ]
+    for order in (rows, list(reversed(rows))):
+        con = duckdb.connect()
+        con.sql(
+            "CREATE TABLE store (k INT PRIMARY KEY, ts INT, eid INT,"
+            " val VARCHAR)"
+        )
+        for r in order:
+            con.execute(sql, list(r))
+        got = {tuple(r) for r in con.sql("SELECT * FROM store").fetchall()}
+        assert got == {(1, 30, 2, "c"), (2, 5, 5, "y")}, order
+        con.close()
