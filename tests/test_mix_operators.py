@@ -271,3 +271,86 @@ def test_dup_span_removal_canonical_holder(spark):
         4: (11, 0, h("e1 e2 e3 e4 g1 g2 g3 f1 f2 f3 f4")),
         5: (11, 8, h("h1 h2 h3")),
     }
+
+
+def test_dup_spans_and_removal_match_python_reference(spark):
+    # seeded random corpora over a 4-token alphabet (dense window
+    # collisions: adjacent islands, k-boundary docs, within-doc
+    # repeats) checked against an independent pure-Python replay of
+    # the contract
+    import hashlib
+    import random
+
+    from data_engineering_bootcamp_spark.operators.dedup import (
+        dup_span_removal,
+        dup_spans,
+    )
+
+    k = 3
+    for seed in (7, 41, 1337):
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join(rng.choice("abcd") for _ in range(rng.randint(0, 12))))
+            for i in range(30)
+        ]
+
+        toks = {i: t.split() if t else [] for i, t in docs}
+        wins = {}  # window string -> list[(doc, pos)]  (pos 1-based)
+        for i, tk in toks.items():
+            for p in range(len(tk) - k + 1):
+                wins.setdefault(" ".join(tk[p : p + k]), []).append((i, p + 1))
+        dup = {
+            w: occ
+            for w, occ in wins.items()
+            if len({d for d, _ in occ}) >= 2
+        }
+        hitpos = {}  # doc -> sorted positions; holder per (doc,pos)
+        holder = {}
+        for w, occ in dup.items():
+            mn = min(d for d, _ in occ)
+            for d, p in occ:
+                hitpos.setdefault(d, set()).add(p)
+                holder[(d, p)] = mn
+        exp_spans = set()
+        exp_removed = {}  # doc -> list[(s,e)] token ranges of cut islands
+        for d, ps in hitpos.items():
+            ps = sorted(ps)
+            run = [ps[0]]
+            for p in ps[1:]:
+                if p == run[-1] + 1:
+                    run.append(p)
+                else:
+                    exp_spans.add((d, run[0], run[-1] - run[0] + k))
+                    if holder[(d, run[0])] != d:
+                        exp_removed.setdefault(d, []).append(
+                            (run[0], run[-1] + k - 1)
+                        )
+                    run = [p]
+            exp_spans.add((d, run[0], run[-1] - run[0] + k))
+            if holder[(d, run[0])] != d:
+                exp_removed.setdefault(d, []).append((run[0], run[-1] + k - 1))
+
+        exp_rows = {}
+        for d, tk in toks.items():
+            ivs = exp_removed.get(d, [])
+            kept = [
+                t
+                for j, t in enumerate(tk, start=1)
+                if not any(s <= j <= e for s, e in ivs)
+            ]
+            exp_rows[d] = (
+                len(tk),
+                len(tk) - len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+
+        sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+        got_spans = {
+            tuple(r) for r in dup_spans(sdf, k=k).collect()
+        }
+        assert got_spans == exp_spans, f"seed {seed}"
+        got_rows = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.clean_md5)
+            for r in dup_span_removal(sdf, k=k).collect()
+        }
+        assert got_rows == exp_rows, f"seed {seed}"
