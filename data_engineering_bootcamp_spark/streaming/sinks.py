@@ -149,12 +149,14 @@ def upsert_batch_writer(
     newest row per key, merged with the keyed store keeping the row
     with the greatest ``order_cols`` tuple, and atomically swapped in.
 
-    The local store is a parquet directory (written beside the live
-    one and swapped with os.replace so a concurrent reader never sees
-    a half-written store); on a production cluster the same handler
-    body targets JDBC `MERGE` / `INSERT ... ON CONFLICT UPDATE`
-    (the reference's Postgres sink shape) — only the final write call
-    changes.
+    The local store is a parquet directory behind a `live` SYMLINK:
+    each batch writes a fresh versioned directory and flips the
+    symlink with os.replace — one atomic rename, so a concurrent
+    reader always resolves either the old or the new complete store,
+    never a missing or half-written one. On a production cluster the
+    same handler body targets JDBC `MERGE` / `INSERT ... ON CONFLICT
+    UPDATE` (the reference's Postgres sink shape — see
+    `upsert_merge_sql`) — only the final write call changes.
 
     Convergence contract: because the merge keeps the max
     (order_cols) row per key and max() is associative/commutative,
@@ -179,7 +181,10 @@ def upsert_batch_writer(
             .select(*key_cols, "_row.*")
         )
         live = os.path.join(store_dir, "live")
-        if os.path.exists(live):
+        prev_target = (
+            os.path.realpath(live) if os.path.exists(live) else None
+        )
+        if prev_target:
             existing = spark.read.parquet(live)
             merged = (
                 existing.unionByName(fresh)
@@ -189,13 +194,14 @@ def upsert_batch_writer(
             )
         else:
             merged = fresh
-        staged = os.path.join(store_dir, f"stage_{_batch_id}")
+        staged = os.path.join(store_dir, f"v_{_batch_id}")
         merged.write.mode("overwrite").parquet(staged)
-        old = os.path.join(store_dir, f"old_{_batch_id}")
-        if os.path.exists(live):
-            os.rename(live, old)
-        os.rename(staged, live)
-        shutil.rmtree(old, ignore_errors=True)
+        # atomic publish: repoint the live symlink in ONE rename
+        tmp_link = os.path.join(store_dir, f".live_tmp_{_batch_id}")
+        os.symlink(staged, tmp_link)
+        os.replace(tmp_link, live)
+        if prev_target and prev_target != os.path.realpath(staged):
+            shutil.rmtree(prev_target, ignore_errors=True)
 
     write_batch.store_dir = store_dir
     write_batch.key_cols = tuple(key_cols)
