@@ -1370,6 +1370,16 @@ _GATE_FIRST = [
     "streaming_neardup_admission",  # stream-static LSH admission — first r5
 ]
 
+# Round-6 rotation plan: the 13 round-5 additions below never had a
+# driver row (pivot_lang_counts, unpivot_region_metrics,
+# chunk_dedup_rebuild, corpus_mix_plan, quantile_band_filter,
+# embedding_quantize_error, ann_q8_rerank, streaming_interval_join,
+# bpe_merge_candidates, streaming_upsert_sink, dup_span_extract,
+# tfidf_top_terms, dup_span_removal). Promote them into _GATE_FIRST
+# next round, freeing slots from entries that will then carry ≥2
+# cumulative rows (e.g. the r5-rotated doc_ttr_repetition /
+# doc_winnow_fingerprint / skew_salted_join block plus long-green
+# core entries).
 _GATE_REST = [
     # Every entry below carries a green cumulative driver CORRECTNESS
     # row (round noted) or is a dup/baseline twin of a gated primary;
