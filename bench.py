@@ -8,6 +8,14 @@ Prints ONE JSON line:
 value = total wall-clock seconds across the headline queries (each
 executed to completion with a cheap count-style action; results are not
 collected to the driver).
+
+Median-of-N mode (VERDICT r5 #6 — single contended runs dominated two
+rounds of driver artifacts): each query is timed
+$SPARK_GRAFT_BENCH_REPS times (default 3) and "queries" carries the
+per-query MEDIANS; the raw per-rep timings ride along under
+"queries_reps" so contention is visible post-hoc, and "value" is the
+sum of medians. Set SPARK_GRAFT_BENCH_REPS=1 for the old single-shot
+behavior (used while iterating).
 """
 
 from __future__ import annotations
@@ -115,25 +123,36 @@ def main() -> None:
     # signal (round 2's bench died at query 15 and emitted nothing).
     # Failures are recorded per-query under "errors" and excluded from
     # the total; the JSON line is ALWAYS printed.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    reps_out: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            # force full execution without driver-side collection
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 — survive any query fault
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-        finally:
-            # dedup operators persist signature blocks for their own
-            # multi-join plans; release them so the session stays flat
+        per_rep: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
             try:
-                release_caches()
-            except Exception:
-                pass
+                df = fn(spark, sf_dir)
+                # force full execution without driver-side collection
+                df.write.format("noop").mode("overwrite").save()
+                per_rep.append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # noqa: BLE001 — survive any fault
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                per_rep = []
+                break
+            finally:
+                # dedup operators persist signature blocks for their own
+                # multi-join plans; release them so the session stays flat
+                try:
+                    release_caches()
+                except Exception:
+                    pass
+        if per_rep:
+            # median: the robust location for 3 reps on a noisy host —
+            # one contended rep can no longer dominate the artifact
+            timings[name] = sorted(per_rep)[len(per_rep) // 2]
+            reps_out[name] = per_rep
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -147,6 +166,8 @@ def main() -> None:
         "valid": not errors,
         "unit": "sec",
         "queries": timings,
+        "bench_reps": reps,
+        "queries_reps": reps_out,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # 1/5/15-min loadavg at start and end; compare against
         # $SPARK_GRAFT_CPUS to judge whether the box was idle

@@ -1044,23 +1044,39 @@ def dup_span_removal(
     canonical holder (what Lee et al. 2021 actually do after finding
     duplicated substrings — keep one occurrence, delete the rest).
 
-    Canonical-holder rule (deterministic, engine-independent): an
-    island (maximal run of duplicated k-token windows, as in
-    `dup_spans`) is KEPT in the document that is the MINIMUM doc id
-    among holders of its FIRST window's hash, and removed everywhere
-    else. The min-holder rides the same hash-partition window pass
+    Canonical-holder rule — PER WINDOW, with keep-wins token
+    arithmetic (round-6 semantics; the earlier per-island-first-window
+    rule could delete a duplicated span from EVERY document when its
+    holder's occurrence was absorbed into a larger island held
+    elsewhere — corpus-wide content loss beyond the stated contract):
+
+    - every occurrence of a cross-document duplicated k-token window
+      is REMOVED except in the MINIMUM doc id among its holders,
+      where it is PROTECTED;
+    - a token is cut iff it is covered by some removed occurrence's
+      range [pos, pos+k-1] AND not covered by any protected range in
+      the same document (protection wins).
+
+    The protection clause is what makes the survival guarantee hold:
+    every duplicated window's k tokens survive, contiguously, in its
+    min-id holder — overlapping removed windows (the adjacent
+    near-boundary windows a shared span always drags along) cannot
+    eat into it. The converse cost is the standard substring-dedup
+    boundary effect: up to k-1 tokens adjacent to a kept window may
+    also survive in a non-holder document when its protected and
+    removed ranges overlap — removal never splits a protected range.
+
+    The min-holder verdict rides the same hash-partition window pass
     that detects duplication — still no join-back on the token-scale
-    relation; the only join is docs LEFT JOIN the per-doc removed
-    interval lists (doc-count sized, equi on the id).
+    relation; removed and protected ranges are compacted with ONE
+    gaps-and-islands pass partitioned by (doc, verdict); the only
+    join is docs LEFT JOIN the per-doc interval lists (doc-count
+    sized, equi on the id).
 
     Output, one row per INPUT document (untouched docs included):
     (id_col, n_tokens, n_removed, clean_md5) where clean_md5 is the
     md5 of the space-rejoined surviving tokens — the strongest
     cheap cross-engine witness that the rebuilt text is identical.
-    Token removal is positional: a token is cut iff some removed
-    island's token range [s, e] covers it (ranges of a removed and a
-    kept island may overlap; removal wins, which is the conservative
-    direction for leakage).
     """
     from pyspark.sql import Window
 
@@ -1072,29 +1088,36 @@ def dup_span_removal(
         F.min(id_col).over(byh).alias("mn"),
         F.max(id_col).over(byh).alias("mx"),
     )
-    hits = marked.where(F.col("mn") != F.col("mx"))
-    bydoc = Window.partitionBy(id_col).orderBy("pos")
-    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(bydoc))
-    islands = isl.groupBy(id_col, "grp").agg(
+    dup = marked.where(F.col("mn") != F.col("mx")).withColumn(
+        "kept", F.col(id_col) == F.col("mn")
+    )
+    # one island pass for both verdicts: partition by (doc, verdict)
+    bydoc = Window.partitionBy(id_col, "kept").orderBy("pos")
+    isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(bydoc))
+    islands = isl.groupBy(id_col, "kept", "grp").agg(
         F.min("pos").alias("s"),
         (F.max("pos") + F.lit(k - 1)).alias("e"),
-        F.min_by("mn", "pos").alias("holder"),
     )
-    removed = (
-        islands.where(F.col("holder") != F.col(id_col))
-        .groupBy(id_col)
-        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    iv = F.struct("s", "e")
+    ivs = islands.groupBy(id_col).agg(
+        F.collect_list(F.when(~F.col("kept"), iv)).alias("rivs"),
+        F.collect_list(F.when(F.col("kept"), iv)).alias("kivs"),
     )
     toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("tk"))
-    joined = toks.join(removed, id_col, "left")
-    cleaned = F.when(F.col("ivs").isNull(), F.col("tk")).otherwise(
-        F.filter(
-            "tk",
-            lambda x, i: ~F.exists(
-                "ivs",
-                lambda iv: (i + 1 >= iv["s"]) & (i + 1 <= iv["e"]),
-            ),
+    empty_ivs = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    joined = (
+        toks.join(ivs, id_col, "left")
+        .withColumn("rivs", F.coalesce("rivs", empty_ivs))
+        .withColumn("kivs", F.coalesce("kivs", empty_ivs))
+    )
+
+    def _covers(col: str, i):
+        return F.exists(
+            col, lambda v: (i + 1 >= v["s"]) & (i + 1 <= v["e"])
         )
+
+    cleaned = F.filter(
+        "tk", lambda x, i: ~_covers("rivs", i) | _covers("kivs", i)
     )
     return joined.select(
         id_col,

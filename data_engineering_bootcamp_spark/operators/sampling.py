@@ -124,10 +124,16 @@ def weighted_mix(
         sample_bucket(F.col(key_col), salt), F.col(key_col)
     )
     wall = Window.partitionBy(*group_cols)
-    quota = (F.count(F.lit(1)).over(wall) * rate_pct + 99) / 100
+    qnum = (
+        F.count(F.lit(1)).over(wall) * rate_pct.cast("long") + 99
+    ).cast("long")
     return (
         df.withColumn("_rk", F.row_number().over(wrank))
-        .withColumn("_quota", F.floor(quota))
-        .where(F.col("_rk") <= F.col("_quota"))
-        .drop("_rk", "_quota")
+        .withColumn("_qnum", qnum)
+        # TRUE integer division (SQL `div`), matching the documented
+        # `(n * pct + 99) DIV 100` contract exactly at any magnitude —
+        # the earlier double Divide + floor was exact only while
+        # n * pct stayed far below 2^53
+        .where(F.col("_rk") <= F.expr("_qnum div 100"))
+        .drop("_rk", "_qnum")
     )

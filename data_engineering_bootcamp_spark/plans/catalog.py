@@ -1298,15 +1298,24 @@ ORACLES.update(MIX_ORACLES)
 # ---------------------------------------------------------------------------
 # Gate ordering. The round driver gates exactly the FIRST `GATE_CAP`
 # entries of queries(), so registry order is a correctness-visibility
-# decision. Round-5 rotation (VERDICT r4 #1 + ADVICE r4 off-by-one):
-# the 8 entries that had NO driver CORRECTNESS row through round 4
-# (neardup_clusters, streaming_neardup_admission, doc_pii_redact,
-# vocab_top_tokens, doc_ttr_repetition, doc_winnow_fingerprint,
-# skew_salted_join, ngram_jaccard_allpairs) are promoted into the
-# gated prefix; the slots come from entries that carry ≥2 cumulative
-# green driver rows (r1+r3+r4). The prefix is now a separate list so
-# its length is asserted against GATE_CAP — the r4 boundary comment
-# silently sat after only 49 entries.
+# decision. Round-6 rotation (VERDICT r5 "Next round" #1 + #5): the 13
+# round-5 additions that never had a driver row (pivot_lang_counts,
+# unpivot_region_metrics, chunk_dedup_rebuild, corpus_mix_plan,
+# quantile_band_filter, embedding_quantize_error, ann_q8_rerank,
+# streaming_interval_join, bpe_merge_candidates, streaming_upsert_sink,
+# dup_span_extract, dup_span_removal, tfidf_top_terms) are promoted
+# into the gated prefix, plus the graph-surface pair user_vertices /
+# part_pair_edges (VERDICT #5: keep the reference's vertex/edge
+# workload fresh). The 15 slots come exclusively from entries carrying
+# >= 2 cumulative green driver rows (longest_streak r4+r5,
+# union_order_tiers r4+r5, retention_curve r4+r5, exact_percentiles
+# r4+r5, minhash_lsh_pairs r3+r4+r5, simhash_pairs r3+r4+r5,
+# ann_cosine_ivf r3+r4+r5, ann_cosine_lsh r4+r5, embedding_neardup
+# r3+r4+r5, media_features r4+r5, media_frame_sample r4+r5,
+# skew_salted_agg r3+r4+r5, asof_latest_order r3+r4+r5,
+# hash_sample_split r4+r5, stratified_sample r4+r5).
+# After this rotation EVERY registry entry has at least one driver
+# CORRECTNESS row (r1 ∪ … ∪ r6).
 # Rotated-out entries keep full in-repo coverage: tools/gate_check.py
 # runs the ENTIRE registry with the same oracles each round.
 # ---------------------------------------------------------------------------
@@ -1315,39 +1324,28 @@ GATE_CAP = 50  # the driver gates exactly this many leading entries
 
 _GATE_FIRST = [
     # core relational surface (P/A/W/J/O/U ids)
-    "rolling_revenue",         # W5-W8 W11
-    "array_metrics",           # J2 J4 J5 A12 A13 A6
-    "order_history",           # A6 W10
-    "best_stretch",            # W9 W12 (90-row stretch half)
-    "longest_streak",          # W12 (streak half — first driver row r4)
-    "semi_anti_customers",     # J6 J7
-    "merge_upsert",            # S11 J1
-    "union_order_tiers",       # U1 U2 P6 (first driver row r4)
-    "retention_curve",         # A16 + channel LIKE (first driver row r4)
-    "exact_percentiles",       # first driver row r4
+    "rolling_revenue",         # W5-W8 W11 (first driver row r5)
+    "array_metrics",           # J2 J4 J5 A12 A13 A6 (first driver row r5)
+    "order_history",           # A6 W10 (first driver row r5)
+    "best_stretch",            # W9 W12 (90-row stretch half; first row r5)
+    "semi_anti_customers",     # J6 J7 (first driver row r5)
+    "merge_upsert",            # S11 J1 (first driver row r5)
+    # graph/vertex surface (VERDICT r5 #5: reference team_vertex_job /
+    # player_player_edges round-trip — refresh driver evidence)
+    "user_vertices",           # W3 + map-typed vertex props
+    "part_pair_edges",         # J9 pair self-join with inequality
     # LLM-pipeline operators (first-class per brief)
     "doc_dedup_exact",         # A14
     "doc_lang_id",             # P9
-    "minhash_lsh_pairs",
-    "simhash_pairs",
     "ngram_jaccard_pairs",     # prefix-filtered primary
     "ngram_jaccard_allpairs",  # exact baseline twin — first driver row r5
-    "ann_cosine_ivf",
-    "ann_cosine_lsh",          # first driver row r4
-    "embedding_neardup",
-    "media_features",
-    "media_frame_sample",      # first driver row r4
     "media_real_decode",       # real stdlib PNG round-trip — first row r5
-    "skew_salted_agg",
     "skew_salted_join",        # join twin — first driver row r5
-    "asof_latest_order",
     "udf_enrich_broadcast",    # T6 / §2.10
-    "hash_sample_split",       # first driver row r4
-    "stratified_sample",       # first driver row r4
-    "doc_decontaminate",       # first driver row r4
-    "doc_chunks",              # first driver row r4
-    "pack_token_stream",       # first driver row r4
-    "table_profile",           # A4/A5-style distincts; first driver row r4
+    "doc_decontaminate",       # leakage scrub (kept gated: r4+r5)
+    "doc_chunks",              # chunking primary (kept gated: r4+r5)
+    "pack_token_stream",       # sequence packing (kept gated: r4+r5)
+    "table_profile",           # A4/A5-style distincts
     "doc_ttr_repetition",      # first driver row r5
     "doc_winnow_fingerprint",  # set-stats winnow twin — first driver row r5
     "doc_pii_redact",          # regex PII counting + masking — first row r5
@@ -1355,6 +1353,18 @@ _GATE_FIRST = [
     "neardup_clusters",        # CC + keep-one retention — first row r5
     "neardup_clusters_star",   # large/small-star CC — first row r5
     "corpus_curation_pipeline",  # flagship; first driver row r4
+    # round-6 promotions: the 13 round-5 additions without a driver row
+    "pivot_lang_counts",       # groupBy().pivot() with pinned values
+    "unpivot_region_metrics",  # DataFrame.unpivot wide->long
+    "chunk_dedup_rebuild",     # sub-document exact dedup + rebuild
+    "corpus_mix_plan",         # per-source mixing quotas (integer math)
+    "quantile_band_filter",    # exact-percentile length trimming
+    "embedding_quantize_error",  # int8 SQ reconstruction error
+    "ann_q8_rerank",           # SQ8 candidates + float rerank
+    "bpe_merge_candidates",    # BPE pass-2 pair statistics
+    "dup_span_extract",        # cross-doc duplicate-span extraction
+    "dup_span_removal",        # cleaned-corpus rebuild (md5 witness)
+    "tfidf_top_terms",         # tf-idf keyword extraction
     # write-path round-trips (S4-S10, O4/O5, J14, S8)
     "bucketed_join_rollup",    # S4 S5 J14
     "partitioned_prune_rollup",  # S6 S7
@@ -1368,31 +1378,21 @@ _GATE_FIRST = [
     "streaming_kafka_mirror",      # S12 S14
     "streaming_dedup",         # dropDuplicatesWithinWatermark; first row r4
     "streaming_neardup_admission",  # stream-static LSH admission — first r5
+    "streaming_interval_join",  # stream-stream interval join (r6 promotion)
+    "streaming_upsert_sink",   # streaming ON-CONFLICT merge sink (r6 prom.)
 ]
 
-# Round-6 rotation plan: the 13 round-5 additions below never had a
-# driver row (pivot_lang_counts, unpivot_region_metrics,
-# chunk_dedup_rebuild, corpus_mix_plan, quantile_band_filter,
-# embedding_quantize_error, ann_q8_rerank, streaming_interval_join,
-# bpe_merge_candidates, streaming_upsert_sink, dup_span_extract,
-# tfidf_top_terms, dup_span_removal). Promote them into _GATE_FIRST
-# next round, freeing slots from entries that will then carry ≥2
-# cumulative rows (e.g. the r5-rotated doc_ttr_repetition /
-# doc_winnow_fingerprint / skew_salted_join block plus long-green
-# core entries).
 _GATE_REST = [
     # Every entry below carries a green cumulative driver CORRECTNESS
-    # row (round noted) or is a dup/baseline twin of a gated primary;
-    # all still oracle-checked in-repo by tools/gate_check.py every
-    # round.
+    # row (round noted); all still oracle-checked in-repo by
+    # tools/gate_check.py every round.
     "pricing_summary",         # r1+r3+r4 rows; P3 A3 A17
-    "part_pair_edges",         # r3+r4 rows; J9
     "customer_order_spine",    # r3+r4 rows; J10 J11 J15
     "top_customers",           # r1+r3+r4 rows; J3 J13 A15 O1-O3
     "grouping_sets",           # r1+r3+r4 rows; A9 S3
     "funnel_conversion",       # r1+r3+r4 rows; P7 J8 A16
     "scd_streaks",             # r1+r3+r4 rows; W1 W2 A1
-    "users_cumulated",         # r1+r3+r4 rows; P4 A7 J1
+    "users_cumulated",         # r1+r3+r4+r5 rows; P4 A7 J1
     "datelist_int",            # r1+r3+r4 rows; A10 A11
     "sessionization",          # r03+r04 rows; W2/P4
     "part_type_tiers",         # r03 row; P5 LIKE via retention_curve channel
@@ -1405,7 +1405,7 @@ _GATE_REST = [
     "scd_incremental",         # r03 row; J6/W1/U1 via semi_anti+scd_streaks+union
     "doc_token_stats",         # r03 row
     "doc_quality",             # r03 row
-    "ann_cosine_topk",         # r03 row; brute-force baseline (lsh+ivf gated)
+    "ann_cosine_topk",         # r03 row; brute-force baseline
     "doc_winnow_neardup_pairs",  # r03 row; winnow primary
     "bulk_rename_summary",     # r03 row; P2
     "csv_roundtrip_rollup",    # r03 row; S2
@@ -1413,23 +1413,24 @@ _GATE_REST = [
     "tumbling_hits",           # batch analog of streaming_tumbling_hits
     "region_revenue",          # J13 dup of top_customers
     "top_supplier_per_nation",  # J13/A15 dup
-    "user_vertices",           # W3 dup of dedup_keep_first
     "host_activity_reduced",   # J2/J12 (series via customer_order_spine)
     "embedding_neardup_allpairs",  # exact baseline twin
-    # round-5 additions — no driver row yet (promote in the r6 rotation)
-    "pivot_lang_counts",       # groupBy().pivot() with pinned values
-    "unpivot_region_metrics",  # DataFrame.unpivot wide->long
-    "chunk_dedup_rebuild",     # sub-document exact dedup + rebuild
-    "corpus_mix_plan",         # per-source mixing quotas (integer math)
-    "quantile_band_filter",    # exact-percentile length trimming
-    "embedding_quantize_error",  # int8 SQ reconstruction error
-    "ann_q8_rerank",           # SQ8 candidates + float rerank
-    "streaming_interval_join",  # stream-stream interval join
-    "bpe_merge_candidates",    # BPE pass-2 pair statistics
-    "streaming_upsert_sink",   # streaming ON-CONFLICT merge sink
-    "dup_span_extract",        # cross-doc duplicate-span extraction
-    "tfidf_top_terms",         # tf-idf keyword extraction
-    "dup_span_removal",        # cleaned-corpus rebuild (md5 witness)
+    # rotated out r6 (>= 2 cumulative driver rows each, rounds noted)
+    "longest_streak",          # W12 streak half; r4+r5 rows
+    "union_order_tiers",       # U1 U2 P6; r4+r5 rows
+    "retention_curve",         # A16 + channel LIKE; r4+r5 rows
+    "exact_percentiles",       # r4+r5 rows
+    "minhash_lsh_pairs",       # r3+r4+r5 rows
+    "simhash_pairs",           # r3+r4+r5 rows
+    "ann_cosine_ivf",          # r3+r4+r5 rows
+    "ann_cosine_lsh",          # r4+r5 rows
+    "embedding_neardup",       # r3+r4+r5 rows
+    "media_features",          # r4+r5 rows
+    "media_frame_sample",      # r4+r5 rows
+    "skew_salted_agg",         # r3+r4+r5 rows
+    "asof_latest_order",       # r3+r4+r5 rows
+    "hash_sample_split",       # r4+r5 rows
+    "stratified_sample",       # r4+r5 rows
 ]
 
 assert len(_GATE_FIRST) == GATE_CAP, (

@@ -56,18 +56,34 @@ def q_pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare lang appears; pinning keeps it a single hash aggregate whose
     schema is known at plan time. Missing cells are 0, not NULL
     (a source with no docs of a language has a count of zero).
+
+    `total` is the TRUE group size (COUNT(*), matching the oracle),
+    not the sum of the pinned columns — a lang outside `_LANGS` would
+    silently skew total/en_share otherwise (ADVICE r5). The corpus is
+    pre-aggregated to (source, lang) counts first (the only
+    corpus-scale shuffle); the window total and the pivot then run
+    over the tiny |sources| x |langs| relation.
     """
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents")
+    by_lang = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    with_total = by_lang.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("source"))
+    )
     piv = (
-        docs.groupBy("source")
+        with_total.groupBy("source", "total")
         .pivot("lang", _LANGS)
-        .count()
+        .sum("cnt")
         .na.fill(0, _LANGS)
     )
-    total = sum((F.col(c) for c in _LANGS), F.lit(0)).cast("long")
-    return (
-        piv.withColumn("total", total)
-        .withColumn("en_share", F.round(F.col("en") / F.col("total"), 6))
+    return piv.select(
+        "source",
+        *_LANGS,
+        "total",
+        F.round(F.col("en") / F.col("total"), 6).alias("en_share"),
     )
 
 
@@ -701,10 +717,13 @@ FROM isl GROUP BY doc_id, grp
 
 def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal half of substring dedup: cut every cross-document
-    duplicated span except in its canonical holder (minimum doc id
-    over the island's first window hash) and rebuild the cleaned
-    token stream, witnessed per document by an md5 of the surviving
-    tokens. One row per input document. Semantics, determinism
+    duplicated window except in its canonical holder (minimum doc id
+    among the window's holders) and rebuild the cleaned token stream,
+    witnessed per document by an md5 of the surviving tokens. The
+    verdict is per WINDOW with keep-wins token arithmetic, so every
+    duplicated window provably survives intact in exactly its min-id
+    holder (the earlier per-island holder rule could lose a span
+    corpus-wide). One row per input document. Semantics, determinism
     contract, and plan shape on `operators.dedup.dup_span_removal`;
     the oracle replays the full rebuild in SQL over the literal
     window strings and compares the md5s."""
@@ -730,30 +749,37 @@ marked AS (
          MIN(doc_id) OVER (PARTITION BY win) AS mn,
          MAX(doc_id) OVER (PARTITION BY win) AS mx
   FROM wins),
-hits AS (SELECT doc_id, pos, mn FROM marked WHERE mn <> mx),
+dup AS (
+  SELECT doc_id, pos, (doc_id = mn) AS kept
+  FROM marked WHERE mn <> mx),
 isl AS (
-  SELECT doc_id, pos, mn,
-         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM hits),
+  SELECT doc_id, pos, kept,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id, kept
+                                  ORDER BY pos) AS grp
+  FROM dup),
 islands AS (
-  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e,
-         arg_min(mn, pos) AS holder
-  FROM isl GROUP BY doc_id, grp),
-rem AS (
-  SELECT doc_id, list({'s': s, 'e': e}) AS ivs
-  FROM islands WHERE holder <> doc_id GROUP BY doc_id),
+  SELECT doc_id, kept, MIN(pos) AS s, MAX(pos) + 7 AS e
+  FROM isl GROUP BY doc_id, kept, grp),
+ivs AS (
+  SELECT doc_id,
+         COALESCE(list({'s': s, 'e': e}) FILTER (WHERE NOT kept),
+                  []) AS rivs,
+         COALESCE(list({'s': s, 'e': e}) FILTER (WHERE kept),
+                  []) AS kivs
+  FROM islands GROUP BY doc_id),
 base AS (
-  SELECT t.doc_id, t.tk, r.ivs
-  FROM toks t LEFT JOIN rem r USING (doc_id)),
+  SELECT t.doc_id, t.tk,
+         COALESCE(r.rivs, []) AS rivs, COALESCE(r.kivs, []) AS kivs
+  FROM toks t LEFT JOIN ivs r USING (doc_id)),
 clean AS (
   SELECT doc_id, len(tk) AS n_tokens,
-         CASE WHEN ivs IS NULL THEN tk
-              ELSE list_transform(
-                     list_filter(range(1, len(tk) + 1),
-                       i -> len(list_filter(ivs,
-                              iv -> i BETWEEN iv.s AND iv.e)) = 0),
-                     i -> tk[CAST(i AS INT)])
-         END AS ctk
+         list_transform(
+           list_filter(range(1, len(tk) + 1),
+             i -> len(list_filter(rivs,
+                    iv -> i BETWEEN iv.s AND iv.e)) = 0
+                  OR len(list_filter(kivs,
+                         iv -> i BETWEEN iv.s AND iv.e)) > 0),
+           i -> tk[CAST(i AS INT)]) AS ctk
   FROM base)
 SELECT doc_id, n_tokens::BIGINT AS n_tokens,
        (n_tokens - len(ctk))::BIGINT AS n_removed,

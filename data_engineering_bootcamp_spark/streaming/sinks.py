@@ -196,12 +196,30 @@ def upsert_batch_writer(
             merged = fresh
         staged = os.path.join(store_dir, f"v_{_batch_id}")
         merged.write.mode("overwrite").parquet(staged)
-        # atomic publish: repoint the live symlink in ONE rename
+        # atomic publish: repoint the live symlink in ONE rename. A
+        # stale tmp link from a crashed earlier attempt of this batch
+        # must not poison the retry (foreachBatch re-runs failed
+        # batches with the same id), so clear it first (ADVICE r5).
         tmp_link = os.path.join(store_dir, f".live_tmp_{_batch_id}")
+        if os.path.lexists(tmp_link):
+            os.unlink(tmp_link)
         os.symlink(staged, tmp_link)
         os.replace(tmp_link, live)
-        if prev_target and prev_target != os.path.realpath(staged):
-            shutil.rmtree(prev_target, ignore_errors=True)
+        # Deferred cleanup (ADVICE r5): keep the IMMEDIATELY-PREVIOUS
+        # version on disk — a concurrent reader that resolved the old
+        # symlink just before the flip may still be scanning it.
+        # Anything older than (current, previous) is unreachable by
+        # any reader that started after the previous flip and is
+        # reclaimed here.
+        keep = {os.path.realpath(staged)}
+        if prev_target:
+            keep.add(prev_target)
+        for name in os.listdir(store_dir):
+            if not name.startswith("v_"):
+                continue
+            p = os.path.join(store_dir, name)
+            if os.path.realpath(p) not in keep:
+                shutil.rmtree(p, ignore_errors=True)
 
     write_batch.store_dir = store_dir
     write_batch.key_cols = tuple(key_cols)

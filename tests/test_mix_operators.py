@@ -273,6 +273,42 @@ def test_dup_span_removal_canonical_holder(spark):
     }
 
 
+def test_dup_span_removal_holder_survives_island_absorption(spark):
+    # ADVICE r5 regression: under the old per-island-first-window rule
+    # the span "x y z" (held by doc 2) was deleted from EVERY document
+    # because doc 2's island starts with "a b x" held by doc 1. The
+    # per-window + keep-wins contract must keep "x y z" intact in doc 2.
+    import hashlib
+
+    from data_engineering_bootcamp_spark.operators.dedup import (
+        dup_span_removal,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b x q1 q2"),   # holds "a b x"
+            (2, "a b x y z"),     # one island pos 1..3; holds "x y z","b x y"
+            (3, "b x y t1 t2"),   # makes "b x y" cross-doc (holder: doc 2)
+            (4, "p1 x y z p2"),   # second holder of "x y z" (cut here)
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_md5)
+        for r in dup_span_removal(docs, k=3).collect()
+    }
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got == {
+        1: (5, 0, h("a b x q1 q2")),   # min-holder of "a b x": untouched
+        2: (5, 1, h("b x y z")),       # "a" cut; protected span survives
+        3: (5, 3, h("t1 t2")),         # "b x y" held by doc 2 -> cut here
+        4: (5, 3, h("p1 p2")),         # "x y z" held by doc 2 -> cut here
+    }
+
+
 def test_dup_spans_and_removal_match_python_reference(spark):
     # seeded random corpora over a 4-token alphabet (dense window
     # collisions: adjacent islands, k-boundary docs, within-doc
@@ -304,15 +340,15 @@ def test_dup_spans_and_removal_match_python_reference(spark):
             for w, occ in wins.items()
             if len({d for d, _ in occ}) >= 2
         }
-        hitpos = {}  # doc -> sorted positions; holder per (doc,pos)
-        holder = {}
+        hitpos = {}  # doc -> set of dup-window positions (for spans)
+        rem_pos = {}  # doc -> removed window positions (not min-holder)
+        keep_pos = {}  # doc -> protected window positions (min-holder)
         for w, occ in dup.items():
             mn = min(d for d, _ in occ)
             for d, p in occ:
                 hitpos.setdefault(d, set()).add(p)
-                holder[(d, p)] = mn
+                (keep_pos if d == mn else rem_pos).setdefault(d, set()).add(p)
         exp_spans = set()
-        exp_removed = {}  # doc -> list[(s,e)] token ranges of cut islands
         for d, ps in hitpos.items():
             ps = sorted(ps)
             run = [ps[0]]
@@ -321,22 +357,22 @@ def test_dup_spans_and_removal_match_python_reference(spark):
                     run.append(p)
                 else:
                     exp_spans.add((d, run[0], run[-1] - run[0] + k))
-                    if holder[(d, run[0])] != d:
-                        exp_removed.setdefault(d, []).append(
-                            (run[0], run[-1] + k - 1)
-                        )
                     run = [p]
             exp_spans.add((d, run[0], run[-1] - run[0] + k))
-            if holder[(d, run[0])] != d:
-                exp_removed.setdefault(d, []).append((run[0], run[-1] + k - 1))
+
+        # removal contract (r6): token cut iff covered by a removed
+        # window's [p, p+k-1] AND not covered by any protected window
+        def covered(j, ps):
+            return any(p <= j <= p + k - 1 for p in ps)
 
         exp_rows = {}
         for d, tk in toks.items():
-            ivs = exp_removed.get(d, [])
+            rem = rem_pos.get(d, set())
+            kee = keep_pos.get(d, set())
             kept = [
                 t
                 for j, t in enumerate(tk, start=1)
-                if not any(s <= j <= e for s, e in ivs)
+                if not covered(j, rem) or covered(j, kee)
             ]
             exp_rows[d] = (
                 len(tk),
@@ -354,3 +390,127 @@ def test_dup_spans_and_removal_match_python_reference(spark):
             for r in dup_span_removal(sdf, k=k).collect()
         }
         assert got_rows == exp_rows, f"seed {seed}"
+
+
+def test_similarity_driver_bound_guards_raise(spark):
+    # VERDICT r5 #2: every bounded-by-contract driver collect must
+    # RAISE past its cap instead of OOMing the driver at scale
+    import math
+
+    import pytest
+
+    from data_engineering_bootcamp_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_q8_rerank,
+        neardup_embedding_cosine,
+    )
+
+    rows = [
+        (i, [math.cos(0.1 * i), math.sin(0.1 * i), 0.2, 0.1])
+        for i in range(8)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    with pytest.raises(ValueError, match="driver-side bound"):
+        cosine_topk_bruteforce(emb, emb, k=2, max_queries=3).collect()
+    with pytest.raises(ValueError, match="driver-side bound"):
+        cosine_topk_q8_rerank(emb, emb, k=2, max_queries=3).collect()
+    with pytest.raises(ValueError, match="driver-side bound"):
+        neardup_embedding_cosine(emb, 0.9, max_vectors=3).collect()
+
+
+def test_q8_rerank_empty_queries_short_circuits(spark):
+    # ADVICE r5: an empty queries side must yield an empty result with
+    # the contract schema, not a numpy concatenate ValueError
+    import math
+
+    from data_engineering_bootcamp_spark.operators.similarity import (
+        cosine_topk_q8_rerank,
+    )
+
+    rows = [
+        (i, [math.cos(0.1 * i), math.sin(0.1 * i), 0.2, 0.1])
+        for i in range(6)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cosine_topk_q8_rerank(emb, emb.where("vec_id < 0"), k=2)
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert out.count() == 0
+
+
+def test_q8_rerank_vectorized_rejects_non_integral_ids(spark):
+    # ADVICE r5: the vectorized scorer hardcodes int64 ids — fail fast
+    # on string ids instead of silently mangling them
+    import pytest
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    from data_engineering_bootcamp_spark.operators.similarity import (
+        cosine_topk_q8_rerank,
+    )
+
+    with pytest.raises(TypeError, match="integral"):
+        cosine_topk_q8_rerank(emb, emb, k=1, vectorized=True)
+
+
+def test_upsert_batch_writer_stale_tmp_and_version_retention(
+    spark, tmp_path
+):
+    # ADVICE r5: (a) a stale .live_tmp_<id> from a crashed attempt must
+    # not fail the batch retry; (b) the immediately-previous version
+    # stays on disk for concurrent readers, older versions are reaped
+    import os
+
+    from data_engineering_bootcamp_spark.streaming.sinks import (
+        upsert_batch_writer,
+    )
+
+    d = tmp_path / "store"
+    os.makedirs(d)
+    w = upsert_batch_writer(str(d), ["k"], ["seq"])
+    df = spark.createDataFrame([(1, 10, "a")], ["k", "seq", "val"])
+
+    # simulate a crashed batch-0 attempt that left its tmp link behind
+    os.symlink("/nonexistent-target", str(d / ".live_tmp_0"))
+    w(df, 0)  # retry must succeed, not FileExistsError
+    assert {tuple(r) for r in spark.read.parquet(str(d / "live")).collect()}
+
+    w(spark.createDataFrame([(1, 20, "b")], ["k", "seq", "val"]), 1)
+    versions = sorted(p for p in os.listdir(d) if p.startswith("v_"))
+    assert versions == ["v_0", "v_1"]  # previous version retained
+
+    w(spark.createDataFrame([(2, 5, "x")], ["k", "seq", "val"]), 2)
+    versions = sorted(p for p in os.listdir(d) if p.startswith("v_"))
+    assert versions == ["v_1", "v_2"]  # v_0 now unreachable -> reaped
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(d / "live"))
+        .select("k", "seq", "val")
+        .collect()
+    }
+    assert got == {(1, 20, "b"), (2, 5, "x")}
+
+
+def test_weighted_mix_quota_is_true_integer_division(spark):
+    # the quota contract is (n * pct + 99) DIV 100 in INTEGER math;
+    # spot-check quotas around rounding boundaries
+    from pyspark.sql import functions as SF
+
+    from data_engineering_bootcamp_spark.operators.sampling import (
+        weighted_mix,
+    )
+
+    rows = []
+    for g, n, pct in (("a", 7, 50), ("b", 10, 33), ("c", 3, 1)):
+        rows += [(g, f"{g}{i}", pct) for i in range(n)]
+    df = spark.createDataFrame(rows, ["grp", "key", "pct"])
+    out = (
+        weighted_mix(df, ["grp"], "key", SF.col("pct"))
+        .groupBy("grp")
+        .count()
+        .collect()
+    )
+    got = {r.grp: r["count"] for r in out}
+    # ceil(7*50/100)=4, ceil(10*33/100)=4, ceil(3*1/100)=1
+    assert got == {"a": 4, "b": 4, "c": 1}

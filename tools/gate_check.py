@@ -5,13 +5,26 @@ round 1), run every `__spark_entry__.queries()` entry and its
 `oracle_sql()` twin at sf0.01, and compare with the driver's semantics
 (tests/oracle_harness.compare).
 
-Usage: python tools/gate_check.py [sf_dir] [only_query ...]
-Exit code 0 iff every entry passes.
+Perf drift gate (VERDICT r5 #7): each entry's wall time is compared
+against the last committed baseline (GATECHECK_times.json, keyed by
+sf_dir). An entry regressing more than PERF_RATIO x — with an absolute
+floor of PERF_FLOOR_SEC so sub-second jitter can't trip it — is flagged
+with a nonzero exit, catching performance drift the correctness gate
+can't see. Flags:
+
+  --no-perf-gate   report ratios but never fail on them (override)
+  --update-times   rewrite the baseline from this run's timings
+                   (use after an intentional change, on an idle host)
+
+Usage: python tools/gate_check.py [sf_dir] [only_query ...] [flags]
+Exit code 0 iff every entry passes (and, unless overridden, none
+regressed past the perf gate).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -22,10 +35,28 @@ from pyspark.sql import SparkSession  # noqa: E402
 import __spark_entry__ as entry  # noqa: E402
 from tests.oracle_harness import compare, duck_con  # noqa: E402
 
+TIMES_PATH = os.path.join(os.path.dirname(__file__), "..",
+                          "GATECHECK_times.json")
+PERF_RATIO = 2.0      # fail when now > ratio x baseline ...
+PERF_FLOOR_SEC = 1.0  # ... and the slower side is at least this long
+
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    no_perf_gate = "--no-perf-gate" in flags
+    update_times = "--update-times" in flags
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    prev: dict = {}
+    if os.path.exists(TIMES_PATH):
+        try:
+            with open(TIMES_PATH) as fh:
+                doc = json.load(fh)
+            if doc.get("sf_dir") == sf_dir:
+                prev = doc.get("times", {})
+        except Exception:
+            prev = {}
     # Vanilla session on purpose: no nanosAsLong, no shuffle-partition
     # tuning, nothing from the repo's session factory.
     spark = (
@@ -41,6 +72,7 @@ def main() -> int:
     oracles = entry.oracle_sql()
     results: dict[str, dict] = {}
     n_fail = 0
+    perf_fails: list[str] = []
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -59,12 +91,52 @@ def main() -> int:
         ok = not problems
         if not ok and problems != ["no_oracle"]:
             n_fail += 1
-        results[name] = {"ok": ok, "sec": round(dt, 2), "problems": problems}
+        base = prev.get(name)
+        ratio = round(dt / base, 2) if base else None
+        slow = (
+            ratio is not None
+            and ratio > PERF_RATIO
+            and max(dt, base) >= PERF_FLOOR_SEC
+        )
+        if slow:
+            perf_fails.append(name)
+        results[name] = {
+            "ok": ok, "sec": round(dt, 2), "ratio": ratio,
+            "problems": problems,
+        }
         status = "PASS" if ok else "FAIL"
-        print(f"{status:4} {name:32} {dt:6.1f}s" + ("" if ok else f"  {problems[0][:200]}"), flush=True)
+        rcol = f" {ratio:5.2f}x" if ratio is not None else "      -"
+        rcol += " SLOW" if slow else ""
+        print(
+            f"{status:4} {name:32} {dt:6.1f}s{rcol}"
+            + ("" if ok else f"  {problems[0][:200]}"),
+            flush=True,
+        )
     print(json.dumps({k: v["ok"] for k, v in results.items()}))
     print(f"\n{len(results) - n_fail}/{len(results)} pass")
-    return 1 if n_fail else 0
+    if perf_fails:
+        print(
+            f"PERF: {len(perf_fails)} entr{'y' if len(perf_fails) == 1 else 'ies'} "
+            f"regressed >{PERF_RATIO}x vs baseline: {', '.join(perf_fails)}"
+            + (" [overridden by --no-perf-gate]" if no_perf_gate else "")
+        )
+    if update_times and not only:
+        with open(TIMES_PATH, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "times": {k: v["sec"] for k, v in results.items()},
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"baseline updated: {os.path.normpath(TIMES_PATH)}")
+    if n_fail:
+        return 1
+    if perf_fails and not no_perf_gate:
+        return 2
+    return 0
 
 
 if __name__ == "__main__":
