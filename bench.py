@@ -87,6 +87,8 @@ HEADLINE = [
     "metadata_scan",
     # round-5 addition: real stdlib PNG encode→decode round-trip
     "media_real_decode",
+    # round-6 addition: NN resize + re-encode + re-decode round-trip
+    "media_resize",
     # round-5 additions: reshaping + LLM-pipeline depth (sub-document
     # dedup, source mixing, quantile trimming, int8 quantization)
     "pivot_lang_counts",

@@ -125,11 +125,11 @@ def synth_wav(
     return buf.getvalue()
 
 
-def _decode_png(content: bytes) -> list[float]:
-    """Actual PNG decode: chunk walk, zlib inflate, per-scanline filter
-    reconstruction (None/Sub/Up/Average/Paeth), 8-bit RGB/RGBA/gray.
-    Features: [1.0, width, height, channels, mean_ch0/255, mean_ch1/255,
-    mean_ch2/255, 0.0]."""
+def _decode_png_pixels(content: bytes) -> tuple[int, int, int, bytearray]:
+    """Actual PNG decode to raw pixels: chunk walk, zlib inflate,
+    per-scanline filter reconstruction (None/Sub/Up/Average/Paeth),
+    8-bit RGB/RGBA/gray. Returns (width, height, channels, pixels) with
+    pixels in row-major scanline order, `channels` bytes per pixel."""
     import struct
     import zlib
 
@@ -153,7 +153,7 @@ def _decode_png(content: bytes) -> list[float]:
     raw = zlib.decompress(idat)
     stride = width * channels
     prev = bytearray(stride)
-    sums = [0] * channels
+    pixels = bytearray()
     for y in range(height):
         off = y * (stride + 1)
         ftype = raw[off]
@@ -173,15 +173,72 @@ def _decode_png(content: bytes) -> list[float]:
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 line[x] = (line[x] + pred) & 0xFF
-        for x in range(stride):
-            sums[x % channels] += line[x]
+        pixels.extend(line)
         prev = line
+    return width, height, channels, pixels
+
+
+def _decode_png(content: bytes) -> list[float]:
+    """Actual PNG decode (via `_decode_png_pixels`) reduced to the
+    FEATURE_DIM feature contract: [1.0, width, height, channels,
+    mean_ch0/255, mean_ch1/255, mean_ch2/255, 0.0]."""
+    width, height, channels, pixels = _decode_png_pixels(content)
+    sums = [0] * channels
+    for x, v in enumerate(pixels):
+        sums[x % channels] += v
     n_px = width * height
     means = [s / n_px / 255.0 for s in sums] + [0.0] * (3 - min(channels, 3))
     return [
         1.0, float(width), float(height), float(channels),
         round(means[0], 6), round(means[1], 6), round(means[2], 6), 0.0,
     ]
+
+
+def encode_png_rgb(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode raw row-major 8-bit RGB pixels (3 bytes/px) as a valid
+    PNG (filter 0 per scanline, one zlib IDAT) — the re-encode half of
+    the resize path; round-trips through `_decode_png_pixels`."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    body = b"".join(
+        b"\x00" + bytes(pixels[y * stride : (y + 1) * stride])
+        for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png_bands(
+    width: int,
+    height: int,
+    rgb_top: tuple[int, int, int],
+    rgb_bottom: tuple[int, int, int],
+    top_rows: int,
+) -> bytes:
+    """Encode a valid RGB PNG whose first `top_rows` scanlines are
+    `rgb_top` and the rest `rgb_bottom` — a two-band fixture whose
+    post-resize channel means are predictable in closed form (bands
+    aligned to the resize factor keep their area ratio under
+    nearest-neighbor sampling)."""
+    px = bytearray()
+    for y in range(height):
+        px.extend(bytes(rgb_top if y < top_rows else rgb_bottom) * width)
+    return encode_png_rgb(width, height, px)
 
 
 def _decode_wav(content: bytes) -> list[float]:
@@ -292,6 +349,93 @@ def extract_features(
     # workers; decode is per-row CPU-bound, so spread it first
     cols = fan_out(media.select("media_id", "kind", "content"))
     return cols.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("in_width", T.IntegerType()),
+        T.StructField("in_height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("out_bytes", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def png_resize_roundtrip(content: bytes, factor: int = 2) -> tuple:
+    """REAL resize kernel: decode the PNG to raw pixels, nearest-
+    neighbor downsample by integer `factor` (select every factor-th
+    row/column — the deterministic NN convention for exact factors),
+    RE-ENCODE the result as a valid PNG, then decode that PNG again
+    and report its dimensions and channel means. The second decode is
+    the witness: the emitted means come from the re-encoded bytes, so
+    they only match the oracle's closed-form prediction if decode,
+    resample, and encode are all correct. Pure stdlib, executor-safe.
+
+    Returns (in_w, in_h, out_w, out_h, len(out_png), mean_r, mean_g,
+    mean_b) with means rounded to 6dp over the RESIZED image."""
+    in_w, in_h, ch, px = _decode_png_pixels(content)
+    if ch != 3:
+        raise ValueError(f"png_resize_roundtrip expects RGB, got {ch} ch")
+    out_w, out_h = in_w // factor, in_h // factor
+    out = bytearray()
+    for y in range(out_h):
+        row_off = (y * factor) * in_w * 3
+        for x in range(out_w):
+            o = row_off + (x * factor) * 3
+            out.extend(px[o : o + 3])
+    png2 = encode_png_rgb(out_w, out_h, out)
+    w2, h2, ch2, px2 = _decode_png_pixels(png2)
+    sums = [0, 0, 0]
+    for i, v in enumerate(px2):
+        sums[i % 3] += v
+    n_px = max(w2 * h2, 1)
+    return (
+        in_w, in_h, w2, h2, len(png2),
+        round(sums[0] / n_px / 255.0, 6),
+        round(sums[1] / n_px / 255.0, 6),
+        round(sums[2] / n_px / 255.0, 6),
+    )
+
+
+def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Image-resize stage (the third multimodal kernel beside decode
+    and frame-sample): Arrow-batched mapInPandas over binary PNG
+    content, one output row per image with the resized dimensions,
+    re-encoded size, and the post-resize channel means (witnessed by a
+    full decode→resample→encode→decode round-trip per image —
+    `png_resize_roundtrip`). Narrow plan: fan_out then a single
+    mapInPandas, no shuffle, constant memory per core — the same scan
+    shape a 100 TB thumbnailing pass has."""
+    f = int(factor)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_engineering_bootcamp_spark.operators.multimodal import (
+            png_resize_roundtrip,
+        )
+
+        for pdf in batches:
+            rows = [png_resize_roundtrip(c, f) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "in_width": [r[0] for r in rows],
+                    "in_height": [r[1] for r in rows],
+                    "out_width": [r[2] for r in rows],
+                    "out_height": [r[3] for r in rows],
+                    "out_bytes": [r[4] for r in rows],
+                    "mean_r": [r[5] for r in rows],
+                    "mean_g": [r[6] for r in rows],
+                    "mean_b": [r[7] for r in rows],
+                }
+            )
+
+    cols = fan_out(media.select("media_id", "content"))
+    return cols.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
 def frame_sample(

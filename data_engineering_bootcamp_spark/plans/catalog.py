@@ -1306,14 +1306,18 @@ ORACLES.update(MIX_ORACLES)
 # dup_span_extract, dup_span_removal, tfidf_top_terms) are promoted
 # into the gated prefix, plus the graph-surface pair user_vertices /
 # part_pair_edges (VERDICT #5: keep the reference's vertex/edge
-# workload fresh). The 15 slots come exclusively from entries carrying
+# workload fresh) and the two NEW round-6 entries (media_resize,
+# streaming_sliding_hits — gated immediately so they never sit in the
+# no-driver-row state the last three verdicts flagged). The 17 slots
+# come exclusively from entries carrying
 # >= 2 cumulative green driver rows (longest_streak r4+r5,
 # union_order_tiers r4+r5, retention_curve r4+r5, exact_percentiles
 # r4+r5, minhash_lsh_pairs r3+r4+r5, simhash_pairs r3+r4+r5,
 # ann_cosine_ivf r3+r4+r5, ann_cosine_lsh r4+r5, embedding_neardup
 # r3+r4+r5, media_features r4+r5, media_frame_sample r4+r5,
 # skew_salted_agg r3+r4+r5, asof_latest_order r3+r4+r5,
-# hash_sample_split r4+r5, stratified_sample r4+r5).
+# hash_sample_split r4+r5, stratified_sample r4+r5,
+# doc_decontaminate r4+r5, pack_token_stream r4+r5).
 # After this rotation EVERY registry entry has at least one driver
 # CORRECTNESS row (r1 ∪ … ∪ r6).
 # Rotated-out entries keep full in-repo coverage: tools/gate_check.py
@@ -1342,9 +1346,8 @@ _GATE_FIRST = [
     "media_real_decode",       # real stdlib PNG round-trip — first row r5
     "skew_salted_join",        # join twin — first driver row r5
     "udf_enrich_broadcast",    # T6 / §2.10
-    "doc_decontaminate",       # leakage scrub (kept gated: r4+r5)
+    "media_resize",            # NEW r6: NN resize + re-encode round-trip
     "doc_chunks",              # chunking primary (kept gated: r4+r5)
-    "pack_token_stream",       # sequence packing (kept gated: r4+r5)
     "table_profile",           # A4/A5-style distincts
     "doc_ttr_repetition",      # first driver row r5
     "doc_winnow_fingerprint",  # set-stats winnow twin — first driver row r5
@@ -1372,6 +1375,7 @@ _GATE_FIRST = [
     "metadata_scan",           # S8 + O4/O5 layouts (first driver row r4)
     # streaming through the real engine (T1-T8, S12-S14)
     "streaming_tumbling_hits",     # T1 T3 T4
+    "streaming_sliding_hits",      # NEW r6: hopping-window twin
     "streaming_session_windows",   # T5
     "streaming_foreachbatch_sink",  # T7 T8 S13
     "streaming_stateful_sessions",  # custom stateful op
@@ -1416,6 +1420,8 @@ _GATE_REST = [
     "host_activity_reduced",   # J2/J12 (series via customer_order_spine)
     "embedding_neardup_allpairs",  # exact baseline twin
     # rotated out r6 (>= 2 cumulative driver rows each, rounds noted)
+    "doc_decontaminate",       # leakage scrub; r4+r5 rows
+    "pack_token_stream",       # sequence packing; r4+r5 rows
     "longest_streak",          # W12 streak half; r4+r5 rows
     "union_order_tiers",       # U1 U2 P6; r4+r5 rows
     "retention_curve",         # A16 + channel LIKE; r4+r5 rows

@@ -22,13 +22,14 @@ from ..operators.graph import build_vertices
 from ..operators.multimodal import (
     extract_features,
     frame_sample,
+    resize_images,
     stdlib_decode_kernel,
 )
 from ..operators.scd import scd_from_snapshots, scd_incremental
 from .catalog_write import _snapshot
 from ..operators.similarity import cosine_topk_ivf, neardup_embedding_cosine
 from ..sources.readers import load_table, normalize_ts
-from ..streaming.pipelines import tumbling_counts
+from ..streaming.pipelines import sliding_counts, tumbling_counts
 
 JAN = "2024-01-01"
 
@@ -725,6 +726,95 @@ FROM documents
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize kernel through the mapInPandas seam (the third
+    multimodal kernel the brief names beside decode and frame-sample):
+    per document a two-band RGB PNG is ENCODED (top quarter one color,
+    rest another — size and colors deterministic in doc_id), then
+    nearest-neighbor DOWNSAMPLED 2x, RE-ENCODED as a PNG, and DECODED
+    AGAIN, emitting the resized dimensions and the post-resize channel
+    means from the final decode (`multimodal.png_resize_roundtrip`).
+    The oracle predicts everything in closed form from the synthesis
+    parameters — including the band-ratio SHIFT nearest-neighbor row
+    selection causes when the top band has odd height (selected top
+    rows = ceil(top/2) of h/2) — so the entry only matches if decode,
+    resample, encode, and re-decode are all pixel-correct. Narrow
+    plan: two chained mapInPandas stages, no shuffle."""
+    import pandas as pd  # noqa: PLC0415 — closure-local, executor-safe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        from data_engineering_bootcamp_spark.operators.multimodal import (
+            synth_png_bands,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [
+                        synth_png_bands(
+                            int(4 + d % 9),
+                            int(4 * (1 + d % 5)),
+                            (
+                                int(d * 37 % 256),
+                                int(d * 59 % 256),
+                                int(d * 83 % 256),
+                            ),
+                            (
+                                int(d * 41 % 256),
+                                int(d * 67 % 256),
+                                int(d * 97 % 256),
+                            ),
+                            int(1 + d % 5),  # top band = h/4 rows
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(encode, "media_id long, content binary")
+    return resize_images(media, factor=2).select(
+        "media_id",
+        "in_width",
+        "in_height",
+        "out_width",
+        "out_height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )
+
+
+ORACLE_MEDIA_RESIZE = """
+WITH p AS (
+  SELECT doc_id,
+         4 + doc_id % 9 AS w,
+         4 * (1 + doc_id % 5) AS h,
+         1 + doc_id % 5 AS tr,
+         doc_id * 37 % 256 AS ar, doc_id * 59 % 256 AS ag,
+         doc_id * 83 % 256 AS ab,
+         doc_id * 41 % 256 AS br, doc_id * 67 % 256 AS bg,
+         doc_id * 97 % 256 AS bb
+  FROM documents),
+r AS (
+  SELECT doc_id, w, h, w // 2 AS w2, h // 2 AS h2,
+         (tr + 1) // 2 AS st,
+         ar, ag, ab, br, bg, bb
+  FROM p)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS in_width,
+       CAST(h AS INT) AS in_height,
+       CAST(w2 AS INT) AS out_width,
+       CAST(h2 AS INT) AS out_height,
+       ROUND((ar * st + br * (h2 - st)) / h2 / 255.0, 6) AS mean_r,
+       ROUND((ag * st + bg * (h2 - st)) / h2 / 255.0, 6) AS mean_g,
+       ROUND((ab * st + bb * (h2 - st)) / h2 / 255.0, 6) AS mean_b
+FROM r
+"""
+
+
 def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate cosine top-k with sampled-k-means
     centroids.
@@ -872,6 +962,61 @@ SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
        event_type,
        COUNT(*) AS num_hits
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/T4 sliding form through the REAL streaming engine: hopping
+    10-minute windows sliding every 5 minutes (each event lands in
+    exactly two overlapping windows), watermarked, availableNow,
+    complete-mode memory sink — the moving-average window type the
+    tumbling entry doesn't exercise, with 2x the window state per key.
+    Stream-equals-batch: the oracle replays the hop as each event
+    contributing to its 5-minute bucket's window AND the one starting
+    5 minutes earlier."""
+    import uuid
+
+    stream, cleanup = _events_file_stream(spark, sf_dir)
+    agg = sliding_counts(
+        stream,
+        keys=["event_type"],
+        window_duration="10 minutes",
+        slide_duration="5 minutes",
+    )
+    name = f"stream_sliding_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        q.stop()
+    finally:
+        cleanup()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "num_hits",
+    )
+
+
+ORACLE_STREAMING_SLIDING = """
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS tb
+  FROM events),
+x AS (
+  SELECT event_type, tb AS ws FROM b
+  UNION ALL
+  SELECT event_type, tb - INTERVAL '5 minutes' AS ws FROM b)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS num_hits
+FROM x GROUP BY 1, 2
 """
 
 
@@ -1524,7 +1669,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
     "media_real_decode": q_media_real_decode,
+    "media_resize": q_media_resize,
     "streaming_tumbling_hits": q_streaming_tumbling,
+    "streaming_sliding_hits": q_streaming_sliding,
     "streaming_session_windows": q_streaming_sessions,
     "streaming_foreachbatch_sink": q_streaming_foreachbatch,
     "streaming_stateful_sessions": q_streaming_stateful,
@@ -1554,7 +1701,9 @@ EXT_ORACLES: dict[str, str] = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_frame_sample": ORACLE_MEDIA_FRAMES,
     "media_real_decode": ORACLE_MEDIA_REAL_DECODE,
+    "media_resize": ORACLE_MEDIA_RESIZE,
     "streaming_tumbling_hits": ORACLE_STREAMING_TUMBLING,
+    "streaming_sliding_hits": ORACLE_STREAMING_SLIDING,
     "streaming_session_windows": ORACLE_STREAMING_SESSIONS,
     "streaming_foreachbatch_sink": ORACLE_STREAMING_FOREACHBATCH,
     "streaming_stateful_sessions": ORACLE_STREAMING_STATEFUL,

@@ -116,6 +116,36 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    window_duration: str = "10 minutes",
+    slide_duration: str = "5 minutes",
+    watermark: str = "15 seconds",
+) -> DataFrame:
+    """T3/T4, sliding form: watermarked HOPPING-window count keyed by
+    `keys` — each event lands in window_duration/slide_duration
+    overlapping windows (2 here), the moving-average shape the
+    reference's Flink lessons pair with tumbling windows. Same state
+    story as tumbling (one window-keyed aggregate; state per open
+    window per key, evicted as the watermark passes), with state
+    multiplied by the overlap factor — which is exactly why the
+    overlap factor is a knob, not a constant.
+    """
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(
+                F.col(ts_col), window_duration, slide_duration
+            ).alias("w"),
+            *keys,
+        )
+        .agg(F.count(F.lit(1)).alias("num_hits"))
+        .select(F.col("w.start").alias("window_start"), *keys, "num_hits")
+    )
+
+
 def sessionize_stream(
     df: DataFrame,
     keys: list[str],
