@@ -474,19 +474,26 @@ def bench_streaming(spark) -> dict:
             prog = q.recentProgress
             batches = len(prog)
             rows_in = sum(int(p.get("numInputRows", 0)) for p in prog)
+            # rows_total/memory are end-state snapshots (last batch
+            # with a state operator); updated/removed are per-batch
+            # deltas, so SUM them across the run — append-mode
+            # eviction would otherwise read as 0 from the final batch
             state = {}
-            for p in reversed(prog):
+            upd = rem = 0
+            for p in prog:
                 ops = p.get("stateOperators") or []
                 if ops:
                     s = ops[0]
+                    upd += int(s.get("numRowsUpdated") or 0)
+                    rem += int(s.get("numRowsRemoved") or 0)
                     state = {
                         "operator": s.get("operatorName"),
-                        "rows_total": s.get("numRowsTotal"),
-                        "rows_updated": s.get("numRowsUpdated"),
-                        "rows_removed": s.get("numRowsRemoved"),
-                        "memory_bytes": s.get("memoryUsedBytes"),
+                        "rows_total_end": s.get("numRowsTotal"),
+                        "memory_bytes_end": s.get("memoryUsedBytes"),
                     }
-                    break
+            if state:
+                state["rows_updated_sum"] = upd
+                state["rows_removed_sum"] = rem
             emitted = spark.read.parquet(o).count()
             return {
                 "wall_sec": wall,
