@@ -24,6 +24,7 @@ from data_engineering_bootcamp_spark.session import get_spark  # noqa: E402
 # their plans are the read-back aggregates, audited via their components
 SKIP = {
     "streaming_tumbling_hits",
+    "streaming_sliding_hits",
     "streaming_session_windows",
     "streaming_foreachbatch_sink",
     "streaming_stateful_sessions",
