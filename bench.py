@@ -87,8 +87,12 @@ HEADLINE = [
     "metadata_scan",
     # round-5 addition: real stdlib PNG encode→decode round-trip
     "media_real_decode",
-    # round-6 addition: NN resize + re-encode + re-decode round-trip
+    # round-6 additions: NN resize round-trip, RANGE-interval window,
+    # bigram-LM quality scoring
     "media_resize",
+    "rolling_time_revenue",
+    "doc_bigram_lm_score",
+    "semantic_dedup",
     # round-5 additions: reshaping + LLM-pipeline depth (sub-document
     # dedup, source mixing, quantile trimming, int8 quantization)
     "pivot_lang_counts",

@@ -540,6 +540,94 @@ def cosine_topk_ivf(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    n_centroids: int = 32,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe — Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication") re-expressed Spark-first: cluster the
+    embedding space with the SAME deterministic sampled-k-means
+    quantizer IVF uses (`ivf_centroids` — md5-ordered sample init +
+    Lloyd, every step oracle-replayable), then deduplicate WITHIN each
+    cluster only, which is what makes the quadratic cosine work
+    tractable at corpus scale (~n²/k per cluster instead of n²).
+
+    Keep rule (deterministic, engine-independent, non-sequential): a
+    vector is DROPPED iff some LOWER-id vector in its cluster has
+    cosine >= threshold with it (6dp half-up rounding before the
+    compare, the family's cross-engine contract). Pairwise, not
+    greedy-chained: the verdict depends only on the vector's own
+    neighbor set, so it is order-independent and exactly replayable
+    in SQL — each near-dup group keeps at least its minimum id.
+
+    Scale shape: quantizer training touches a bounded sample (never
+    the corpus); assignment is one Arrow matmul pass; the per-cluster
+    pass is one `groupBy(bucket).applyInPandas` gram matrix — one
+    shuffle on the bucket key, no driver collect, no pair explosion
+    (only verdict rows leave the task).
+
+    Output: (id_col, bucket, n_close_lower, keep) — one row per input
+    vector; `keep` selects the deduplicated corpus. Requires an
+    integral id (the Arrow schema types it long; validated up front).
+    """
+    from .dedup import _persist
+
+    _require_integral_ids(corpus, id_col, "semantic_dedup")
+    src = _persist(
+        fan_out(
+            corpus.select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+        )
+    )
+    C = ivf_centroids(
+        corpus, n_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col,
+        _src=src,
+    )
+    assigned = src.mapInPandas(
+        _ivf_assigner(corpus.sparkSession, C),
+        schema="vid bigint, bucket int, v array<double>",
+    )
+    thr = float(threshold)
+
+    def block(pdf):
+        # self-contained closure (executors may lack this package)
+        import numpy as _np
+        import pandas as _pd
+
+        ids = pdf["vid"].to_numpy()
+        order = _np.argsort(ids)
+        ids = ids[order]
+        V = _np.array(list(pdf["v"]), dtype=_np.float64)[order]
+        V /= _np.linalg.norm(V, axis=1, keepdims=True)
+        S = V @ V.T
+        S = _np.copysign(_np.floor(_np.abs(S) * 1e6 + 0.5), S) / 1e6
+        close = S >= thr
+        # ids sorted ascending: lower-id neighbors are the strict
+        # lower triangle
+        n_lower = _np.tril(close, k=-1).sum(axis=1).astype(_np.int64)
+        return _pd.DataFrame(
+            {
+                "vid": ids,
+                "bucket": pdf["bucket"].to_numpy()[order],
+                "n_close_lower": n_lower,
+                "keep": n_lower == 0,
+            }
+        )
+
+    out = assigned.groupBy("bucket").applyInPandas(
+        block,
+        schema="vid long, bucket int, n_close_lower long, keep boolean",
+    )
+    return out.withColumnRenamed("vid", id_col)
+
+
 def lsh_signature(
     vec: Column, dim: int, nbits: int = 16, table: int = 0
 ) -> Column:

@@ -1345,10 +1345,10 @@ _GATE_FIRST = [
     "ngram_jaccard_allpairs",  # exact baseline twin — first driver row r5
     "media_real_decode",       # real stdlib PNG round-trip — first row r5
     "skew_salted_join",        # join twin — first driver row r5
-    "udf_enrich_broadcast",    # T6 / §2.10
+    "semantic_dedup",          # NEW r6: SemDeDup cluster-then-dedup
     "media_resize",            # NEW r6: NN resize + re-encode round-trip
-    "doc_chunks",              # chunking primary (kept gated: r4+r5)
-    "table_profile",           # A4/A5-style distincts
+    "rolling_time_revenue",    # NEW r6: RANGE-interval window frame
+    "doc_bigram_lm_score",     # NEW r6: bigram-LM quality score
     "doc_ttr_repetition",      # first driver row r5
     "doc_winnow_fingerprint",  # set-stats winnow twin — first driver row r5
     "doc_pii_redact",          # regex PII counting + masking — first row r5
@@ -1422,6 +1422,9 @@ _GATE_REST = [
     # rotated out r6 (>= 2 cumulative driver rows each, rounds noted)
     "doc_decontaminate",       # leakage scrub; r4+r5 rows
     "pack_token_stream",       # sequence packing; r4+r5 rows
+    "doc_chunks",              # chunking primary; r4+r5 rows
+    "table_profile",           # one-pass profiling; r4+r5 rows
+    "udf_enrich_broadcast",    # T6 / §2.10; r4+r5 rows
     "longest_streak",          # W12 streak half; r4+r5 rows
     "union_order_tiers",       # U1 U2 P6; r4+r5 rows
     "retention_curve",         # A16 + channel LIKE; r4+r5 rows

@@ -27,7 +27,11 @@ from ..operators.multimodal import (
 )
 from ..operators.scd import scd_from_snapshots, scd_incremental
 from .catalog_write import _snapshot
-from ..operators.similarity import cosine_topk_ivf, neardup_embedding_cosine
+from ..operators.similarity import (
+    cosine_topk_ivf,
+    neardup_embedding_cosine,
+    semantic_dedup,
+)
 from ..sources.readers import load_table, normalize_ts
 from ..streaming.pipelines import sliding_counts, tumbling_counts
 
@@ -900,6 +904,75 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: the same deterministic
+    sampled-k-means quantizer as `ann_cosine_ivf` clusters the space,
+    then each vector is dropped iff a LOWER-id vector in its cluster
+    has cosine >= 0.35 (6dp rounding contract). The oracle replays the
+    ENTIRE recipe — sample seeds, one Lloyd iteration, argmax
+    assignment, within-cluster pairwise cosine — so the approximate
+    method is exactly falsifiable end to end. Semantics, scale shape,
+    and the non-sequential keep rule on
+    `operators.similarity.semantic_dedup`."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, threshold=0.35, n_centroids=32, lloyd_iters=1
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cid,
+         e
+  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, s.e) /
+                      (sqrt(list_dot_product(v.e, v.e)) *
+                       sqrt(list_dot_product(s.e, s.e))) DESC,
+                      s.cid) AS rn
+    FROM v, seeds s) WHERE rn = 1),
+m AS (
+  SELECT a1.cid, dd.d, ROUND(AVG(v.e[dd.d]), 6) AS mv
+  FROM a1 JOIN v USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+  GROUP BY 1, 2),
+mlist AS (SELECT cid, list(mv ORDER BY d) AS e FROM m GROUP BY cid),
+cent AS (
+  SELECT s.cid, COALESCE(ml.e, s.e) AS e
+  FROM seeds s LEFT JOIN mlist ml ON s.cid = ml.cid),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, c.e) /
+                      (sqrt(list_dot_product(v.e, v.e)) *
+                       sqrt(list_dot_product(c.e, c.e))) DESC,
+                      c.cid) AS rn
+    FROM v, cent c) WHERE rn = 1),
+close AS (
+  SELECT hi.vec_id, COUNT(*) AS n_close_lower
+  FROM a2 hi JOIN a2 lo ON lo.cid = hi.cid AND lo.vec_id < hi.vec_id
+  JOIN v a ON a.vec_id = lo.vec_id
+  JOIN v b ON b.vec_id = hi.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e)) *
+               sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
+  GROUP BY 1)
+SELECT a2.vec_id,
+       a2.cid::INT AS bucket,
+       COALESCE(c.n_close_lower, 0)::BIGINT AS n_close_lower,
+       COALESCE(c.n_close_lower, 0) = 0 AS keep
+FROM a2 LEFT JOIN close c USING (vec_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming through the correctness gate (T1-T3, T7)
 # ---------------------------------------------------------------------------
@@ -1683,6 +1756,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_winnow_fingerprint": q_doc_winnow,
     "doc_winnow_neardup_pairs": q_doc_winnow_pairs,
     "ann_cosine_ivf": q_ann_cosine_ivf,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1715,4 +1789,5 @@ EXT_ORACLES: dict[str, str] = {
     "doc_winnow_fingerprint": _winnow_oracle(),
     "doc_winnow_neardup_pairs": _winnow_pairs_oracle(),
     "ann_cosine_ivf": ORACLE_ANN_IVF,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
 }

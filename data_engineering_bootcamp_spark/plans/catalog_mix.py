@@ -877,6 +877,167 @@ FROM ranked WHERE rank <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Round 6: RANGE-interval window frame (time-based rolling revenue)
+# ---------------------------------------------------------------------------
+
+def q_rolling_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day TIME-RANGE rolling revenue per order priority — the one
+    window frame family the W5-W8 catalog coverage (ROWS frames)
+    doesn't exercise: `rangeBetween` over event time, where the frame
+    is defined by a time interval, not a row count. On a daily series
+    with GAPS the two are genuinely different (a missing day shrinks
+    the RANGE frame but not a ROWS frame), and the TPC-H order-date
+    distribution has per-priority gaps at sf0.01.
+
+    Money stays cents-as-BIGINT through the window (catalog
+    convention), so sums are exact integers in both engines. Spark
+    expresses the interval frame as `rangeBetween(-6 days, 0)` over
+    the date cast to epoch seconds — identical semantics to the
+    oracle's `RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT
+    ROW` over the date. Plan: one shuffle to the daily rollup, one
+    window shuffle on priority; the window state at scale is bounded
+    by the frame horizon per partition.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "day_cents"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("d").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "day_cents",
+        F.sum("day_cents").over(w).alias("rolling_7d_cents"),
+    )
+
+
+ORACLE_ROLLING_TIME_REVENUE = """
+WITH daily AS (
+  SELECT o_orderpriority, o_orderdate AS d,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS day_cents
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority,
+       strftime(d, '%Y-%m-%d') AS d,
+       day_cents,
+       SUM(day_cents) OVER (
+         PARTITION BY o_orderpriority ORDER BY d
+         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+       ) AS rolling_7d_cents
+FROM daily
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 6: bigram language-model quality score (CCNet-style LM filter)
+# ---------------------------------------------------------------------------
+
+def q_doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring — the CCNet/RedPajama "perplexity
+    filter" capability as a distributed query: score every document by
+    how predictable its token bigrams are under the corpus's own
+    bigram statistics (documents full of corpus-typical
+    constructions score high; rare/garbled ones score low). Rank by
+    this ascending and you have the LM-based quality cut.
+
+    Cross-engine exactness without transcendentals: instead of summed
+    log-probabilities (whose float association order is not an engine
+    contract), each bigram contributes the INTEGER
+    ``(c2 * 1_000_000) div c1`` — c2 = corpus count of the bigram,
+    c1 = corpus count of its prefix token as a prefix — i.e. the
+    conditional probability scaled to parts-per-million and floored.
+    Per document: n_bigrams, their sum, and the integer mean
+    (sum div n). Monotone in the geometric-mean sense for ranking
+    while every intermediate is an exact BIGINT both engines agree on.
+
+    Scale shape (same no-join-back discipline as tf-idf): ONE corpus
+    scan exploding adjacent token pairs; c2 and c1 are counts over
+    (w1, w2)- and (w1)-partition WINDOWS on that relation (a row per
+    bigram occurrence makes the partition sizes the corpus counts —
+    no aggregate-plus-join-back re-scan); one final groupBy(doc).
+    Three keyed shuffles, zero joins, all Catalyst.
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            ),
+            lambda t: t != F.lit(""),
+        ).alias("tk"),
+    ).where(F.size("tk") >= 2)
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at("tk", i).alias("w1"),
+                    F.element_at("tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    scored = bi.select(
+        "doc_id",
+        (
+            F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+            * F.lit(1_000_000)
+        ).alias("num"),
+        F.count(F.lit(1)).over(Window.partitionBy("w1")).alias("c1"),
+    ).select(
+        "doc_id",
+        F.expr("num div c1").alias("ppm"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("ppm").alias("sum_ppm"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "sum_ppm",
+        F.expr("sum_ppm div n_bigrams").alias("mean_ppm"),
+    )
+
+
+ORACLE_DOC_BIGRAM_LM_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+',
+                                                      ' ', 'g')), ' '),
+                     t -> t <> '') AS tk
+  FROM documents),
+bi AS (
+  SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i + 1 AS INT)] AS w2
+  FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+  WHERE len(tk) >= 2),
+scored AS (
+  SELECT doc_id,
+         (COUNT(*) OVER (PARTITION BY w1, w2) * 1000000)
+           // (COUNT(*) OVER (PARTITION BY w1)) AS ppm
+  FROM bi)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       SUM(ppm)::BIGINT AS sum_ppm,
+       (SUM(ppm) // COUNT(*))::BIGINT AS mean_ppm
+FROM scored GROUP BY doc_id
+"""
+
+
 MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_lang_counts": q_pivot_lang_counts,
     "unpivot_region_metrics": q_unpivot_region_metrics,
@@ -891,6 +1052,8 @@ MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_extract": q_dup_span_extract,
     "tfidf_top_terms": q_tfidf_top_terms,
     "dup_span_removal": q_dup_span_removal,
+    "rolling_time_revenue": q_rolling_time_revenue,
+    "doc_bigram_lm_score": q_doc_bigram_lm_score,
 }
 
 MIX_ORACLES: dict[str, str] = {
@@ -907,4 +1070,6 @@ MIX_ORACLES: dict[str, str] = {
     "dup_span_extract": ORACLE_DUP_SPAN_EXTRACT,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "dup_span_removal": ORACLE_DUP_SPAN_REMOVAL,
+    "rolling_time_revenue": ORACLE_ROLLING_TIME_REVENUE,
+    "doc_bigram_lm_score": ORACLE_DOC_BIGRAM_LM_SCORE,
 }

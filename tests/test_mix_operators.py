@@ -563,3 +563,129 @@ def test_synth_png_bands_decodes_to_bands():
     assert (w, h, ch) == (3, 4, 3)
     assert bytes(px[: 3 * 3]) == bytes((10, 20, 30)) * 3
     assert bytes(px[3 * 3 :]) == bytes((40, 50, 60)) * 9
+
+
+def test_rolling_time_revenue_range_frame_respects_gaps(spark, tmp_path):
+    # RANGE (time-interval) frames must shrink across date gaps where a
+    # ROWS frame would not: with days 1,2,10 the day-10 frame contains
+    # only day 10
+    import os
+
+    from data_engineering_bootcamp_spark.plans.catalog_mix import (
+        q_rolling_time_revenue,
+    )
+
+    rows = [
+        (1, "1-URGENT", "1996-01-01", 10.0),
+        (2, "1-URGENT", "1996-01-02", 20.0),
+        (3, "1-URGENT", "1996-01-10", 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"]
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    df.write.parquet(str(d / "orders.parquet"))
+    got = {
+        r.d: r.rolling_7d_cents
+        for r in q_rolling_time_revenue(spark, str(d)).collect()
+    }
+    assert got == {
+        "1996-01-01": 1000,
+        "1996-01-02": 3000,   # day 1 in range
+        "1996-01-10": 4000,   # days 1-2 beyond the 6-day horizon
+    }
+
+
+def test_doc_bigram_lm_score_matches_python_replay(spark):
+    # integer parts-per-million bigram scoring replayed in pure Python
+    from collections import Counter
+
+    from data_engineering_bootcamp_spark.plans.catalog_mix import (
+        q_doc_bigram_lm_score,
+    )
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat ran",
+        3: "a dog sat",
+        4: "single",          # < 2 tokens -> excluded
+    }
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        list(texts.items()), ["doc_id", "text"]
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    toks = {i: t.split() for i, t in texts.items()}
+    bis = {
+        i: list(zip(tk, tk[1:])) for i, tk in toks.items() if len(tk) >= 2
+    }
+    c2 = Counter(b for bb in bis.values() for b in bb)
+    c1 = Counter(b[0] for bb in bis.values() for b in bb)
+    exp = {}
+    for i, bb in bis.items():
+        ppms = [(c2[b] * 1_000_000) // c1[b[0]] for b in bb]
+        exp[i] = (len(ppms), sum(ppms), sum(ppms) // len(ppms))
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_ppm, r.mean_ppm)
+        for r in q_doc_bigram_lm_score(spark, d).collect()
+    }
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    assert got == exp
+
+
+def test_semantic_dedup_keep_rule(spark):
+    # three tight near-dup groups well-separated in angle; the keep
+    # rule must retain exactly the minimum id of each group and
+    # n_close_lower must count lower-id cluster-mates above threshold
+    import math
+
+    from data_engineering_bootcamp_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = []
+    for g, base in enumerate((0.0, 1.0, 2.0)):
+        for j in range(4):
+            ang = base + 0.001 * j  # within-group cosine ~1
+            rows.append(
+                (g * 10 + j, [math.cos(ang), math.sin(ang), 0.0, 0.0])
+            )
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    res = semantic_dedup(
+        emb, threshold=0.95, n_centroids=3, lloyd_iters=1
+    ).collect()
+    assert len(res) == 12
+    vecs = {i: v for i, v in rows}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(x * x for x in b)
+        )
+        s = num / den
+        return math.copysign(math.floor(abs(s) * 1e6 + 0.5), s) / 1e6
+
+    buckets = {r.vec_id: r.bucket for r in res}
+    for r in res:
+        lower_close = [
+            j
+            for j in vecs
+            if j < r.vec_id
+            and buckets[j] == r.bucket
+            and cos(vecs[j], vecs[r.vec_id]) >= 0.95
+        ]
+        # the exact contract: count and verdict derive only from
+        # lower-id cluster-mates above threshold
+        assert r.n_close_lower == len(lower_close), r
+        assert r.keep == (not lower_close), r
+    # the minimum id of every bucket always survives
+    for b in set(buckets.values()):
+        members = [i for i, bb in buckets.items() if bb == b]
+        assert next(r.keep for r in res if r.vec_id == min(members))
