@@ -93,6 +93,7 @@ HEADLINE = [
     "rolling_time_revenue",
     "doc_bigram_lm_score",
     "semantic_dedup",
+    "compaction_rollup",
     # round-5 additions: reshaping + LLM-pipeline depth (sub-document
     # dedup, source mixing, quantile trimming, int8 quantization)
     "pivot_lang_counts",

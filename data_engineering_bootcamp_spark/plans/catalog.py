@@ -1372,7 +1372,7 @@ _GATE_FIRST = [
     "bucketed_join_rollup",    # S4 S5 J14
     "partitioned_prune_rollup",  # S6 S7
     "insert_select_rollup",    # S9 S10
-    "metadata_scan",           # S8 + O4/O5 layouts (first driver row r4)
+    "compaction_rollup",       # NEW r6: small-files OPTIMIZE round-trip
     # streaming through the real engine (T1-T8, S12-S14)
     "streaming_tumbling_hits",     # T1 T3 T4
     "streaming_sliding_hits",      # NEW r6: hopping-window twin
@@ -1425,6 +1425,7 @@ _GATE_REST = [
     "doc_chunks",              # chunking primary; r4+r5 rows
     "table_profile",           # one-pass profiling; r4+r5 rows
     "udf_enrich_broadcast",    # T6 / §2.10; r4+r5 rows
+    "metadata_scan",           # S8 layouts; r4+r5 rows
     "longest_streak",          # W12 streak half; r4+r5 rows
     "union_order_tiers",       # U1 U2 P6; r4+r5 rows
     "retention_curve",         # A16 + channel LIKE; r4+r5 rows

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import load_table, read_csv
 from ..sources.writers import (
+    compact_parquet,
     write_bucketed,
     write_partitioned,
     write_repartitioned_sorted,
@@ -248,6 +249,82 @@ GROUP BY 1
 """
 
 
+def _list_parquet_files(spark: SparkSession, path: str) -> list:
+    """Enumerate a directory's parquet data files via the Hadoop FS
+    API (the listing a cluster metadata scan sees): [(name, bytes)]."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    return [
+        (st.getPath().getName(), int(st.getLen()))
+        for st in fs.listStatus(p)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+
+
+def q_compaction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction through the gate — the lakehouse
+    OPTIMIZE / Iceberg rewrite_data_files maintenance pass: fragment
+    the events slice into 64 tiny files (the shape a streaming sink or
+    fine-grained upserts accrete), compact with
+    `sources.writers.compact_parquet` to ceil(n / 25_000) files, and
+    emit per layout the FS-listed file count plus content aggregates
+    (rows, distinct users, cents-exact value sum). The oracle computes
+    everything from the raw events table — including BOTH file counts
+    (64 by construction; the compacted count from the same ceil
+    arithmetic) — so the entry asserts the compaction hit its file
+    target AND changed no row."""
+    d = tempfile.mkdtemp(prefix="compactgate_")
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    ).select("event_id", "user_id", "event_type", "value")
+    try:
+        ev.repartition(64).write.mode("overwrite").parquet(f"{d}/frag")
+        compact_parquet(spark, f"{d}/frag", f"{d}/compact", 25_000)
+        out = None
+        for layout, sub in (("fragmented", "frag"), ("compacted", "compact")):
+            files = _list_parquet_files(spark, f"{d}/{sub}")
+            agg = (
+                spark.read.parquet(f"{d}/{sub}")
+                .groupBy(F.lit(layout).alias("layout"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.countDistinct("user_id").alias("n_users"),
+                    F.sum(
+                        F.round(F.col("value") * 100).cast("long")
+                    ).alias("value_cents"),
+                )
+                .withColumn("file_count", F.lit(len(files)).cast("long"))
+                .select(
+                    "layout", "file_count", "n_rows", "n_users",
+                    "value_cents",
+                )
+            )
+            out = agg if out is None else out.unionByName(agg)
+        return _snapshot(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_COMPACTION = """
+WITH base AS (
+  SELECT user_id, value FROM events WHERE user_id IS NOT NULL),
+s AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(DISTINCT user_id) AS n_users,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+  FROM base)
+SELECT 'fragmented' AS layout, CAST(64 AS BIGINT) AS file_count,
+       n_rows, n_users, value_cents
+FROM s
+UNION ALL
+SELECT 'compacted', CAST((n_rows + 24999) // 25000 AS BIGINT),
+       n_rows, n_users, value_cents
+FROM s
+"""
+
+
 # Process-unique manifest path: the DuckDB oracle is a static SQL
 # string PER PROCESS (the f-string below is evaluated at import), so
 # the path is minted once under a fresh private tempdir — two
@@ -353,6 +430,7 @@ WRITE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_roundtrip_rollup": q_csv_roundtrip_rollup,
     "insert_select_rollup": q_insert_select_rollup,
     "metadata_scan": q_metadata_scan,
+    "compaction_rollup": q_compaction_rollup,
 }
 
 WRITE_ORACLES: dict[str, str] = {
@@ -362,4 +440,5 @@ WRITE_ORACLES: dict[str, str] = {
     "sorted_layout_rollup": ORACLE_SORTED_LAYOUT,
     "csv_roundtrip_rollup": ORACLE_CSV_ROUNDTRIP,
     "insert_select_rollup": ORACLE_INSERT_SELECT,
+    "compaction_rollup": ORACLE_COMPACTION,
 }

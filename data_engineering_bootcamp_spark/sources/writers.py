@@ -84,3 +84,34 @@ def write_repartitioned_sorted(
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     out.write.format(fmt).mode(mode).save(path)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_rows_per_file: int,
+) -> int:
+    """Small-files compaction — the lakehouse OPTIMIZE / Iceberg
+    rewrite_data_files maintenance pass: rewrite a fragmented parquet
+    directory into ceil(n_rows / target_rows_per_file) files.
+
+    At 100 TB this is the operation that keeps scan parallelism sane:
+    streaming sinks and fine-grained upserts accrete thousands of
+    KB-sized files whose per-file open/footer cost dominates scans;
+    compaction trades one bounded rewrite for every future read. The
+    row count comes from parquet metadata (no data read); the rewrite
+    is one round-robin repartition — no key shuffle, no skew concern
+    — and content is untouched by construction (asserted by the
+    catalog entry's oracle, which aggregates straight from the
+    source). Returns the target file count.
+    """
+    n = spark.read.parquet(src).count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    (
+        spark.read.parquet(src)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    return n_files

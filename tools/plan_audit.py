@@ -39,6 +39,7 @@ SKIP = {
     "csv_roundtrip_rollup",
     "insert_select_rollup",
     "metadata_scan",
+    "compaction_rollup",
 }
 
 
