@@ -1306,10 +1306,11 @@ ORACLES.update(MIX_ORACLES)
 # dup_span_extract, dup_span_removal, tfidf_top_terms) are promoted
 # into the gated prefix, plus the graph-surface pair user_vertices /
 # part_pair_edges (VERDICT #5: keep the reference's vertex/edge
-# workload fresh) and the two NEW round-6 entries (media_resize,
-# streaming_sliding_hits — gated immediately so they never sit in the
-# no-driver-row state the last three verdicts flagged). The 17 slots
-# come exclusively from entries carrying
+# workload fresh) and the SIX new round-6 entries (media_resize,
+# streaming_sliding_hits, rolling_time_revenue, doc_bigram_lm_score,
+# semantic_dedup, compaction_rollup — gated immediately so they never
+# sit in the no-driver-row state the last three verdicts flagged).
+# The 21 slots come exclusively from entries carrying
 # >= 2 cumulative green driver rows (longest_streak r4+r5,
 # union_order_tiers r4+r5, retention_curve r4+r5, exact_percentiles
 # r4+r5, minhash_lsh_pairs r3+r4+r5, simhash_pairs r3+r4+r5,
@@ -1317,9 +1318,10 @@ ORACLES.update(MIX_ORACLES)
 # r3+r4+r5, media_features r4+r5, media_frame_sample r4+r5,
 # skew_salted_agg r3+r4+r5, asof_latest_order r3+r4+r5,
 # hash_sample_split r4+r5, stratified_sample r4+r5,
-# doc_decontaminate r4+r5, pack_token_stream r4+r5).
-# After this rotation EVERY registry entry has at least one driver
-# CORRECTNESS row (r1 ∪ … ∪ r6).
+# doc_decontaminate r4+r5, pack_token_stream r4+r5, doc_chunks r4+r5,
+# table_profile r4+r5, udf_enrich_broadcast r4+r5, metadata_scan
+# r4+r5). After this rotation EVERY registry entry has at least one
+# driver CORRECTNESS row (r1 ∪ … ∪ r6).
 # Rotated-out entries keep full in-repo coverage: tools/gate_check.py
 # runs the ENTIRE registry with the same oracles each round.
 # ---------------------------------------------------------------------------
