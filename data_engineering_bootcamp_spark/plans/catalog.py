@@ -1306,11 +1306,12 @@ ORACLES.update(MIX_ORACLES)
 # dup_span_extract, dup_span_removal, tfidf_top_terms) are promoted
 # into the gated prefix, plus the graph-surface pair user_vertices /
 # part_pair_edges (VERDICT #5: keep the reference's vertex/edge
-# workload fresh) and the SIX new round-6 entries (media_resize,
+# workload fresh) and the SEVEN new round-6 entries (media_resize,
 # streaming_sliding_hits, rolling_time_revenue, doc_bigram_lm_score,
-# semantic_dedup, compaction_rollup — gated immediately so they never
-# sit in the no-driver-row state the last three verdicts flagged).
-# The 21 slots come exclusively from entries carrying
+# semantic_dedup, compaction_rollup, snapshot_cdc_diff — gated
+# immediately so they never sit in the no-driver-row state the last
+# three verdicts flagged). The 22 slots come exclusively from entries
+# carrying
 # >= 2 cumulative green driver rows (longest_streak r4+r5,
 # union_order_tiers r4+r5, retention_curve r4+r5, exact_percentiles
 # r4+r5, minhash_lsh_pairs r3+r4+r5, simhash_pairs r3+r4+r5,
@@ -1320,7 +1321,7 @@ ORACLES.update(MIX_ORACLES)
 # hash_sample_split r4+r5, stratified_sample r4+r5,
 # doc_decontaminate r4+r5, pack_token_stream r4+r5, doc_chunks r4+r5,
 # table_profile r4+r5, udf_enrich_broadcast r4+r5, metadata_scan
-# r4+r5). After this rotation EVERY registry entry has at least one
+# r4+r5, insert_select_rollup r4+r5). After this rotation EVERY registry entry has at least one
 # driver CORRECTNESS row (r1 ∪ … ∪ r6).
 # Rotated-out entries keep full in-repo coverage: tools/gate_check.py
 # runs the ENTIRE registry with the same oracles each round.
@@ -1373,7 +1374,7 @@ _GATE_FIRST = [
     # write-path round-trips (S4-S10, O4/O5, J14, S8)
     "bucketed_join_rollup",    # S4 S5 J14
     "partitioned_prune_rollup",  # S6 S7
-    "insert_select_rollup",    # S9 S10
+    "snapshot_cdc_diff",       # NEW r6: change-data-feed derivation
     "compaction_rollup",       # NEW r6: small-files OPTIMIZE round-trip
     # streaming through the real engine (T1-T8, S12-S14)
     "streaming_tumbling_hits",     # T1 T3 T4
@@ -1428,6 +1429,7 @@ _GATE_REST = [
     "table_profile",           # one-pass profiling; r4+r5 rows
     "udf_enrich_broadcast",    # T6 / §2.10; r4+r5 rows
     "metadata_scan",           # S8 layouts; r4+r5 rows
+    "insert_select_rollup",    # S9 S10; r4+r5 rows
     "longest_streak",          # W12 streak half; r4+r5 rows
     "union_order_tiers",       # U1 U2 P6; r4+r5 rows
     "retention_curve",         # A16 + channel LIKE; r4+r5 rows

@@ -1038,6 +1038,72 @@ FROM scored GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Round 6: CDC snapshot diff (change-data-feed derivation)
+# ---------------------------------------------------------------------------
+
+def q_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a change feed between two snapshots of the events table
+    — the Delta-CDF/Iceberg-changelog capability
+    (`operators.cdc.snapshot_diff`): OLD drops event_id % 5 = 0, NEW
+    drops event_id % 7 = 0 and bumps the value of every % 3 = 0 row by
+    one unit, so the diff contains all three change types with
+    deterministic membership. Money compares as cents BIGINT (exact);
+    null values stay null through the bump (null-safe compare makes
+    null→null unchanged — those rows must NOT appear as updates).
+    One full-outer equi join on the key; the oracle replays both
+    synthetic snapshots and the IS-DISTINCT-FROM classification."""
+    from ..operators.cdc import snapshot_diff
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    old = base.where(F.col("event_id") % 5 != 0)
+    new = base.where(F.col("event_id") % 7 != 0).withColumn(
+        "value_cents",
+        F.col("value_cents")
+        + F.when(F.col("event_id") % 3 == 0, F.lit(100)).otherwise(
+            F.lit(0)
+        ),
+    )
+    return snapshot_diff(
+        old, new, keys=["event_id"], compare_cols=["event_type", "value_cents"]
+    )
+
+
+ORACLE_SNAPSHOT_CDC_DIFF = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+  FROM events),
+o AS (SELECT * FROM base WHERE event_id % 5 <> 0),
+n AS (
+  SELECT event_id, event_type,
+         value_cents + CASE WHEN event_id % 3 = 0 THEN 100 ELSE 0 END
+           AS value_cents
+  FROM base WHERE event_id % 7 <> 0),
+j AS (
+  SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+         o.event_id IS NOT NULL AS in_old,
+         n.event_id IS NOT NULL AS in_new,
+         o.event_type AS old_event_type, n.event_type AS new_event_type,
+         o.value_cents AS old_value_cents, n.value_cents AS new_value_cents
+  FROM o FULL JOIN n ON o.event_id = n.event_id)
+SELECT event_id,
+       CASE WHEN NOT in_old THEN 'insert'
+            WHEN NOT in_new THEN 'delete'
+            ELSE 'update' END AS change_type,
+       old_event_type, old_value_cents,
+       new_event_type, new_value_cents
+FROM j
+WHERE NOT in_old OR NOT in_new
+   OR old_event_type IS DISTINCT FROM new_event_type
+   OR old_value_cents IS DISTINCT FROM new_value_cents
+"""
+
+
 MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_lang_counts": q_pivot_lang_counts,
     "unpivot_region_metrics": q_unpivot_region_metrics,
@@ -1054,6 +1120,7 @@ MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_removal": q_dup_span_removal,
     "rolling_time_revenue": q_rolling_time_revenue,
     "doc_bigram_lm_score": q_doc_bigram_lm_score,
+    "snapshot_cdc_diff": q_snapshot_cdc_diff,
 }
 
 MIX_ORACLES: dict[str, str] = {
@@ -1072,4 +1139,5 @@ MIX_ORACLES: dict[str, str] = {
     "dup_span_removal": ORACLE_DUP_SPAN_REMOVAL,
     "rolling_time_revenue": ORACLE_ROLLING_TIME_REVENUE,
     "doc_bigram_lm_score": ORACLE_DOC_BIGRAM_LM_SCORE,
+    "snapshot_cdc_diff": ORACLE_SNAPSHOT_CDC_DIFF,
 }

@@ -366,6 +366,7 @@ def test_dup_spans_and_removal_match_python_reference(spark):
             return any(p <= j <= p + k - 1 for p in ps)
 
         exp_rows = {}
+        kept_by_doc = {}
         for d, tk in toks.items():
             rem = rem_pos.get(d, set())
             kee = keep_pos.get(d, set())
@@ -374,10 +375,26 @@ def test_dup_spans_and_removal_match_python_reference(spark):
                 for j, t in enumerate(tk, start=1)
                 if not covered(j, rem) or covered(j, kee)
             ]
+            kept_by_doc[d] = kept
             exp_rows[d] = (
                 len(tk),
                 len(tk) - len(kept),
                 hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+
+        # the r6 SURVIVAL GUARANTEE, asserted directly: every
+        # cross-document duplicated window appears verbatim
+        # (contiguously) in its min-id holder's cleaned output
+        def contains_run(hay, needle):
+            n = len(needle)
+            return any(
+                hay[i : i + n] == needle for i in range(len(hay) - n + 1)
+            )
+
+        for w, occ in dup.items():
+            mn = min(d for d, _ in occ)
+            assert contains_run(kept_by_doc[mn], w.split()), (
+                seed, w, mn, kept_by_doc[mn],
             )
 
         sdf = spark.createDataFrame(docs, ["doc_id", "text"])
@@ -689,3 +706,41 @@ def test_semantic_dedup_keep_rule(spark):
     for b in set(buckets.values()):
         members = [i for i, bb in buckets.items() if bb == b]
         assert next(r.keep for r in res if r.vec_id == min(members))
+
+
+def test_snapshot_diff_classification_and_null_safety(spark):
+    from data_engineering_bootcamp_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)],
+        "k int, t string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 31), (5, "e", None)],
+        "k int, t string, v int",
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"], ["t", "v"]).collect()
+    }
+    # k=1 identical, k=2 null==null -> both unchanged (excluded);
+    # k=3 value differs; k=4 gone; k=5 arrived with a null payload
+    assert got == {3: "update", 4: "delete", 5: "insert"}
+
+    withu = {
+        r.k: r.change_type
+        for r in snapshot_diff(
+            old, new, ["k"], ["t", "v"], include_unchanged=True
+        ).collect()
+    }
+    assert withu[1] == "unchanged" and withu[2] == "unchanged"
+
+    # null -> value IS an update (null-safe compare, not SQL equality)
+    new2 = spark.createDataFrame([(2, "b", 99)], "k int, t string, v int")
+    got2 = {
+        r.k: r.change_type
+        for r in snapshot_diff(
+            old.where("k = 2"), new2, ["k"], ["t", "v"]
+        ).collect()
+    }
+    assert got2 == {2: "update"}
