@@ -158,8 +158,10 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 per_rep.append(round(time.perf_counter() - t0, 3))
             except Exception as exc:  # noqa: BLE001 — survive any fault
+                # record the fault but KEEP any reps that already
+                # succeeded — discarding clean timings would make a
+                # transient last-rep fault erase the whole signal
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                per_rep = []
                 break
             finally:
                 # dedup operators persist signature blocks for their own
@@ -175,15 +177,20 @@ def main() -> None:
             reps_out[name] = per_rep
 
     total = round(sum(timings.values()), 3)
+    # hard error = a query with ZERO successful reps (missing from the
+    # total entirely); a transient fault after >= 1 clean rep keeps its
+    # median and does not invalidate the headline number
+    hard_errors = {k: v for k, v in errors.items() if k not in timings}
     out = {
         "metric": "headline_queries_total_wall_sec",
         # A partial run's sum covers FEWER queries, so publishing it as
         # "value" would make failures look like speedups. When any query
-        # errored, null the headline value and mark the run invalid; the
-        # per-query timings that did complete stay available under
-        # "queries" and the partial sum under "partial_total_sec".
-        "value": total if not errors else None,
-        "valid": not errors,
+        # has no timing at all, null the headline value and mark the run
+        # invalid; the per-query timings that did complete stay
+        # available under "queries" and the partial sum under
+        # "partial_total_sec".
+        "value": total if not hard_errors else None,
+        "valid": not hard_errors,
         "unit": "sec",
         "queries": timings,
         "bench_reps": reps,
@@ -197,6 +204,7 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    if hard_errors:
         out["partial_total_sec"] = total
     print(json.dumps(out))
     spark.stop()

@@ -153,6 +153,10 @@ def cosine_topk_bruteforce(
         max_queries,
         "queries side of cosine_topk_bruteforce",
     )
+    if not rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cosine double, rank int"
+        )
     q_ids = np.array([r.qid for r in rows], dtype=np.int64)
     Q = np.array([r.qv for r in rows], dtype=np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
@@ -280,6 +284,10 @@ def neardup_embedding_cosine(
         max_vectors,
         "unblocked all-pairs baseline of neardup_embedding_cosine",
     )
+    if not rows:
+        return vectors.sparkSession.createDataFrame(
+            [], "id_a bigint, id_b bigint, cosine double"
+        )
     ids = np.array([r.vid for r in rows], dtype=np.int64)
     mat = np.array([r.v for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -488,7 +496,10 @@ def cosine_topk_ivf(
     )
 
     bc_cn = corpus.sparkSession.sparkContext.broadcast(Cn)
-    n_probe_ = int(n_probe)
+    # clamp: more probes than centroids means probe everything (the
+    # driver-side implementation degraded this way; the batched
+    # repeat/ravel would otherwise emit mismatched column lengths)
+    n_probe_ = min(int(n_probe), Cn.shape[0])
 
     def select_probes(batches):
         # self-contained closure (executors may lack this package)

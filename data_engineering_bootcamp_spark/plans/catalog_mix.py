@@ -892,12 +892,15 @@ def q_rolling_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Money stays cents-as-BIGINT through the window (catalog
     convention), so sums are exact integers in both engines. Spark
-    expresses the interval frame as `rangeBetween(-6 days, 0)` over
-    the date cast to epoch seconds — identical semantics to the
-    oracle's `RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT
-    ROW` over the date. Plan: one shuffle to the daily rollup, one
-    window shuffle on priority; the window state at scale is bounded
-    by the frame horizon per partition.
+    expresses the interval frame as `rangeBetween(-6, 0)` over the
+    CALENDAR-DAY ordinal (`datediff` from the epoch date) — exactly
+    the oracle's `RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT
+    ROW` over the date, and timezone-free by construction: an
+    epoch-seconds ordering (`cast(timestamp)`) would make a
+    fall-back-DST day sit 6*86400+3600 s away and silently fall out
+    of the frame in any DST session timezone. Plan: one shuffle to
+    the daily rollup, one window shuffle on priority; the window
+    state at scale is bounded by the frame horizon per partition.
     """
     from pyspark.sql import Window
 
@@ -912,8 +915,8 @@ def q_rolling_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("o_orderpriority")
-        .orderBy(F.col("d").cast("timestamp").cast("long"))
-        .rangeBetween(-6 * 86400, 0)
+        .orderBy(F.datediff(F.col("d"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
     )
     return daily.select(
         "o_orderpriority",

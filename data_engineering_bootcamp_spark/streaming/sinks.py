@@ -166,6 +166,7 @@ def upsert_batch_writer(
     """
     import os
     import shutil
+    import uuid
 
     def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -194,7 +195,17 @@ def upsert_batch_writer(
             )
         else:
             merged = fresh
-        staged = os.path.join(store_dir, f"v_{_batch_id}")
+        # Unique staging dir PER ATTEMPT, not per batch id: if the
+        # driver dies between the symlink flip and the streaming
+        # commit, foreachBatch re-runs the same batch id — a fixed
+        # v_<id> path would then be overwritten while `live` (and the
+        # lazy `existing` scan above) still resolves to it. A fresh
+        # suffix makes the rewrite target always distinct from the
+        # directory being read; the crashed attempt's orphan is
+        # reclaimed by the keep-set sweep on the next successful flip.
+        staged = os.path.join(
+            store_dir, f"v_{_batch_id}_{uuid.uuid4().hex[:8]}"
+        )
         merged.write.mode("overwrite").parquet(staged)
         # atomic publish: repoint the live symlink in ONE rename. A
         # stale tmp link from a crashed earlier attempt of this batch
