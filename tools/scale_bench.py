@@ -397,6 +397,95 @@ def bench_ann_q8(spark) -> dict:
     return out
 
 
+def build_vectors(spark, mult: int):
+    """10x-style corpus from the sf0.1 embeddings with deterministic
+    per-variant jitter (shared by the ann_q8 and semantic-dedup
+    sections)."""
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return (
+        emb.withColumn(
+            "_v", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+        )
+        .select(
+            (F.col("vec_id") * mult + F.col("_v")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                + 0.004
+                * F.col("_v")
+                * (((i * 7 + F.col("_v")) % 11) - 5),
+            ).alias("embedding"),
+        )
+    )
+
+
+def bench_semantic_dedup(spark) -> dict:
+    """SemDeDup at 10x corpus (20k vectors): wall time of the
+    cluster-then-dedup path vs the exact all-pairs baseline, PLUS the
+    measurement that decides whether the approximation is shippable —
+    cluster-local RECALL: the fraction of global near-dup pairs whose
+    two ends land in the same k-means cluster (a pair split across
+    clusters can never be deduplicated by the cluster-local pass).
+    Drop-verdict parity is also checked on the captured pairs: every
+    vector with a lower-id same-cluster neighbor must be dropped."""
+    from data_engineering_bootcamp_spark.operators.similarity import (
+        neardup_embedding_cosine,
+        semantic_dedup,
+    )
+
+    thr = 0.98  # calibrated to the jittered corpus (variant pairs
+    # cluster just under 0.995; 0.98 yields a dense pair set)
+    corpus = build_vectors(spark, 10).persist()
+    n = corpus.count()
+    out: dict = {"corpus_vectors": n, "threshold": thr, "n_centroids": 64}
+
+    t0 = time.perf_counter()
+    sd = semantic_dedup(corpus, threshold=thr, n_centroids=64).persist()
+    n_dropped = sd.where(~F.col("keep")).count()
+    out["semantic_dedup_sec"] = round(time.perf_counter() - t0, 3)
+    out["dropped"] = n_dropped
+
+    t0 = time.perf_counter()
+    pairs = neardup_embedding_cosine(corpus, thr).persist()
+    n_pairs = pairs.count()
+    out["allpairs_baseline_sec"] = round(time.perf_counter() - t0, 3)
+    out["global_neardup_pairs"] = n_pairs
+
+    buckets = sd.select("vec_id", "bucket")
+    captured = (
+        pairs.join(
+            buckets.withColumnRenamed("vec_id", "id_a").withColumnRenamed(
+                "bucket", "ba"
+            ),
+            "id_a",
+        )
+        .join(
+            buckets.withColumnRenamed("vec_id", "id_b").withColumnRenamed(
+                "bucket", "bb"
+            ),
+            "id_b",
+        )
+        .where(F.col("ba") == F.col("bb"))
+    )
+    n_captured = captured.count()
+    out["pairs_in_same_cluster"] = n_captured
+    out["cluster_local_recall"] = round(n_captured / max(n_pairs, 1), 4)
+    # contract check: the higher id of every captured pair is dropped
+    hi_ids = captured.select(
+        F.greatest("id_a", "id_b").alias("vec_id")
+    ).distinct()
+    not_dropped = hi_ids.join(
+        sd.where(F.col("keep")), "vec_id"
+    ).count()
+    out["captured_hi_ids_all_dropped"] = not_dropped == 0
+    sd.unpersist()
+    pairs.unpersist()
+    corpus.unpersist()
+    return out
+
+
 def bench_streaming(spark) -> dict:
     """Watermarked Structured Streaming under 10x sf0.1 volume
     (VERDICT r5 #3: the streaming entries gate only at sf0.01; this
@@ -537,6 +626,7 @@ def main() -> None:
         "connected_components": bench_cc(spark),
         "dup_span": bench_dup_span(spark),
         "ann_q8": bench_ann_q8(spark),
+        "semantic_dedup": bench_semantic_dedup(spark),
         "streaming": bench_streaming(spark),
     }
     with open(out_path, "w") as fh:
