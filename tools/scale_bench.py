@@ -352,25 +352,7 @@ def bench_ann_q8(spark) -> dict:
 
     mult = 10
     n_queries = 50
-    emb = load_table(spark, SF_DIR, "embeddings").select(
-        "vec_id", "embedding"
-    )
-    corpus = (
-        emb.withColumn(
-            "_v", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
-        )
-        .select(
-            (F.col("vec_id") * mult + F.col("_v")).alias("vec_id"),
-            F.transform(
-                "embedding",
-                lambda x, i: x.cast("double")
-                + 0.004
-                * F.col("_v")
-                * (((i * 7 + F.col("_v")) % 11) - 5),
-            ).alias("embedding"),
-        )
-        .persist()
-    )
+    corpus = build_vectors(spark, mult).persist()
     n_corpus = corpus.count()
     queries = corpus.where(F.col("vec_id") % (n_corpus // n_queries) == 0)
     out: dict = {"corpus_vectors": n_corpus, "queries": n_queries, "dim": 64}
