@@ -572,6 +572,14 @@ def dedup_simhash(
     remains exported as the pure-Catalyst reference implementation
     (bit-identical, used to cross-check the UDF in tests).
     """
+    if max_hamming > 3:
+        raise ValueError(
+            f"dedup_simhash: max_hamming={max_hamming} exceeds the "
+            "4-chunk pigeonhole guarantee (a pair differing in 4+ bits "
+            "can place one flip per chunk and never share a block) — "
+            "recall would silently degrade; split into more chunks or "
+            "use MinHash for looser thresholds"
+        )
     if hash_fn == "md5":
         hasher, nbits, chunk_bits = md5_hash60, 60, 15
     else:
@@ -878,8 +886,21 @@ def dedup_ngram_jaccard(
     - neither — exact all-pairs broadcast-nested-loop baseline
       (oracle/verification use only; O(n²)).
 
+    The strategies are mutually exclusive: the lossless filters are
+    corpus-wide by construction, so combining them with ``block_col``
+    would either silently drop the caller's restriction or silently
+    change which pairs qualify — pass ``block_col=None`` with
+    ``length_blocked``/``prefix_filtered`` (raises otherwise).
+
     Output (doc_id_a, doc_id_b, jaccard).
     """
+    if block_col and (length_blocked or prefix_filtered):
+        raise ValueError(
+            "dedup_ngram_jaccard: block_col cannot combine with "
+            "length_blocked/prefix_filtered — the lossless filters are "
+            "corpus-wide; pass block_col=None (pre-filter the corpus "
+            "if you need per-group pairs)"
+        )
     if prefix_filtered:
         return _ngram_jaccard_prefix(
             docs, id_col, text_col, ngram, threshold
@@ -972,10 +993,18 @@ def dup_spans(
     verbatim by >= 2 DISTINCT documents, with adjacent duplicated
     windows merged into maximal spans per document (gaps-and-islands).
     Output: (id_col, span_start, span_tokens), span_start 1-based in
-    token positions. Distinct from the whole-doc similarity family
-    (MinHash/Jaccard) and from within-doc repetition stats: this
-    localizes the duplicated REGION, the input a span-removal pass
-    needs.
+    token positions. "Maximal" means maximal runs of CONSECUTIVE
+    duplicated window START positions: two spans of one document can
+    overlap in TOKEN range when their islands sit less than k
+    positions apart (e.g. duplicated windows at pos 1 and 3 with pos 2
+    clean yield spans covering tokens 1-8 and 3-10). Consumers
+    computing duplicated-token fractions must therefore UNION the
+    token ranges, not sum span_tokens — `dup_span_removal` does
+    exactly that (its positional filters union coverage), so the
+    removal path is unaffected. Distinct from the whole-doc similarity
+    family (MinHash/Jaccard) and from within-doc repetition stats:
+    this localizes the duplicated REGION, the input a span-removal
+    pass needs.
 
     Scale shape: window enumeration is a generator explode (one row
     per corpus token, no shuffle); cross-doc detection is ONE shuffle

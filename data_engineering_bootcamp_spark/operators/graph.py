@@ -88,13 +88,17 @@ def build_edges_pairs(
 
     `agg_properties` are aggregate expressions evaluated per (a, b) pair
     over their shared groups (e.g. F.count(...) for co-occurrence count).
+
+    Input (group, id) rows are deduplicated first, so a member listed
+    twice in one group contributes ONE co-occurrence — the same
+    set-semantics `build_edges_pairs_grouped` gets from collect_set;
+    the two forms stay count-identical on any input.
     """
-    left = df.select(
-        F.col(group_col).alias("g"), F.col(id_col).alias("id_a")
-    ).alias("a")
-    right = df.select(
-        F.col(group_col).alias("g"), F.col(id_col).alias("id_b")
-    ).alias("b")
+    src = df.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("_id")
+    ).dropDuplicates(["g", "_id"])
+    left = src.select(F.col("g"), F.col("_id").alias("id_a")).alias("a")
+    right = src.select(F.col("g"), F.col("_id").alias("id_b")).alias("b")
     pairs = left.join(
         right,
         (F.col("a.g") == F.col("b.g")) & (F.col("a.id_a") < F.col("b.id_b")),

@@ -145,6 +145,14 @@ def _decode_png_pixels(content: bytes) -> tuple[int, int, int, bytearray]:
             width, height, depth, ctype = struct.unpack(">IIBB", payload[:10])
             if depth != 8 or ctype not in (0, 2, 6):
                 raise ValueError(f"unsupported PNG depth={depth} ctype={ctype}")
+            # byte 12 = interlace: Adam7 reorders scanlines into seven
+            # passes — sequential filter reconstruction would decode
+            # garbage SILENTLY, so refuse like any unsupported variant
+            if len(payload) > 12 and payload[12] != 0:
+                raise ValueError(
+                    "unsupported PNG: Adam7 interlacing (IHDR interlace="
+                    f"{payload[12]})"
+                )
             channels = {0: 1, 2: 3, 6: 4}[ctype]
         elif tag == b"IDAT":
             idat += payload
@@ -414,6 +422,12 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
     f = int(factor)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # unlike the feature/frame closures, the resize kernel (PNG
+        # decode + encode, ~150 lines) is imported from the package
+        # rather than redefined inline — this stage therefore requires
+        # the package on executor PYTHONPATH (spark-submit --py-files /
+        # cluster image), the same deployment contract the catalog's
+        # media-encode stages already assume
         from data_engineering_bootcamp_spark.operators.multimodal import (
             png_resize_roundtrip,
         )

@@ -30,7 +30,15 @@ _HEX_DIGITS = 8  # 32 bits of hash space: granularity 2^-32 ≈ 2.3e-10
 def _threshold_hex(fraction: float) -> str:
     if not (0.0 <= fraction <= 1.0):
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(round(fraction * (16 ** _HEX_DIGITS)), f"0{_HEX_DIGITS}x")
+    thr = round(fraction * (16 ** _HEX_DIGITS))
+    if thr >= 16 ** _HEX_DIGITS:
+        # fraction ~1.0: the natural threshold needs 9 hex digits,
+        # which breaks the fixed-width lexicographic compare (the
+        # 8-char bucket 'ffffffff' sorts BEFORE '100000000', silently
+        # keeping ~1/16 of rows). 'g' sorts after every hex string in
+        # any engine's binary collation, so `bucket < 'g'` keeps all.
+        return "g"
+    return format(thr, f"0{_HEX_DIGITS}x")
 
 
 def sample_bucket(key: Column, salt: str = "") -> Column:

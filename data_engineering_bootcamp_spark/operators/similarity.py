@@ -146,6 +146,7 @@ def cosine_topk_bruteforce(
     import numpy as np
 
     _require_integral_ids(queries, id_col, "cosine_topk_bruteforce")
+    _require_integral_ids(corpus, id_col, "cosine_topk_bruteforce")
     rows = _bounded_collect(
         queries.select(
             F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
@@ -232,6 +233,7 @@ def neardup_embedding_cosine(
     `cosine_topk_lsh`) — ENFORCED by `max_vectors`, which raises past
     the cap instead of OOMing the driver.
     """
+    _require_integral_ids(vectors, id_col, "neardup_embedding_cosine")
     if block_col:
         thr = float(threshold)
 
@@ -476,6 +478,8 @@ def cosine_topk_ivf(
     # extra full reads (the caller releases via dedup.release_caches)
     from .dedup import _persist
 
+    _require_integral_ids(corpus, id_col, "cosine_topk_ivf")
+    _require_integral_ids(queries, id_col, "cosine_topk_ivf")
     src = _persist(
         fan_out(
             corpus.select(

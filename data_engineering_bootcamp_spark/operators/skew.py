@@ -11,10 +11,11 @@ Catalyst already does map-side partial aggregation, but when one key
 dominates, ALL of its partials still meet in one reducer; salting
 spreads that final merge over `n_salts` reducers first.
 
-`salted_join` — fact-side keys get a random-but-deterministic salt
-(hash of a row id), the dimension side is exploded across all salts, and
-the join key becomes (key, salt) — the hot key's rows land on `n_salts`
-reducers instead of one. Works for inner/left joins onto a dimension.
+`salted_join` — fact-side rows get a per-row salt (row ordinal by
+default — result-invisible, see `with_salt`), the dimension side is
+exploded across all salts, and the join key becomes (key, salt) — the
+hot key's rows land on `n_salts` reducers instead of one. Works for
+inner/left joins onto a dimension.
 """
 
 from __future__ import annotations
@@ -27,9 +28,22 @@ from pyspark.sql import functions as F
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt",
               entropy: Column | None = None) -> DataFrame:
-    """Deterministic salt in [0, n_salts): xxhash64 of `entropy` (default:
-    every column) — reproducible, unlike F.rand()."""
-    src = entropy if entropy is not None else F.xxhash64(*df.columns)
+    """Salt in [0, n_salts).
+
+    Default entropy is `monotonically_increasing_id()` — a per-row
+    ordinal, so BYTE-IDENTICAL rows still spread across salts (the
+    typical hot key is exactly many identical rows; hashing the row's
+    columns, the old default, gave them all ONE salt and zero
+    mitigation). The salt never reaches any output (both salted
+    operators aggregate/drop it), so its partition-layout dependence is
+    result-invisible by construction. Pass `entropy` (e.g.
+    `F.xxhash64("row_id")`) when a run-stable salt assignment matters,
+    e.g. for debugging a specific reducer."""
+    src = (
+        entropy
+        if entropy is not None
+        else F.xxhash64(F.monotonically_increasing_id())
+    )
     return df.withColumn(salt_col, F.pmod(src, F.lit(n_salts)).cast("int"))
 
 

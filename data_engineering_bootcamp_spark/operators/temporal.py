@@ -53,6 +53,29 @@ def asof_join(
         raise ValueError(f"asof_join: key {key!r} must exist on both sides")
     lcols = left.columns
     rts_type = right.schema[right_ts].dataType
+    lts_type = left.schema[left_ts].dataType
+    if rts_type != lts_type:
+        from pyspark.sql.types import (
+            DateType,
+            TimestampNTZType,
+            TimestampType,
+        )
+
+        # only the LOSSLESS widening (right DATE -> left TIMESTAMP) is
+        # performed implicitly; anything else (timestamp->date
+        # truncation, string parses) would silently reorder or null
+        # the state timeline — the caller must cast explicitly
+        widening = isinstance(
+            lts_type, (TimestampType, TimestampNTZType)
+        ) and isinstance(rts_type, DateType)
+        if not widening:
+            raise TypeError(
+                f"asof_join: {left_ts} is {lts_type.simpleString()} but "
+                f"{right_ts} is {rts_type.simpleString()}; an implicit "
+                "cast here is lossy (e.g. timestamp->date collapses "
+                "sub-day ordering) — cast one side explicitly to the "
+                "intended resolution first"
+            )
     # side ordinal makes ties deterministic: with on-or-before
     # semantics the state row at an equal timestamp must sort BEFORE
     # the probe row so last() sees it; strict mode flips that.

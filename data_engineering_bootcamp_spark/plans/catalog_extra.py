@@ -58,7 +58,13 @@ def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     od = (
         _t(spark, sf_dir, "orders")
-        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        # EXPLICIT day resolution: o_orderdate is stored as a
+        # (midnight) timestamp; asof_join refuses lossy implicit casts,
+        # so the date intent is declared here where the data is known
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.to_date("o_orderdate").alias("o_orderdate"),
+        )
         .agg(F.max("o_orderkey").alias("last_order_key"))
     )
     res = asof_join(

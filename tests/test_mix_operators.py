@@ -783,3 +783,134 @@ def test_similarity_empty_inputs_and_ivf_probe_clamp(spark):
         ).collect()
     }
     assert {(r.query_id, r.neighbor_id) for r in got.collect()} == exact
+
+
+def test_hash_sample_fraction_one_keeps_everything(spark):
+    # review r6: the 1.0 threshold used to render as a 9-char hex
+    # string that lexicographically excluded ~15/16 of buckets
+    from data_engineering_bootcamp_spark.operators.sampling import (
+        hash_sample,
+        train_test_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["k"])
+    assert hash_sample(df, "k", 1.0).count() == 500
+    assert hash_sample(df, "k", 0.0).count() == 0
+    train, test = train_test_split(df, "k", 1.0)
+    assert test.count() == 500 and train.count() == 0
+
+
+def test_simhash_rejects_unguaranteed_hamming(spark):
+    import pytest
+
+    from data_engineering_bootcamp_spark.operators.dedup import (
+        dedup_simhash,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup_simhash(docs, max_hamming=4)
+
+
+def test_asof_join_rejects_lossy_ts_cast(spark):
+    import pytest
+
+    from data_engineering_bootcamp_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01")], ["k", "lts"]
+    ).withColumn("lts", F.col("lts").cast("date"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 23:59:00", "x")], ["k", "rts", "payload"]
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    # timestamp state -> date probe would truncate sub-day ordering
+    with pytest.raises(TypeError, match="lossy"):
+        asof_join(left, right, "k", "lts", "rts", ["payload"])
+    # the lossless widening (date state -> timestamp probe) still works
+    widened = asof_join(
+        right.select("k", F.col("rts").alias("ts"), "payload"),
+        left.select("k", F.col("lts").alias("state_d")).withColumn(
+            "payload2", F.lit("y")
+        ),
+        "k",
+        "ts",
+        "state_d",
+        ["payload2"],
+    )
+    assert widened.count() == 1
+
+
+def test_ngram_jaccard_rejects_block_col_with_lossless_filters(spark):
+    import pytest
+
+    from data_engineering_bootcamp_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s1")], ["doc_id", "text", "source"]
+    )
+    with pytest.raises(ValueError, match="corpus-wide"):
+        dedup_ngram_jaccard(docs, prefix_filtered=True)  # default block_col
+    with pytest.raises(ValueError, match="corpus-wide"):
+        dedup_ngram_jaccard(docs, block_col="source", length_blocked=True)
+
+
+def test_with_salt_spreads_identical_rows(spark):
+    from data_engineering_bootcamp_spark.operators.skew import with_salt
+
+    # 1000 byte-identical rows (the canonical hot key): the default
+    # entropy must spread them over many salts, not collapse to one
+    df = spark.createDataFrame([("hot", 1)] * 1000, ["k", "v"])
+    n = (
+        with_salt(df.repartition(8), 16)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n >= 8
+
+
+def test_edge_pair_forms_agree_on_duplicate_rows(spark):
+    from data_engineering_bootcamp_spark.operators.graph import (
+        build_edges_pairs,
+        build_edges_pairs_grouped,
+    )
+
+    # u appears twice in g1: both forms must count ONE co-occurrence
+    df = spark.createDataFrame(
+        [("g1", "u"), ("g1", "u"), ("g1", "v"), ("g2", "u"), ("g2", "v")],
+        ["g", "id"],
+    )
+    joined = {
+        (r.subject_identifier, r.object_identifier, r.properties["n"])
+        for r in build_edges_pairs(
+            df, "g", "id", "co", {"n": F.count(F.lit(1))}
+        ).collect()
+    }
+    grouped = {
+        (r.id_a, r.id_b, str(r.n_groups))
+        for r in build_edges_pairs_grouped(df, "g", "id").collect()
+    }
+    assert joined == grouped == {("u", "v", "2")}
+
+
+def test_png_decoder_rejects_interlaced(spark):
+    import struct
+    import zlib
+
+    import pytest
+
+    from data_engineering_bootcamp_spark.operators.multimodal import (
+        _decode_png_pixels,
+        synth_png,
+    )
+
+    png = bytearray(synth_png(4, 4, (1, 2, 3)))
+    # IHDR payload starts at 16 (8 sig + 4 len + 4 tag); interlace is
+    # payload byte 12; CRC covers tag+payload
+    png[16 + 12] = 1
+    crc = zlib.crc32(bytes(png[12:16 + 13])) & 0xFFFFFFFF
+    png[16 + 13:16 + 17] = struct.pack(">I", crc)
+    with pytest.raises(ValueError, match="interlac"):
+        _decode_png_pixels(bytes(png))

@@ -103,7 +103,12 @@ def test_asof_matches_duckdb_native(spark, sf_dir):
     )
     od = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        # explicit day resolution: asof_join refuses lossy implicit
+        # timestamp->date casts since the r6 review
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.to_date("o_orderdate").alias("o_orderdate"),
+        )
         .agg(F.max("o_orderkey").alias("ok"))
     )
     got = (
