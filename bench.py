@@ -108,6 +108,11 @@ HEADLINE = [
     "dup_span_extract",
     "tfidf_top_terms",
     "dup_span_removal",
+    # round-6 late additions: iterative centrality, one-pass histogram
+    # quantiles, contrastive hard negatives
+    "pagerank_parts",
+    "histogram_quantiles",
+    "hard_negative_mining",
 ]
 
 

@@ -77,6 +77,77 @@ def build_edges_pairs_grouped(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-point integer PageRank over an undirected pair list.
+
+    Ranks are BIGINTs in units of 1/`scale` (1.0 == `scale`), and every
+    step is integer arithmetic — `r DIV deg` per contribution, then
+    `base + (damping_pct * Σcontrib) DIV 100` — so a fixed iteration
+    count replays BIT-IDENTICALLY in any engine (the DuckDB oracle
+    unrolls the same recurrence); no float drift, no tolerance window.
+    The graph is symmetrized, so every vertex has degree >= 1 and
+    receives >= 1 contribution per round (no dangling-mass term).
+
+    Scale shape: per iteration ONE join (ranks onto the degree-annotated
+    adjacency, both hash-partitioned on the source key; the persisted
+    adjacency's shuffle is planned once and reused) and ONE groupBy-sum
+    keyed by destination — the canonical distributed-PageRank plan.
+    Ranks are eagerly localCheckpoint'ed each round (same lineage
+    discipline as `clustering.connected_components`): constant plan
+    depth, no replay of prior iterations. Nothing driver-sided at any
+    vertex count. `scale` bounds: per-vertex sums stay far below 2^63
+    for any realistic graph (a vertex's rank is bounded by its
+    neighborhood's mass, not corpus mass); shrink `scale` if modeling
+    degenerate hub graphs beyond ~10^11 vertices.
+
+    Returns (vertex_id, rank_scaled BIGINT) for every vertex with at
+    least one edge.
+    """
+    if not (0 < damping_pct < 100):
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).distinct()
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # adjacency annotated with the source's degree ONCE, outside the
+    # loop — each iteration then needs only the rank join
+    adj = sym.join(deg, "s").persist()
+    ranks = deg.select(
+        F.col("s").alias("v"), F.lit(int(scale)).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    base = ((100 - damping_pct) * scale) // 100
+    try:
+        for _ in range(int(iterations)):
+            contribs = adj.join(
+                ranks.select(F.col("v").alias("s"), "r"), "s"
+            ).select(F.col("d").alias("v"), F.expr("r DIV deg").alias("c"))
+            ranks = (
+                contribs.groupBy("v")
+                .agg(F.sum("c").alias("csum"))
+                .select(
+                    "v",
+                    (
+                        F.lit(base)
+                        + F.expr(f"({damping_pct} * csum) DIV 100")
+                    ).cast("long").alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        adj.unpersist()
+    return ranks.select(
+        F.col("v").alias("vertex_id"), F.col("r").alias("rank_scaled")
+    )
+
+
 def build_edges_pairs(
     df: DataFrame,
     group_col: str,

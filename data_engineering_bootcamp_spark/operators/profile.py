@@ -17,7 +17,7 @@ collect, no per-column jobs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,4 +50,74 @@ def profile_table(
         "n_nonnull",
         (F.col("__n") - F.col("n_nonnull")).alias("n_nulls"),
         "n_distinct",
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    bin_width: float,
+    q_pcts: list[int],
+) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles in ONE aggregation pass.
+
+    The scale path for percentile monitoring where `exact_percentiles`'
+    full sort is too expensive: bin every value by
+    ``floor(value / bin_width)`` (one map-side-combined groupBy — the
+    only shuffle that touches the data), then answer each requested
+    percentile from the cumulative bin table. Bin histograms MERGE by
+    addition, so at 100 TB this runs as partial aggregates with no
+    global sort; precision is bounded by `bin_width` (the answer is the
+    containing bin's LOWER EDGE, an under-estimate by < bin_width).
+
+    Determinism: `q_pcts` are integer percents and the crossing
+    threshold is ``ceil(q * n / 100)`` computed as
+    ``(q * n + 99) DIV 100`` — all-integer, so the selected bin is
+    engine-exact (the float ops are one IEEE divide for the bin id and
+    one multiply for the edge, both bit-identical cross-engine).
+
+    The cumulative window runs over the BIN TABLE (bounded by
+    value-range / bin_width, thousands of rows at most), not the input
+    rows — a single-partition window there is deliberate, not a scale
+    leak.
+
+    Returns (q_pct, n_rows, bin_id, quantile_lo DOUBLE, cum_count).
+    """
+    for q in q_pcts:
+        if not (0 < int(q) <= 100):
+            raise ValueError(f"q_pcts must be integer percents in (0, 100], got {q}")
+    w = float(bin_width)
+    bins = (
+        df.select(
+            F.floor(F.col(value_col) / F.lit(w)).cast("long").alias("bin_id")
+        )
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum_w = Window.orderBy("bin_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_w = Window.orderBy("bin_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = bins.select(
+        "bin_id",
+        F.sum("cnt").over(cum_w).alias("cum_count"),
+        F.sum("cnt").over(tot_w).alias("n_rows"),
+    )
+    spark = df.sparkSession
+    qs = spark.createDataFrame([(int(q),) for q in q_pcts], "q_pct int")
+    hit = qs.join(
+        cum,
+        F.col("cum_count") >= F.expr("(q_pct * n_rows + 99) DIV 100"),
+    )
+    first = hit.groupBy("q_pct").agg(
+        F.min(F.struct("bin_id", "cum_count", "n_rows")).alias("_b")
+    )
+    return first.select(
+        "q_pct",
+        F.col("_b.n_rows").alias("n_rows"),
+        F.col("_b.bin_id").alias("bin_id"),
+        (F.col("_b.bin_id") * F.lit(w)).alias("quantile_lo"),
+        F.col("_b.cum_count").alias("cum_count"),
     )

@@ -206,6 +206,100 @@ def cosine_topk_bruteforce(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor
+    (query) vector, the top-k nearest corpus vectors that do NOT share
+    the anchor's label — the "close but semantically different"
+    examples a contrastive loss learns most from.
+
+    Same execution shape as `cosine_topk_bruteforce` (bounded query
+    side broadcast as a numpy matrix, one BLAS matmul per corpus Arrow
+    batch, JVM window top-k), with the label inequality applied INSIDE
+    the scoring kernel — a same-label neighbor is masked before
+    ranking, not filtered after, so the returned k are genuine
+    negatives even when the anchor's own class dominates its
+    neighborhood. Self-pairs excluded. Output
+    (query_id, neighbor_id, cosine DOUBLE, rank INT).
+    """
+    import numpy as np
+
+    _require_integral_ids(queries, id_col, "hard_negatives")
+    _require_integral_ids(corpus, id_col, "hard_negatives")
+    rows = _bounded_collect(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(label_col).cast("long").alias("qlbl"),
+            F.col(vec_col).alias("qv"),
+        ),
+        max_queries,
+        "queries side of hard_negatives",
+    )
+    if not rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cosine double, rank int"
+        )
+    q_ids = np.array([r.qid for r in rows], dtype=np.int64)
+    q_lbls = np.array([r.qlbl for r in rows], dtype=np.int64)
+    Q = np.array([r.qv for r in rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = queries.sparkSession.sparkContext.broadcast((q_ids, q_lbls, Q))
+
+    def run(batches):
+        # self-contained closure (executors may lack this package)
+        import numpy as _np
+        import pandas as _pd
+
+        bq_ids, bq_lbls, bQ = bc.value
+        nq = len(bq_ids)
+        for pdf in batches:
+            c_ids = pdf["nid"].to_numpy()
+            c_lbls = pdf["nlbl"].to_numpy()
+            C = _np.array(list(pdf["cv"]), dtype=_np.float64)
+            C /= _np.linalg.norm(C, axis=1, keepdims=True)
+            S = C @ bQ.T  # (batch, nq)
+            # HALF_UP away from zero, matching Spark F.round / DuckDB
+            S = _np.copysign(_np.floor(_np.abs(S) * 1e6 + 0.5), S) / 1e6
+            rep_c = _np.repeat(c_ids, nq)
+            rep_cl = _np.repeat(c_lbls, nq)
+            rep_q = _np.tile(bq_ids, len(c_ids))
+            rep_ql = _np.tile(bq_lbls, len(c_ids))
+            keep = (rep_c != rep_q) & (rep_cl != rep_ql)
+            yield _pd.DataFrame(
+                {
+                    "query_id": rep_q[keep],
+                    "neighbor_id": rep_c[keep],
+                    "cosine": S.ravel()[keep],
+                }
+            )
+
+    src = fan_out(
+        corpus.select(
+            F.col(id_col).alias("nid"),
+            F.col(label_col).cast("long").alias("nlbl"),
+            F.col(vec_col).alias("cv"),
+        )
+    )
+    scored = src.mapInPandas(
+        run, schema="query_id bigint, neighbor_id bigint, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def neardup_embedding_cosine(
     vectors: DataFrame,
     threshold: float,

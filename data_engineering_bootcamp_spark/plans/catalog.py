@@ -1344,7 +1344,6 @@ _GATE_FIRST = [
     # LLM-pipeline operators (first-class per brief)
     "doc_dedup_exact",         # A14
     "doc_lang_id",             # P9
-    "ngram_jaccard_pairs",     # prefix-filtered primary
     "ngram_jaccard_allpairs",  # exact baseline twin — first driver row r5
     "media_real_decode",       # real stdlib PNG round-trip — first row r5
     "skew_salted_join",        # join twin — first driver row r5
@@ -1371,9 +1370,16 @@ _GATE_FIRST = [
     "dup_span_extract",        # cross-doc duplicate-span extraction
     "dup_span_removal",        # cleaned-corpus rebuild (md5 witness)
     "tfidf_top_terms",         # tf-idf keyword extraction
-    # write-path round-trips (S4-S10, O4/O5, J14, S8)
-    "bucketed_join_rollup",    # S4 S5 J14
-    "partitioned_prune_rollup",  # S6 S7
+    # round-6 LATE additions, gated immediately (never the
+    # no-driver-row state): iterative centrality, one-pass histogram
+    # quantiles, contrastive hard negatives — slots freed by
+    # ngram_jaccard_pairs (r3+r4+r5 rows), bucketed_join_rollup
+    # (r4+r5), partitioned_prune_rollup (r4+r5)
+    "pagerank_parts",          # NEW r6: fixed-point integer PageRank
+    "histogram_quantiles",     # NEW r6: mergeable bin-histogram p50/90/99
+    "hard_negative_mining",    # NEW r6: label-masked contrastive ANN
+    # write-path round-trips (S8-S10 still gated via metadata_scan/
+    # insert_select_rollup history; S4-S7 rotated out with 2 rows each)
     "snapshot_cdc_diff",       # NEW r6: change-data-feed derivation
     "compaction_rollup",       # NEW r6: small-files OPTIMIZE round-trip
     # streaming through the real engine (T1-T8, S12-S14)
@@ -1393,6 +1399,10 @@ _GATE_REST = [
     # Every entry below carries a green cumulative driver CORRECTNESS
     # row (round noted); all still oracle-checked in-repo by
     # tools/gate_check.py every round.
+    # rotated out for the round-6 late additions (rows noted)
+    "ngram_jaccard_pairs",     # prefix-filtered primary; r3+r4+r5 rows
+    "bucketed_join_rollup",    # S4 S5 J14; r4+r5 rows
+    "partitioned_prune_rollup",  # S6 S7; r4+r5 rows
     "pricing_summary",         # r1+r3+r4 rows; P3 A3 A17
     "customer_order_spine",    # r3+r4 rows; J10 J11 J15
     "top_customers",           # r1+r3+r4 rows; J3 J13 A15 O1-O3

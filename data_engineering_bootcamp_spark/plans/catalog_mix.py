@@ -1107,6 +1107,143 @@ WHERE NOT in_old OR NOT in_new
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-6 late additions: iterative graph centrality, one-pass histogram
+# quantiles, contrastive hard-negative mining
+# ---------------------------------------------------------------------------
+
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over the part co-occurrence graph
+    (parts sharing an order), top 20 by rank.
+
+    The iterative-algorithm class the CC operators opened, now with a
+    weighted fixpoint: 5 rounds of `base + (85 * Σ r/deg) DIV 100` in
+    scaled-integer arithmetic, so the DuckDB oracle replays the exact
+    recurrence unrolled — bit-identical ranks, no tolerance. Top-20 via
+    TakeOrderedAndProject (no global sort materialization)."""
+    from ..operators.graph import build_edges_pairs_grouped, pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = build_edges_pairs_grouped(li, "l_orderkey", "l_partkey")
+    ranks = pagerank(edges, "id_a", "id_b", iterations=5)
+    return (
+        ranks.orderBy(F.desc("rank_scaled"), F.asc("vertex_id"))
+        .limit(20)
+        .select(
+            F.col("vertex_id").alias("part_id"),
+            "rank_scaled",
+        )
+    )
+
+
+def _pagerank_oracle() -> str:
+    iters = []
+    for i in range(1, 6):
+        iters.append(f"""
+r{i} AS (
+  SELECT sym.d AS v,
+         CAST(150000 + (85 * CAST(SUM(r.r // deg.deg) AS BIGINT)) // 100
+              AS BIGINT) AS r
+  FROM sym
+  JOIN r{i - 1} r ON sym.s = r.v
+  JOIN deg ON sym.s = deg.s
+  GROUP BY sym.d)""")
+    return (
+        """
+WITH grp AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS id FROM lineitem),
+e AS (
+  SELECT DISTINCT a.id AS s, b.id AS d
+  FROM grp a JOIN grp b ON a.g = b.g AND a.id < b.id),
+sym AS (SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY s),
+r0 AS (SELECT s AS v, CAST(1000000 AS BIGINT) AS r FROM deg),"""
+        + ",".join(iters)
+        + """
+SELECT v AS part_id, r AS rank_scaled
+FROM r5 ORDER BY r DESC, v LIMIT 20
+"""
+    )
+
+
+ORACLE_PAGERANK_PARTS = _pagerank_oracle()
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of lineitem extended price from a ONE-PASS mergeable
+    fixed-bin histogram (bin width 1000) — the scale twin of
+    `exact_percentiles` (which needs a full sort): partial-aggregable
+    bin counts, quantile answered from the bounded bin table, integer
+    crossing thresholds so the chosen bin is engine-exact."""
+    from ..operators.profile import histogram_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_quantiles(
+        li, "l_extendedprice", bin_width=1000.0, q_pcts=[50, 90, 99]
+    )
+
+
+ORACLE_HISTOGRAM_QUANTILES = """
+WITH b AS (
+  SELECT CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS bin_id,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1),
+c AS (
+  SELECT bin_id,
+         CAST(SUM(cnt) OVER (ORDER BY bin_id) AS BIGINT) AS cum_count,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n_rows
+  FROM b),
+q AS (SELECT * FROM (VALUES (50), (90), (99)) t(q_pct)),
+hit AS (
+  SELECT q.q_pct, c.n_rows, c.bin_id, c.cum_count,
+         ROW_NUMBER() OVER (PARTITION BY q.q_pct ORDER BY c.bin_id) AS rn
+  FROM q JOIN c ON c.cum_count >= (q.q_pct * c.n_rows + 99) // 100)
+SELECT q_pct, n_rows, bin_id, bin_id * 1000.0 AS quantile_lo, cum_count
+FROM hit WHERE rn = 1
+"""
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor embedding
+    (vec_id < 10), the 3 nearest neighbors whose label DIFFERS from
+    the anchor's — masked inside the scoring kernel, not post-filtered,
+    so the k returned are genuine negatives even when the anchor's own
+    class fills its neighborhood."""
+    from ..operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 10)
+    return hard_negatives(emb, anchors, k=3)
+
+
+ORACLE_HARD_NEGATIVE_MINING = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlbl, embedding AS qv
+  FROM embeddings WHERE vec_id < 10),
+c AS (
+  SELECT vec_id AS neighbor_id, label AS clbl, embedding AS cv
+  FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(
+           list_sum(list_transform(range(1, len(qv) + 1),
+                                   i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                                           i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+                                             i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))),
+           6) AS cosine
+  FROM q, c WHERE query_id <> neighbor_id AND qlbl <> clbl),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank::INT AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_lang_counts": q_pivot_lang_counts,
     "unpivot_region_metrics": q_unpivot_region_metrics,
@@ -1124,6 +1261,9 @@ MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_time_revenue": q_rolling_time_revenue,
     "doc_bigram_lm_score": q_doc_bigram_lm_score,
     "snapshot_cdc_diff": q_snapshot_cdc_diff,
+    "pagerank_parts": q_pagerank_parts,
+    "histogram_quantiles": q_histogram_quantiles,
+    "hard_negative_mining": q_hard_negative_mining,
 }
 
 MIX_ORACLES: dict[str, str] = {
@@ -1143,4 +1283,7 @@ MIX_ORACLES: dict[str, str] = {
     "rolling_time_revenue": ORACLE_ROLLING_TIME_REVENUE,
     "doc_bigram_lm_score": ORACLE_DOC_BIGRAM_LM_SCORE,
     "snapshot_cdc_diff": ORACLE_SNAPSHOT_CDC_DIFF,
+    "pagerank_parts": ORACLE_PAGERANK_PARTS,
+    "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,
+    "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
 }

@@ -914,3 +914,86 @@ def test_png_decoder_rejects_interlaced(spark):
     png[16 + 13:16 + 17] = struct.pack(">I", crc)
     with pytest.raises(ValueError, match="interlac"):
         _decode_png_pixels(bytes(png))
+
+
+def test_pagerank_fixed_point_matches_numpy_replay(spark):
+    from data_engineering_bootcamp_spark.operators.graph import pagerank
+
+    # path graph 1-2-3-4: hand-replay the integer recurrence
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    got = {
+        r.vertex_id: r.rank_scaled
+        for r in pagerank(edges, iterations=5).collect()
+    }
+    # python replay of the exact integer recurrence
+    adj = {1: [2], 2: [1, 3], 3: [2, 4], 4: [3]}
+    deg = {v: len(ns) for v, ns in adj.items()}
+    r = {v: 1_000_000 for v in adj}
+    for _ in range(5):
+        contrib = {v: 0 for v in adj}
+        for u, ns in adj.items():
+            for v in ns:
+                contrib[v] += r[u] // deg[u]
+        r = {v: 150_000 + (85 * c) // 100 for v, c in contrib.items()}
+    assert got == r
+    # symmetry: the two middle and two end vertices tie exactly
+    assert got[1] == got[4] and got[2] == got[3] and got[2] > got[1]
+
+
+def test_pagerank_rejects_bad_damping(spark):
+    from data_engineering_bootcamp_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="damping_pct"):
+        pagerank(edges, damping_pct=0)
+    with pytest.raises(ValueError, match="damping_pct"):
+        pagerank(edges, damping_pct=100)
+
+
+def test_histogram_quantiles_known_bins(spark):
+    from data_engineering_bootcamp_spark.operators.profile import (
+        histogram_quantiles,
+    )
+
+    # values 0..99 with width 10 -> bins 0..9 of 10 each; p50 crosses
+    # in bin 4 (cum 50 >= 50), p90 in bin 8 (cum 90), p99 in bin 9,
+    # p100 in the last bin
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    got = {
+        r.q_pct: (r.bin_id, r.quantile_lo, r.cum_count, r.n_rows)
+        for r in histogram_quantiles(df, "v", 10.0, [50, 90, 99, 100]).collect()
+    }
+    assert got[50] == (4, 40.0, 50, 100)
+    assert got[90] == (8, 80.0, 90, 100)
+    assert got[99] == (9, 90.0, 100, 100)
+    assert got[100] == (9, 90.0, 100, 100)
+    with pytest.raises(ValueError, match="percents"):
+        histogram_quantiles(df, "v", 10.0, [0])
+
+
+def test_hard_negatives_masks_same_label(spark):
+    from data_engineering_bootcamp_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    # anchor 0 (label A): nearest overall is 1 (same label, masked);
+    # top negatives must be the differently-labeled 2 then 3
+    rows = [
+        (0, [1.0, 0.0], 10),
+        (1, [0.99, 0.14], 10),   # same label, nearer than any negative
+        (2, [0.9, 0.43], 20),    # nearest negative
+        (3, [0.0, 1.0], 20),     # far negative
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    anchors = emb.where(F.col("vec_id") == 0)
+    got = [
+        (r.neighbor_id, r.rank)
+        for r in hard_negatives(emb, anchors, k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(2, 1), (3, 2)]
+    # empty anchors short-circuit
+    assert hard_negatives(emb, emb.where(F.lit(False)), k=2).count() == 0
