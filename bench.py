@@ -113,6 +113,8 @@ HEADLINE = [
     "pagerank_parts",
     "histogram_quantiles",
     "hard_negative_mining",
+    "bloom_prune_stats",
+    "distinct_sketch_users",
 ]
 
 

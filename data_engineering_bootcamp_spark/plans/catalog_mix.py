@@ -1244,6 +1244,115 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, with its false-positive cost
+    made visible: lineitem probed against the bitmap of high-value
+    order keys BEFORE any shuffle — n_pass_bloom rows would reach the
+    real join instead of all of lineitem; n_false_positive is the
+    residue the bitmap admits beyond the true matches (zero false
+    negatives by construction, asserted by the oracle replaying every
+    bit)."""
+    from ..operators.sketch import bloom_bits, bloom_prune
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    od = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    passed = bloom_prune(
+        li, od, "l_orderkey", "o_orderkey", m_bits=1 << 16, k=3
+    )
+    n_pass = passed.agg(F.count(F.lit(1)).alias("n_pass_bloom"))
+    n_true = li.join(
+        od, li["l_orderkey"] == od["o_orderkey"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_true_match"))
+    bits = bloom_bits(od, "o_orderkey", 1 << 16, 3).agg(
+        F.count(F.lit(1)).alias("bits_set")
+    )
+    return (
+        n_pass.crossJoin(n_true)
+        .crossJoin(bits)
+        .select(
+            "n_pass_bloom",
+            "n_true_match",
+            (F.col("n_pass_bloom") - F.col("n_true_match")).alias(
+                "n_false_positive"
+            ),
+            "bits_set",
+        )
+    )
+
+
+ORACLE_BLOOM_PRUNE_STATS = """
+WITH dimk AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_totalprice > 400000),
+pos AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5('bloom_' || CAST(i AS VARCHAR) || '_'
+                                 || CAST(key AS VARCHAR)), 1, 15) AS BIGINT)
+         % 65536 AS pos
+  FROM dimk CROSS JOIN (VALUES (0), (1), (2)) t(i)),
+fkeys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+kpos AS (
+  -- membership is a property of the KEY; COUNT(DISTINCT i) (not *)
+  -- so two of a key's probe positions colliding on one set bit still
+  -- count as two set probes, matching the independent mask lookups
+  SELECT l_orderkey, i,
+         CAST('0x' || substr(md5('bloom_' || CAST(i AS VARCHAR) || '_'
+                                 || CAST(l_orderkey AS VARCHAR)), 1, 15)
+              AS BIGINT) % 65536 AS pos
+  FROM fkeys CROSS JOIN (VALUES (0), (1), (2)) t(i)),
+passk AS (
+  SELECT l_orderkey
+  FROM kpos JOIN pos USING (pos)
+  GROUP BY 1 HAVING COUNT(DISTINCT i) = 3),
+np AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pass_bloom
+  FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM passk)),
+tm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true_match
+  FROM lineitem WHERE l_orderkey IN (SELECT key FROM dimk))
+SELECT (SELECT n_pass_bloom FROM np) AS n_pass_bloom,
+       (SELECT n_true_match FROM tm) AS n_true_match,
+       (SELECT n_pass_bloom FROM np)
+         - (SELECT n_true_match FROM tm) AS n_false_positive,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pos) AS bits_set
+"""
+
+
+def q_distinct_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct-user sketch beside the exact count: the
+    mergeable one-bitmap cardinality pass (integer-only outputs, ln
+    estimate deliberately driver-side) with its ground truth in the
+    same row so the sketch's resolution is auditable."""
+    from ..operators.sketch import linear_count
+
+    ev = _t(spark, sf_dir, "events")
+    sk = linear_count(ev, "user_id", m_bits=4096)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    )
+    return sk.crossJoin(exact)
+
+
+ORACLE_DISTINCT_SKETCH_USERS = """
+WITH occ AS (
+  SELECT CAST(COUNT(DISTINCT
+           CAST('0x' || substr(md5('lc_0_' || CAST(user_id AS VARCHAR)),
+                               1, 15) AS BIGINT) % 4096) AS BIGINT)
+         AS occupied
+  FROM events WHERE user_id IS NOT NULL)
+SELECT CAST(4096 AS BIGINT) AS m_bits,
+       occupied,
+       CAST((occupied * 1000000) // 4096 AS BIGINT) AS fill_ppm,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+         AS n_exact
+FROM occ
+"""
+
+
 MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_lang_counts": q_pivot_lang_counts,
     "unpivot_region_metrics": q_unpivot_region_metrics,
@@ -1264,6 +1373,8 @@ MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_parts": q_pagerank_parts,
     "histogram_quantiles": q_histogram_quantiles,
     "hard_negative_mining": q_hard_negative_mining,
+    "bloom_prune_stats": q_bloom_prune_stats,
+    "distinct_sketch_users": q_distinct_sketch_users,
 }
 
 MIX_ORACLES: dict[str, str] = {
@@ -1286,4 +1397,6 @@ MIX_ORACLES: dict[str, str] = {
     "pagerank_parts": ORACLE_PAGERANK_PARTS,
     "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
+    "bloom_prune_stats": ORACLE_BLOOM_PRUNE_STATS,
+    "distinct_sketch_users": ORACLE_DISTINCT_SKETCH_USERS,
 }

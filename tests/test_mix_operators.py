@@ -997,3 +997,43 @@ def test_hard_negatives_masks_same_label(spark):
     assert got == [(2, 1), (3, 2)]
     # empty anchors short-circuit
     assert hard_negatives(emb, emb.where(F.lit(False)), k=2).count() == 0
+
+
+def test_bloom_prune_no_false_negatives_and_cap(spark):
+    from data_engineering_bootcamp_spark.operators.sketch import (
+        bloom_prune,
+    )
+
+    fact = spark.createDataFrame([(i, i * 10) for i in range(200)], ["k", "v"])
+    dim = spark.createDataFrame([(i,) for i in range(0, 200, 7)], ["dk"])
+    passed = {r.k for r in bloom_prune(fact, dim, "k", "dk").collect()}
+    true_keys = set(range(0, 200, 7))
+    # Bloom guarantee: every true match passes; residue only adds
+    assert true_keys <= passed
+    # a tiny bitmap saturates: everything passes (fp rate -> 1), never
+    # a false negative
+    tiny = {r.k for r in bloom_prune(fact, dim, "k", "dk", m_bits=8).collect()}
+    assert true_keys <= tiny
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_prune(fact, dim, "k", "dk", m_bits=1 << 25)
+
+
+def test_linear_count_tracks_cardinality(spark):
+    from data_engineering_bootcamp_spark.operators.sketch import (
+        linear_count,
+        linear_count_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 100,) for i in range(1000)] + [(None,)], ["u"]
+    )
+    row = linear_count(df, "u", m_bits=4096).collect()[0]
+    assert row.m_bits == 4096
+    # occupied bounded by true cardinality (nulls excluded), sketch
+    # nearly injective at 100/4096 fill
+    assert 90 <= row.occupied <= 100
+    assert row.fill_ppm == (row.occupied * 1_000_000) // 4096
+    est = linear_count_estimate(row.occupied, 4096)
+    assert abs(est - 100) / 100 < 0.10
+    with pytest.raises(ValueError, match="saturated"):
+        linear_count_estimate(4096, 4096)
