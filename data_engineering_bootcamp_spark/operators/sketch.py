@@ -5,15 +5,18 @@ the repo's md5 determinism contract (`dedup.md5_hash60`) so a SQL
 oracle can replay every bit:
 
 - `bloom_prune` — Bloom-filter semi-join REDUCTION: the dimension's
-  key set is compressed to an m-bit bitmap (k md5-derived positions
-  per key) and broadcast; the fact side is probed in place, BEFORE any
-  shuffle. At 100 TB this is the standard trick when the dim's raw
-  keys exceed the autoBroadcast threshold but their bitmap (m/8 bytes,
-  e.g. 8 KiB at m=2^16) never does: the fact never shuffles, only the
-  sub-percent false-positive residue reaches the real join. False
-  positives are BY DESIGN (the operator is a pre-reducer, not the
-  join); false negatives are impossible — both sides compute identical
-  positions.
+  key set is compressed to an m-bit bitmap (k positions per key,
+  derived from ONE md5 by enhanced double hashing — hashing is the
+  measured cost at 20M rows, so the hot path pays a single digest) and
+  shipped as a one-row broadcast BINARY column; the fact side is
+  probed IN CODEGEN — byte fetch via substring/hex/conv, bit test via
+  shiftleft — with zero Python stages and zero shuffles touching the
+  fact. At 100 TB this is the standard trick when the dim's raw keys
+  exceed the autoBroadcast threshold but their bitmap (m/8 bytes,
+  128 KiB at m=2^20) never does: only the sub-percent false-positive
+  residue reaches the real join. False positives are BY DESIGN (the
+  operator is a pre-reducer, not the join); false negatives are
+  impossible — both sides compute identical positions.
 
 - `linear_count` — linear-counting distinct sketch (Whang et al.): the
   sketch is the SET of occupied positions `md5(key) mod m`, mergeable
@@ -25,29 +28,39 @@ oracle can replay every bit:
   tf-idf and bigram-LM scores); `linear_count_estimate` computes it
   driver-side and a unit test pins its error envelope.
 
-Position determinism: position_i(key) =
-`CAST('0x' || substr(md5('<tag>_' || i || '_' || key), 1, 15) AS
-BIGINT) % m` — byte-identical in Spark (conv/substring/md5) and DuckDB.
+Position determinism (replayed verbatim by the SQL oracles):
+`h = CAST('0x' || substr(md5('<tag>_' || key), 1, 15) AS BIGINT)` (60
+bits), `h1 = h >> 30`, `h2 = h & (2^30 - 1)`,
+`pos_i = (h1 + i * (2*h2 + 1)) % m` — the odd step makes every probe
+sequence a full cycle over any power-of-two m.
 """
 
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import md5_hash60
 
-_MAX_M_BITS = 1 << 24  # 2 MiB bitmap — keeps the driver fetch trivially bounded
+_MAX_M_BITS = 1 << 24  # 2 MiB bitmap — keeps the broadcast trivially bounded
+_H_LOW = (1 << 30) - 1
 
 
-def _position(key: Column, tag: str, i: int, m_bits: int) -> Column:
-    return F.pmod(
-        md5_hash60(F.concat(F.lit(f"{tag}_{i}_"), key.cast("string"))),
-        F.lit(m_bits),
-    )
+def _hash60(key: Column, tag: str) -> Column:
+    return md5_hash60(F.concat(F.lit(tag + "_"), key.cast("string")))
+
+
+def _positions(h: Column, k: int, m_bits: int) -> list[Column]:
+    """k bitmap positions from one 60-bit hash (enhanced double
+    hashing: top 30 bits base, bottom 30 bits forced-odd step)."""
+    h1 = F.shiftright(h, 30)
+    step = h.bitwiseAND(F.lit(_H_LOW)) * F.lit(2) + F.lit(1)
+    return [
+        F.pmod(h1 + F.lit(i) * step, F.lit(m_bits)).alias(f"pos{i}")
+        for i in range(k)
+    ]
 
 
 def bloom_bits(
@@ -56,10 +69,11 @@ def bloom_bits(
     """Distinct set positions of the Bloom bitmap for `keys` — the
     distributed build half of `bloom_prune` (one shuffle, output
     bounded by m_bits rows)."""
-    pos = F.array(
-        *[_position(F.col(key_col), tag, i, m_bits) for i in range(k)]
+    h = _hash60(F.col(key_col), tag)
+    return (
+        keys.select(F.explode(F.array(*_positions(h, k, m_bits))).alias("pos"))
+        .distinct()
     )
-    return keys.select(F.explode(pos).alias("pos")).distinct()
 
 
 def bloom_prune(
@@ -67,18 +81,18 @@ def bloom_prune(
     dim: DataFrame,
     fact_key: str,
     dim_key: str,
-    m_bits: int = 1 << 16,
+    m_bits: int = 1 << 20,
     k: int = 3,
 ) -> DataFrame:
     """Fact rows that MIGHT match the dim key set (Bloom membership).
 
     Build: `bloom_bits` over the dim keys (one bounded shuffle),
-    fetched to the driver (≤ m_bits rows by construction, enforced),
-    packed into an m-bit numpy mask, broadcast. Probe: the k probe
-    positions are computed JVM-side (md5/conv inside codegen — no
-    per-row Python hashing), then ONE vectorized Arrow stage does the
-    pure numpy mask lookups. The fact side is never shuffled and never
-    hashed in Python row-at-a-time.
+    fetched to the driver (≤ m_bits rows by construction, enforced by
+    the m_bits cap), packed into an m-bit bitmap. Probe: the bitmap
+    rides a ONE-ROW broadcast as a BINARY column and every probe is
+    pure codegen — one md5 per fact row, byte fetch with
+    substring/hex/conv, bit test with shiftleft — no Python stage, no
+    Arrow transfer, no shuffle of the fact side.
 
     Returns the fact columns unchanged, filtered to Bloom-passing rows
     (true matches plus the false-positive residue — feed this into the
@@ -86,36 +100,47 @@ def bloom_prune(
     if m_bits > _MAX_M_BITS:
         raise ValueError(
             f"bloom_prune: m_bits={m_bits} exceeds {_MAX_M_BITS} — the "
-            "bitmap is a broadcast driver artifact by contract; shard "
-            "the dim or use a plain shuffled semi join"
+            "bitmap is a broadcast artifact by contract; shard the dim "
+            "or use a plain shuffled semi join"
         )
-    import numpy as np
-
+    if m_bits % 64 or m_bits < 64:
+        raise ValueError(
+            f"bloom_prune: m_bits={m_bits} must be a positive multiple of 64 "
+            "(the bitmap is packed into 64-bit words)"
+        )
     bits = bloom_bits(dim, dim_key, m_bits, k).collect()  # ≤ m_bits rows
-    mask = np.zeros(m_bits, dtype=bool)
-    mask[np.fromiter((r.pos for r in bits), dtype=np.int64, count=len(bits))] = True
-    bc = fact.sparkSession.sparkContext.broadcast(mask)
+    words = [0] * (m_bits // 64)
+    for r in bits:
+        words[r.pos >> 6] |= 1 << (r.pos & 63)
+    # two's-complement the top bit so every word fits a SIGNED long
+    # literal; the probe uses arithmetic shiftright + `& 1`, which
+    # reads the stored bit pattern correctly either way
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    # the bitmap rides the plan as a CONSTANT array<bigint> literal
+    # (constant-folded once — a one-row broadcast join would copy the
+    # bitmap into every joined output row, and byte extraction through
+    # hex/conv costs a string round-trip per probe; both measured
+    # catastrophic at 20M rows). element_at on the folded constant plus
+    # shift/mask is pure numeric codegen. Built via ONE parsed SQL
+    # expression: F.lit(list) issues a py4j call per element (~10 s of
+    # driver time at 16K words); the parser takes the same array in one
+    # round-trip.
+    bm = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
 
     out_cols = list(fact.columns)
-    pcols = [f"__bp{i}" for i in range(k)]
-    probed = fact.withColumns(
-        {
-            p: _position(F.col(fact_key), "bloom", i, m_bits)
-            for i, p in enumerate(pcols)
-        }
-    )
-
-    def run(batches: Iterator) -> Iterator:
-        import numpy as _np
-
-        bmask = bc.value
-        for pdf in batches:
-            keep = _np.ones(len(pdf), dtype=bool)
-            for p in pcols:
-                keep &= bmask[pdf[p].to_numpy()]
-            yield pdf.loc[keep, out_cols]
-
-    return probed.mapInPandas(run, schema=fact.schema)
+    probed = fact.withColumn("__bh", _hash60(F.col(fact_key), "bloom"))
+    cond = F.lit(True)
+    for i, pos in enumerate(_positions(F.col("__bh"), k, m_bits)):
+        probed = probed.withColumn(f"__bp{i}", pos).withColumn(
+            f"__bw{i}",
+            F.element_at(
+                bm, F.shiftright(F.col(f"__bp{i}"), 6).cast("int") + F.lit(1)
+            ),
+        )
+        cond = cond & F.expr(
+            f"(shiftright(__bw{i}, cast(pmod(__bp{i}, 64) as int)) & 1) = 1"
+        )
+    return probed.where(cond).select(*out_cols)
 
 
 def linear_count(
@@ -131,7 +156,9 @@ def linear_count(
         raise ValueError(f"linear_count: m_bits={m_bits} exceeds {_MAX_M_BITS}")
     occupied = (
         df.where(F.col(key_col).isNotNull())
-        .select(_position(F.col(key_col), "lc", 0, m_bits).alias("pos"))
+        .select(
+            F.pmod(_hash60(F.col(key_col), "lc"), F.lit(m_bits)).alias("pos")
+        )
         .distinct()
         .agg(F.count(F.lit(1)).alias("occupied"))
     )

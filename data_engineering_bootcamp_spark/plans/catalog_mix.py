@@ -1287,22 +1287,31 @@ def q_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BLOOM_PRUNE_STATS = """
 WITH dimk AS (
   SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_totalprice > 400000),
+dh AS (
+  -- one 60-bit md5 per key; k positions by enhanced double hashing
+  -- (top 30 bits base, bottom 30 bits forced-odd step) — replays
+  -- sketch._positions verbatim
+  SELECT key,
+         CAST('0x' || substr(md5('bloom_' || CAST(key AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM dimk),
 pos AS (
   SELECT DISTINCT
-         CAST('0x' || substr(md5('bloom_' || CAST(i AS VARCHAR) || '_'
-                                 || CAST(key AS VARCHAR)), 1, 15) AS BIGINT)
-         % 65536 AS pos
-  FROM dimk CROSS JOIN (VALUES (0), (1), (2)) t(i)),
+         ((h // 1073741824) + i * (2 * (h % 1073741824) + 1)) % 65536 AS pos
+  FROM dh CROSS JOIN (VALUES (0), (1), (2)) t(i)),
 fkeys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+fh AS (
+  SELECT l_orderkey,
+         CAST('0x' || substr(md5('bloom_' || CAST(l_orderkey AS VARCHAR)),
+                             1, 15) AS BIGINT) AS h
+  FROM fkeys),
 kpos AS (
   -- membership is a property of the KEY; COUNT(DISTINCT i) (not *)
   -- so two of a key's probe positions colliding on one set bit still
   -- count as two set probes, matching the independent mask lookups
   SELECT l_orderkey, i,
-         CAST('0x' || substr(md5('bloom_' || CAST(i AS VARCHAR) || '_'
-                                 || CAST(l_orderkey AS VARCHAR)), 1, 15)
-              AS BIGINT) % 65536 AS pos
-  FROM fkeys CROSS JOIN (VALUES (0), (1), (2)) t(i)),
+         ((h // 1073741824) + i * (2 * (h % 1073741824) + 1)) % 65536 AS pos
+  FROM fh CROSS JOIN (VALUES (0), (1), (2)) t(i)),
 passk AS (
   SELECT l_orderkey
   FROM kpos JOIN pos USING (pos)
@@ -1340,7 +1349,7 @@ def q_distinct_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DISTINCT_SKETCH_USERS = """
 WITH occ AS (
   SELECT CAST(COUNT(DISTINCT
-           CAST('0x' || substr(md5('lc_0_' || CAST(user_id AS VARCHAR)),
+           CAST('0x' || substr(md5('lc_' || CAST(user_id AS VARCHAR)),
                                1, 15) AS BIGINT) % 4096) AS BIGINT)
          AS occupied
   FROM events WHERE user_id IS NOT NULL)

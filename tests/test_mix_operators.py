@@ -1010,9 +1010,9 @@ def test_bloom_prune_no_false_negatives_and_cap(spark):
     true_keys = set(range(0, 200, 7))
     # Bloom guarantee: every true match passes; residue only adds
     assert true_keys <= passed
-    # a tiny bitmap saturates: everything passes (fp rate -> 1), never
-    # a false negative
-    tiny = {r.k for r in bloom_prune(fact, dim, "k", "dk", m_bits=8).collect()}
+    # a tiny (64-bit) bitmap saturates: fp rate -> 1, but never
+    # a false negative; sub-word sizes are rejected
+    tiny = {r.k for r in bloom_prune(fact, dim, "k", "dk", m_bits=64).collect()}
     assert true_keys <= tiny
     with pytest.raises(ValueError, match="m_bits"):
         bloom_prune(fact, dim, "k", "dk", m_bits=1 << 25)
@@ -1037,3 +1037,12 @@ def test_linear_count_tracks_cardinality(spark):
     assert abs(est - 100) / 100 < 0.10
     with pytest.raises(ValueError, match="saturated"):
         linear_count_estimate(4096, 4096)
+
+
+def test_bloom_prune_rejects_sub_word_bitmap(spark):
+    from data_engineering_bootcamp_spark.operators.sketch import bloom_prune
+
+    fact = spark.createDataFrame([(1,)], ["k"])
+    dim = spark.createDataFrame([(1,)], ["dk"])
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_prune(fact, dim, "k", "dk", m_bits=8)

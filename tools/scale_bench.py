@@ -597,20 +597,133 @@ def bench_streaming(spark) -> dict:
     return out
 
 
+def bench_bloom(spark) -> dict:
+    """Bloom pre-join reduction vs the plain shuffled semi join it
+    replaces, on the 20M-row skew fact vs a selective dim subset —
+    broadcast DISABLED for both joins (the scenario where the Bloom
+    bitmap matters is exactly the one where the raw dim exceeds the
+    broadcast threshold). The Bloom variant pays the bitmap build +
+    one Arrow probe pass, then semi-joins only the passing residue."""
+    from data_engineering_bootcamp_spark.operators.sketch import bloom_prune
+
+    fact, dim = build_skew(spark)
+    # the synthetic fact inherits ONE input partition (a single parquet
+    # file exploded 200x, all narrow ops) — the shuffled joins fan out
+    # at their exchange anyway, but the Bloom probe is deliberately
+    # shuffle-FREE and would otherwise run one-core. A real 100 TB fact
+    # arrives pre-partitioned; model that here. (First measured the
+    # hard way: 83 s single-task probe vs 6 s at 32 partitions.)
+    fact = fact.repartition(64).persist()
+    n_fact = fact.count()
+    # every 20th dim key "interesting": 10k of 200k
+    dimsub = dim.where(F.col("user_key") % 20 == 0).select("user_key").persist()
+    n_dim = dimsub.count()
+    out: dict = {"fact_rows": n_fact, "dim_keys": n_dim, "m_bits": 1 << 20}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.perf_counter()
+        plain = fact.join(dimsub, "user_key", "left_semi").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amt")
+        )
+        plain_rows = plain.collect()[0]
+        out["plain_semi_join_sec"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        passed = bloom_prune(
+            fact, dimsub, "user_key", "user_key", m_bits=1 << 20, k=3
+        ).persist()
+        t1 = time.perf_counter()
+        out["bloom_bitmap_build_sec"] = round(t1 - t0, 3)
+        n_pass = passed.count()
+        t2 = time.perf_counter()
+        out["bloom_probe_sec"] = round(t2 - t1, 3)
+        bloom = passed.join(dimsub, "user_key", "left_semi").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amt")
+        )
+        bloom_rows = bloom.collect()[0]
+        out["bloom_residue_join_sec"] = round(time.perf_counter() - t2, 3)
+        out["bloom_prune_then_semi_sec"] = round(time.perf_counter() - t0, 3)
+        out["rows_passing_bloom"] = n_pass
+        out["true_match_rows"] = plain_rows["n"]
+        out["shuffle_reduction"] = round(n_pass / max(n_fact, 1), 4)
+        out["results_match"] = (
+            plain_rows["n"] == bloom_rows["n"]
+            and abs((plain_rows["amt"] or 0) - (bloom_rows["amt"] or 0)) < 1e-6
+        )
+        passed.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        fact.unpersist()
+        dimsub.unpersist()
+    return out
+
+
+def bench_pagerank(spark) -> dict:
+    """Fixed-point PageRank over the sf0.1 part co-occurrence graph:
+    wall time for 5 and 10 iterations — near-linear per-iteration cost
+    (constant plan depth via per-round localCheckpoint) is the scale
+    property under test."""
+    from data_engineering_bootcamp_spark.operators.graph import (
+        build_edges_pairs_grouped,
+        pagerank,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    edges = build_edges_pairs_grouped(li, "l_orderkey", "l_partkey").persist()
+    n_edges = edges.count()
+    out: dict = {"edges": n_edges}
+    for iters in (5, 10):
+        t0 = time.perf_counter()
+        ranks = pagerank(edges, iterations=iters)
+        n_v = ranks.count()
+        out[f"iter{iters}_sec"] = round(time.perf_counter() - t0, 3)
+        out["vertices"] = n_v
+    edges.unpersist()
+    out["sec_per_extra_iteration"] = round(
+        (out["iter10_sec"] - out["iter5_sec"]) / 5, 3
+    )
+    return out
+
+
+SECTIONS = {
+    "skew_join": bench_skew,
+    "ngram_neardup": bench_ngram,
+    "connected_components": bench_cc,
+    "dup_span": bench_dup_span,
+    "ann_q8": bench_ann_q8,
+    "semantic_dedup": bench_semantic_dedup,
+    "streaming": bench_streaming,
+    "bloom_semijoin": bench_bloom,
+    "pagerank": bench_pagerank,
+}
+
+
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_scale_r06.json"
+    """Usage: scale_bench.py [out_json] [section ...]
+
+    With section names, runs ONLY those sections and MERGES them into
+    an existing out_json (so late-round additions don't force a full
+    re-run of every face-off); with none, runs everything fresh."""
+    args = sys.argv[1:]
+    out_path = args[0] if args else "BENCH_scale_r06.json"
+    only = args[1:]
+    unknown = [s for s in only if s not in SECTIONS]
+    if unknown:
+        raise SystemExit(f"unknown sections {unknown}; have {list(SECTIONS)}")
     spark = get_spark(app_name="scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    result = {
-        "sf_dir": SF_DIR,
-        "skew_join": bench_skew(spark),
-        "ngram_neardup": bench_ngram(spark),
-        "connected_components": bench_cc(spark),
-        "dup_span": bench_dup_span(spark),
-        "ann_q8": bench_ann_q8(spark),
-        "semantic_dedup": bench_semantic_dedup(spark),
-        "streaming": bench_streaming(spark),
-    }
+    result: dict = {"sf_dir": SF_DIR}
+    if only:
+        try:
+            with open(out_path) as fh:
+                result = json.load(fh)
+        except FileNotFoundError:
+            pass
+    for name, fn in SECTIONS.items():
+        if only and name not in only:
+            continue
+        result[name] = fn(spark)
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result, indent=1))
