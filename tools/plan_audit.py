@@ -40,6 +40,11 @@ SKIP = {
     "insert_select_rollup",
     "metadata_scan",
     "compaction_rollup",
+    # iterative: eager per-round localCheckpoints execute at plan-build,
+    # so the final plan is just the checkpointed-ranks scan; the
+    # per-iteration shape (1 join + 1 groupBy) is audited by the
+    # pagerank section of BENCH_scale_r06.json instead
+    "pagerank_parts",
 }
 
 
