@@ -115,6 +115,8 @@ HEADLINE = [
     "hard_negative_mining",
     "bloom_prune_stats",
     "distinct_sketch_users",
+    "zorder_locality_stats",
+    "countmin_token_freq",
 ]
 
 

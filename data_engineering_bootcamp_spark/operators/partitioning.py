@@ -12,7 +12,8 @@ full-corpus shuffle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -22,3 +23,26 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of the low `bits` bits of two
+    non-negative integer dims — the multi-dimensional clustering key
+    behind lakehouse OPTIMIZE ZORDER BY: sorting/range-partitioning by
+    this key gives every file a narrow min/max envelope in BOTH dims,
+    so per-file statistics prune scans on either predicate (a
+    single-column sort clusters one dim and scatters the other).
+
+    Pure bit arithmetic (shift/mask/add over disjoint bit positions) —
+    one Catalyst expression, codegen-friendly, and replayed verbatim by
+    the SQL oracle; callers truncate/normalize dims into [0, 2^bits)
+    first (`x.bitwiseAND(lit(2**bits - 1))`)."""
+    if not (1 <= int(bits) <= 31):
+        raise ValueError(f"zorder_key: bits must be in [1, 31], got {bits}")
+    z: Column | None = None
+    for i in range(int(bits)):
+        xb = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        term = xb + yb
+        z = term if z is None else z + term
+    return z.cast("long")

@@ -171,6 +171,72 @@ def linear_count(
     )
 
 
+def countmin_table(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan) as a DataFrame:
+    (row, pos, cnt) counters, `depth` independent md5 hash rows of
+    `width` counters each. ONE shuffle builds it (each input row
+    explodes into its `depth` (row, pos) cells, then a
+    map-side-combinable groupBy); the result is bounded by
+    depth x width rows regardless of input size, and two sketches
+    MERGE by adding cell-wise — the property that lets a 100 TB
+    frequency pass run as per-partition/per-day partials. Estimates
+    only ever OVER-count (hash collisions add, never subtract), the
+    guarantee `countmin_estimates` relies on."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"countmin_table: bad depth={depth}/width={width}")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(_hash60(F.col(key_col), f"cm{i}"), F.lit(width)).alias(
+                    "pos"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimates(
+    counters: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for `probes[key_col]` from a
+    `countmin_table` result: min over the `depth` counters each probe
+    hashes to (missing cell = 0). Join shape: the probe side explodes
+    into its (row, pos) cells and equi-joins the BOUNDED counter table
+    — broadcast-sized by construction. Output (key_col, cm_estimate);
+    cm_estimate >= true count always."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(_hash60(F.col(key_col), f"cm{i}"), F.lit(width)).alias(
+                    "pos"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+    probe_cells = probes.select(
+        F.col(key_col), F.explode(cells).alias("c")
+    ).select(key_col, F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+    joined = probe_cells.join(F.broadcast(counters), ["row", "pos"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate")
+    )
+
+
 def linear_count_estimate(occupied: int, m_bits: int) -> float:
     """-m * ln(1 - occupied/m), the linear-counting estimator. Driver-
     side on purpose: libm log is not cross-engine bit-stable, so the

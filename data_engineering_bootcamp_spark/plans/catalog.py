@@ -1380,16 +1380,17 @@ _GATE_FIRST = [
     "hard_negative_mining",    # NEW r6: label-masked contrastive ANN
     "bloom_prune_stats",       # NEW r6: Bloom pre-join reducer (exact bits)
     "distinct_sketch_users",   # NEW r6: linear-counting cardinality sketch
+    "zorder_locality_stats",   # NEW r6: Morton-key multi-dim clustering
+    "countmin_token_freq",     # NEW r6: count-min sketch vs ground truth
     # write-path round-trips (S8-S10 still gated via metadata_scan/
     # insert_select_rollup history; S4-S7 rotated out with 2 rows each)
     "snapshot_cdc_diff",       # NEW r6: change-data-feed derivation
     "compaction_rollup",       # NEW r6: small-files OPTIMIZE round-trip
     # streaming through the real engine (T1-T8, S12-S14);
-    # streaming_tumbling_hits and streaming_kafka_mirror rotated out
-    # (r4+r5 rows each) for the two sketch entries above
+    # streaming_tumbling_hits, streaming_kafka_mirror,
+    # streaming_session_windows and streaming_foreachbatch_sink rotated
+    # out (r4+r5 rows each) for the four sketch/layout entries above
     "streaming_sliding_hits",      # NEW r6: hopping-window twin
-    "streaming_session_windows",   # T5
-    "streaming_foreachbatch_sink",  # T7 T8 S13
     "streaming_stateful_sessions",  # custom stateful op
     "streaming_dedup",         # dropDuplicatesWithinWatermark; first row r4
     "streaming_neardup_admission",  # stream-static LSH admission — first r5
@@ -1407,6 +1408,8 @@ _GATE_REST = [
     "partitioned_prune_rollup",  # S6 S7; r4+r5 rows
     "streaming_tumbling_hits",  # T1 T3 T4; r4+r5 rows
     "streaming_kafka_mirror",  # S12 S14; r4+r5 rows
+    "streaming_session_windows",  # T5; r4+r5 rows
+    "streaming_foreachbatch_sink",  # T7 T8 S13; r4+r5 rows
     "pricing_summary",         # r1+r3+r4 rows; P3 A3 A17
     "customer_order_spine",    # r3+r4 rows; J10 J11 J15
     "top_customers",           # r1+r3+r4 rows; J3 J13 A15 O1-O3

@@ -1362,6 +1362,125 @@ FROM occ
 """
 
 
+def q_zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day): per
+    256-way z-bucket, the min/max ENVELOPE of both dims. The lakehouse
+    OPTIMIZE-ZORDER lesson as a queryable fact: every bucket's span is
+    a small window of BOTH dimensions at once (a single-column sort
+    would give tight customer spans but day spans covering the whole
+    calendar), which is exactly what lets per-file min/max statistics
+    prune scans on either predicate."""
+    from ..operators.partitioning import zorder_key
+
+    od = _t(spark, sf_dir, "orders")
+    x = F.col("o_custkey").bitwiseAND(F.lit(65535))
+    y = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1992-01-01"))
+    ).cast("long").bitwiseAND(F.lit(65535))
+    pts = od.select(x.alias("x"), y.alias("y")).withColumn(
+        "z", zorder_key(F.col("x"), F.col("y"), bits=16)
+    )
+    return (
+        pts.groupBy(F.shiftright(F.col("z"), 24).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("x") - F.min("x")).alias("x_span"),
+            (F.max("y") - F.min("y")).alias("y_span"),
+        )
+    )
+
+
+def _zorder_sql(xe: str, ye: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({xe}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({ye}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+ORACLE_ZORDER_LOCALITY_STATS = """
+WITH pts AS (
+  SELECT (o_custkey & 65535) AS x,
+         (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+          & 65535) AS y
+  FROM orders),
+z AS (SELECT x, y, """ + _zorder_sql("x", "y") + """ AS z FROM pts)
+SELECT CAST(z >> 24 AS BIGINT) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(x) - MIN(x) AS BIGINT) AS x_span,
+       CAST(MAX(y) - MIN(y) AS BIGINT) AS y_span
+FROM z GROUP BY 1
+"""
+
+
+def q_countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch vs ground truth on the corpus token stream: the
+    15 most frequent tokens with their exact counts AND the estimate
+    read back from a 4x1024 mergeable counter table — over-count-only
+    by construction (collisions add), so the estimate column is an
+    upper bound the oracle replays cell-for-cell."""
+    from ..operators.sketch import countmin_estimates, countmin_table
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                    " ",
+                ),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token")
+    )
+    counters = countmin_table(toks, "token", depth=4, width=1024)
+    exact_top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("token"))
+        .limit(15)
+    )
+    est = countmin_estimates(
+        counters, exact_top.select("token"), "token", depth=4, width=1024
+    )
+    return exact_top.join(est, "token").select(
+        "token", "n_exact", "cm_estimate"
+    )
+
+
+ORACLE_COUNTMIN_TOKEN_FREQ = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                        ' '),
+           t -> t <> '')) AS token
+  FROM documents),
+counters AS (
+  SELECT i AS row,
+         CAST('0x' || substr(md5('cm' || CAST(i AS VARCHAR) || '_' || token),
+                             1, 15) AS BIGINT) % 1024 AS pos,
+         COUNT(*) AS cnt
+  FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+  GROUP BY 1, 2),
+top AS (
+  SELECT token, COUNT(*) AS n_exact
+  FROM toks GROUP BY 1
+  ORDER BY n_exact DESC, token LIMIT 15),
+probe AS (
+  SELECT top.token, top.n_exact, i,
+         CAST('0x' || substr(md5('cm' || CAST(i AS VARCHAR) || '_'
+                                 || top.token), 1, 15) AS BIGINT) % 1024
+           AS pos
+  FROM top CROSS JOIN (VALUES (0), (1), (2), (3)) t(i))
+SELECT p.token,
+       CAST(p.n_exact AS BIGINT) AS n_exact,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cm_estimate
+FROM probe p
+LEFT JOIN counters c ON p.i = c.row AND p.pos = c.pos
+GROUP BY p.token, p.n_exact
+"""
+
+
 MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_lang_counts": q_pivot_lang_counts,
     "unpivot_region_metrics": q_unpivot_region_metrics,
@@ -1384,6 +1503,8 @@ MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negative_mining": q_hard_negative_mining,
     "bloom_prune_stats": q_bloom_prune_stats,
     "distinct_sketch_users": q_distinct_sketch_users,
+    "zorder_locality_stats": q_zorder_locality_stats,
+    "countmin_token_freq": q_countmin_token_freq,
 }
 
 MIX_ORACLES: dict[str, str] = {
@@ -1408,4 +1529,6 @@ MIX_ORACLES: dict[str, str] = {
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
     "bloom_prune_stats": ORACLE_BLOOM_PRUNE_STATS,
     "distinct_sketch_users": ORACLE_DISTINCT_SKETCH_USERS,
+    "zorder_locality_stats": ORACLE_ZORDER_LOCALITY_STATS,
+    "countmin_token_freq": ORACLE_COUNTMIN_TOKEN_FREQ,
 }

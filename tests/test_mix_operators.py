@@ -1046,3 +1046,60 @@ def test_bloom_prune_rejects_sub_word_bitmap(spark):
     dim = spark.createDataFrame([(1,)], ["dk"])
     with pytest.raises(ValueError, match="multiple of 64"):
         bloom_prune(fact, dim, "k", "dk", m_bits=8)
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from data_engineering_bootcamp_spark.operators.partitioning import (
+        zorder_key,
+    )
+
+    # x=0b101 (5), y=0b011 (3) -> z bits x0,y0,x1,y1,x2,y2 = 1,1,0,1,1,0
+    # = 0b011011 = 27
+    df = spark.createDataFrame([(5, 3)], ["x", "y"])
+    got = df.select(
+        zorder_key(F.col("x"), F.col("y"), bits=3).alias("z")
+    ).collect()[0].z
+    assert got == 27
+    # python replay over a grid: interleave must be a bijection on
+    # [0,8)x[0,8) and monotone in the sense that equal prefixes of
+    # (x,y) share z prefixes
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], ["x", "y"]
+    )
+    zs = [
+        r.z
+        for r in grid.select(
+            zorder_key(F.col("x"), F.col("y"), bits=3).alias("z")
+        ).collect()
+    ]
+    assert sorted(zs) == list(range(64))
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key(F.col("x"), F.col("y"), bits=0)
+
+
+def test_countmin_overcounts_never_undercounts(spark):
+    from data_engineering_bootcamp_spark.operators.sketch import (
+        countmin_estimates,
+        countmin_table,
+    )
+
+    # zipf-ish stream: token t_i appears i times
+    rows = [(f"t{i}",) for i in range(1, 40) for _ in range(i)]
+    df = spark.createDataFrame(rows, ["tok"])
+    counters = countmin_table(df, "tok", depth=4, width=64)
+    probes = spark.createDataFrame(
+        [(f"t{i}",) for i in range(1, 40)] + [("absent",)], ["tok"]
+    )
+    est = {
+        r.tok: r.cm_estimate
+        for r in countmin_estimates(
+            counters, probes, "tok", depth=4, width=64
+        ).collect()
+    }
+    for i in range(1, 40):
+        assert est[f"t{i}"] >= i  # never undercounts
+    # a 4x64 table over 39 keys: collisions exist but min-of-4 keeps
+    # estimates near truth; the absent key is bounded by collisions
+    assert est["absent"] <= sum(range(1, 40))
+    with pytest.raises(ValueError, match="depth"):
+        countmin_table(df, "tok", depth=0, width=64)
