@@ -117,6 +117,8 @@ HEADLINE = [
     "distinct_sketch_users",
     "zorder_locality_stats",
     "countmin_token_freq",
+    "incremental_agg_merge",
+    "last_touch_attribution",
 ]
 
 

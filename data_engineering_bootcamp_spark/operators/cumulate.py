@@ -84,3 +84,40 @@ def cumulate_datelist(
 
     out = cumulate(y, today, "user_id", {"dates_active": dates_active})
     return out.withColumn("date", F.lit(ds).cast("date"))
+
+
+def merge_agg_states(
+    states: list[DataFrame],
+    keys: list[str],
+    merges: dict[str, str],
+) -> DataFrame:
+    """Merge partial aggregate STATES — the materialized-view
+    maintenance kernel: yesterday's per-key (count, sum, min, max)
+    table plus today's delta aggregate re-aggregates to exactly the
+    full recompute, because these aggregates are commutative monoids
+    (count/sum merge by SUM, min by MIN, max by MAX). At 100 TB this
+    is the difference between scanning one day and re-scanning the
+    corpus; derived ratios (avg = sum DIV count) are computed AFTER the
+    merge, never merged themselves — the classic no-averaging-averages
+    rule, enforced here by construction since only monoid columns are
+    accepted.
+
+    `merges` maps column -> 'sum' | 'min' | 'max'. One union + one
+    keyed groupBy; the states' own shuffles already happened when they
+    were built.
+    """
+    allowed = {"sum", "min", "max"}
+    bad = {how for how in merges.values() if how not in allowed}
+    if bad:
+        raise ValueError(
+            f"merge_agg_states: non-monoid merge fn(s) {sorted(bad)} — "
+            "only sum/min/max states re-aggregate exactly; derive "
+            "ratios after the merge"
+        )
+    if not states:
+        raise ValueError("merge_agg_states: need at least one state")
+    from functools import reduce
+
+    unioned = reduce(lambda a, b: a.unionByName(b), states)
+    aggs = [getattr(F, how)(F.col(c)).alias(c) for c, how in merges.items()]
+    return unioned.groupBy(*keys).agg(*aggs)

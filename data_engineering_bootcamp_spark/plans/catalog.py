@@ -1357,7 +1357,6 @@ _GATE_FIRST = [
     "vocab_top_tokens",        # corpus vocabulary df table — first row r5
     "neardup_clusters",        # CC + keep-one retention — first row r5
     "neardup_clusters_star",   # large/small-star CC — first row r5
-    "corpus_curation_pipeline",  # flagship; first driver row r4
     # round-6 promotions: the 13 round-5 additions without a driver row
     "pivot_lang_counts",       # groupBy().pivot() with pinned values
     "unpivot_region_metrics",  # DataFrame.unpivot wide->long
@@ -1382,6 +1381,8 @@ _GATE_FIRST = [
     "distinct_sketch_users",   # NEW r6: linear-counting cardinality sketch
     "zorder_locality_stats",   # NEW r6: Morton-key multi-dim clustering
     "countmin_token_freq",     # NEW r6: count-min sketch vs ground truth
+    "incremental_agg_merge",   # NEW r6: partial-agg state maintenance
+    "last_touch_attribution",  # NEW r6: last_value-ignore-nulls window
     # write-path round-trips (S8-S10 still gated via metadata_scan/
     # insert_select_rollup history; S4-S7 rotated out with 2 rows each)
     "snapshot_cdc_diff",       # NEW r6: change-data-feed derivation
@@ -1391,7 +1392,6 @@ _GATE_FIRST = [
     # streaming_session_windows and streaming_foreachbatch_sink rotated
     # out (r4+r5 rows each) for the four sketch/layout entries above
     "streaming_sliding_hits",      # NEW r6: hopping-window twin
-    "streaming_stateful_sessions",  # custom stateful op
     "streaming_dedup",         # dropDuplicatesWithinWatermark; first row r4
     "streaming_neardup_admission",  # stream-static LSH admission — first r5
     "streaming_interval_join",  # stream-stream interval join (r6 promotion)
@@ -1410,6 +1410,8 @@ _GATE_REST = [
     "streaming_kafka_mirror",  # S12 S14; r4+r5 rows
     "streaming_session_windows",  # T5; r4+r5 rows
     "streaming_foreachbatch_sink",  # T7 T8 S13; r4+r5 rows
+    "streaming_stateful_sessions",  # custom stateful op; r4+r5 rows
+    "corpus_curation_pipeline",  # flagship; r4+r5 rows
     "pricing_summary",         # r1+r3+r4 rows; P3 A3 A17
     "customer_order_spine",    # r3+r4 rows; J10 J11 J15
     "top_customers",           # r1+r3+r4 rows; J3 J13 A15 O1-O3

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
@@ -1481,6 +1481,122 @@ GROUP BY p.token, p.n_exact
 """
 
 
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the per-month revenue rollup kept
+    as a partial-aggregate STATE (n, sum-cents, min/max key) and merged
+    with a new-data delta — the entry computes state(before 1997) and
+    delta(1997+) as separate aggregates and re-aggregates them, while
+    the oracle computes the rollup DIRECTLY from all rows, so a
+    hash-match proves the merge law (partials re-aggregate to exactly
+    the full recompute). Cents are integers (half-up), so no
+    association-order float hazard; avg derives AFTER the merge via
+    integer DIV."""
+    from ..operators.cumulate import merge_agg_states
+
+    od = _t(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderkey"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    cut = F.lit("1997-01-01").cast("date")
+
+    def state_of(part: DataFrame) -> DataFrame:
+        return part.groupBy("month").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+
+    merged = merge_agg_states(
+        [state_of(od.where(F.col("d") < cut)),
+         state_of(od.where(F.col("d") >= cut))],
+        keys=["month"],
+        merges={
+            "n_orders": "sum",
+            "sum_cents": "sum",
+            "min_key": "min",
+            "max_key": "max",
+        },
+    )
+    return merged.select(
+        "month",
+        "n_orders",
+        "sum_cents",
+        F.expr("sum_cents DIV n_orders").alias("avg_cents"),
+        "min_key",
+        "max_key",
+    )
+
+
+ORACLE_INCREMENTAL_AGG_MERGE = """
+WITH rows_ AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(CAST(SUM(cents) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_cents,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM rows_ GROUP BY month
+"""
+
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase event is
+    credited to the event_type of the user's most recent PRIOR
+    non-purchase touch (last_value IGNORE NULLS over the user's
+    event-time order — the one window idiom the W-family didn't yet
+    exercise); purchases with no prior touch credit 'none'. Output:
+    credited touch type -> purchases, purchasing users."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.withColumn(
+        "last_touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        touched.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("last_touch"), F.lit("none")).alias("touch")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLE_LAST_TOUCH_ATTRIBUTION = """
+WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+touched AS (
+  SELECT event_type, user_id,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM ev)
+SELECT COALESCE(last_touch, 'none') AS touch,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_lang_counts": q_pivot_lang_counts,
     "unpivot_region_metrics": q_unpivot_region_metrics,
@@ -1505,6 +1621,8 @@ MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_sketch_users": q_distinct_sketch_users,
     "zorder_locality_stats": q_zorder_locality_stats,
     "countmin_token_freq": q_countmin_token_freq,
+    "incremental_agg_merge": q_incremental_agg_merge,
+    "last_touch_attribution": q_last_touch_attribution,
 }
 
 MIX_ORACLES: dict[str, str] = {
@@ -1531,4 +1649,6 @@ MIX_ORACLES: dict[str, str] = {
     "distinct_sketch_users": ORACLE_DISTINCT_SKETCH_USERS,
     "zorder_locality_stats": ORACLE_ZORDER_LOCALITY_STATS,
     "countmin_token_freq": ORACLE_COUNTMIN_TOKEN_FREQ,
+    "incremental_agg_merge": ORACLE_INCREMENTAL_AGG_MERGE,
+    "last_touch_attribution": ORACLE_LAST_TOUCH_ATTRIBUTION,
 }

@@ -1103,3 +1103,35 @@ def test_countmin_overcounts_never_undercounts(spark):
     assert est["absent"] <= sum(range(1, 40))
     with pytest.raises(ValueError, match="depth"):
         countmin_table(df, "tok", depth=0, width=64)
+
+
+def test_merge_agg_states_equals_full_recompute(spark):
+    from data_engineering_bootcamp_spark.operators.cumulate import (
+        merge_agg_states,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", i * 3) for i in range(7)],
+        ["k", "v"],
+    )
+
+    def st(part):
+        return part.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+
+    # split three ways on an arbitrary predicate; merged == direct
+    parts = [st(df.where(F.col("v") % 3 == r)) for r in range(3)]
+    merged = merge_agg_states(
+        parts, ["k"], {"n": "sum", "s": "sum", "lo": "min", "hi": "max"}
+    )
+    direct = st(df)
+    as_set = lambda d: {tuple(r) for r in d.collect()}  # noqa: E731
+    assert as_set(merged) == as_set(direct)
+    with pytest.raises(ValueError, match="non-monoid"):
+        merge_agg_states(parts, ["k"], {"n": "avg"})
+    with pytest.raises(ValueError, match="at least one"):
+        merge_agg_states([], ["k"], {"n": "sum"})
