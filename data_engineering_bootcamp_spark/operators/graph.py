@@ -112,9 +112,18 @@ def pagerank(
     """
     if not (0 < damping_pct < 100):
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
-    e = edges.select(
-        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
-    ).distinct()
+    # canonicalize BEFORE distinct: a caller passing both (a,b) and
+    # (b,a) for the same undirected edge must not double every degree
+    # (and thereby shift the integer contributions); self-loops are
+    # dropped — they only feed a vertex's rank back to itself
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("s"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("d"),
+        )
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
     sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     # adjacency annotated with the source's degree ONCE, outside the

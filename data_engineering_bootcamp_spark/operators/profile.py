@@ -87,8 +87,12 @@ def histogram_quantiles(
         if not (0 < int(q) <= 100):
             raise ValueError(f"q_pcts must be integer percents in (0, 100], got {q}")
     w = float(bin_width)
+    # NULLs are excluded like any SQL percentile would — and must be:
+    # a NULL bin would sort FIRST in Spark's window order but LAST in
+    # most SQL engines, silently shifting every cumulative count
     bins = (
-        df.select(
+        df.where(F.col(value_col).isNotNull())
+        .select(
             F.floor(F.col(value_col) / F.lit(w)).cast("long").alias("bin_id")
         )
         .groupBy("bin_id")

@@ -233,6 +233,12 @@ def hard_negatives(
 
     _require_integral_ids(queries, id_col, "hard_negatives")
     _require_integral_ids(corpus, id_col, "hard_negatives")
+    # NULL labels are excluded on BOTH sides, matching SQL `<>`
+    # semantics (NULL <> x is NULL, i.e. not a negative) — the numpy
+    # path would instead coerce None to NaN, and NaN != x is TRUE,
+    # silently admitting unlabeled vectors as negatives
+    queries = queries.where(F.col(label_col).isNotNull())
+    corpus = corpus.where(F.col(label_col).isNotNull())
     rows = _bounded_collect(
         queries.select(
             F.col(id_col).alias("qid"),

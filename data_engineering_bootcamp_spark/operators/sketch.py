@@ -44,7 +44,10 @@ from pyspark.sql import functions as F
 
 from .dedup import md5_hash60
 
-_MAX_M_BITS = 1 << 24  # 2 MiB bitmap — keeps the broadcast trivially bounded
+# 4M bits: bounds the driver's bloom_bits fetch at <= 4M skinny rows
+# and the plan's word-array literal at 65536 elements (~1.3 MB of SQL
+# text) — past this, shard the dim or use a plain shuffled semi join
+_MAX_M_BITS = 1 << 22
 _H_LOW = (1 << 30) - 1
 
 
@@ -186,6 +189,7 @@ def countmin_table(
     guarantee `countmin_estimates` relies on."""
     if depth < 1 or width < 2:
         raise ValueError(f"countmin_table: bad depth={depth}/width={width}")
+    df = df.where(F.col(key_col).isNotNull())  # SQL-aggregate NULL semantics
     cells = F.array(
         *[
             F.struct(

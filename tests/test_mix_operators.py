@@ -1135,3 +1135,46 @@ def test_merge_agg_states_equals_full_recompute(spark):
         merge_agg_states(parts, ["k"], {"n": "avg"})
     with pytest.raises(ValueError, match="at least one"):
         merge_agg_states([], ["k"], {"n": "sum"})
+
+
+def test_review2_null_and_direction_semantics(spark):
+    # pagerank: feeding both directions of each edge must not change
+    # ranks (degrees would silently double otherwise); self-loops drop
+    from data_engineering_bootcamp_spark.operators.graph import pagerank
+
+    canon = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    both = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 3)], ["id_a", "id_b"]
+    )
+    r1 = {r.vertex_id: r.rank_scaled for r in pagerank(canon).collect()}
+    r2 = {r.vertex_id: r.rank_scaled for r in pagerank(both).collect()}
+    assert r1 == r2
+
+    # histogram: NULLs excluded (SQL percentile semantics)
+    from data_engineering_bootcamp_spark.operators.profile import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)] * 50, ["v"]
+    )
+    got = {r.q_pct: r.n_rows for r in
+           histogram_quantiles(df, "v", 10.0, [50]).collect()}
+    assert got[50] == 100  # nulls not counted
+
+    # hard negatives: NULL-labeled vectors are not negatives (SQL <>)
+    from data_engineering_bootcamp_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 10), (1, [0.9, 0.1], None), (2, [0.0, 1.0], 20)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = [
+        r.neighbor_id
+        for r in hard_negatives(
+            emb, emb.where(F.col("vec_id") == 0), k=5
+        ).collect()
+    ]
+    assert got == [2]  # the null-labeled near vector is excluded
