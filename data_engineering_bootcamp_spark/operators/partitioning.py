@@ -39,6 +39,12 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
     first (`x.bitwiseAND(lit(2**bits - 1))`)."""
     if not (1 <= int(bits) <= 31):
         raise ValueError(f"zorder_key: bits must be in [1, 31], got {bits}")
+    # widen FIRST: shiftleft on an IntegerType input stays in 32-bit
+    # arithmetic, so bit 15 of an int dim lands on shift 31 and wraps
+    # to INT_MIN — silently corrupted Morton keys (found by review,
+    # confirmed by execution)
+    x = x.cast("long")
+    y = y.cast("long")
     z: Column | None = None
     for i in range(int(bits)):
         xb = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)

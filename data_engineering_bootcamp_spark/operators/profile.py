@@ -87,6 +87,10 @@ def histogram_quantiles(
         if not (0 < int(q) <= 100):
             raise ValueError(f"q_pcts must be integer percents in (0, 100], got {q}")
     w = float(bin_width)
+    if not w > 0:
+        # zero divides to Infinity bins deep in the job; a NEGATIVE
+        # width silently reverses bin order and every quantile with it
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
     # NULLs are excluded like any SQL percentile would — and must be:
     # a NULL bin would sort FIRST in Spark's window order but LAST in
     # most SQL engines, silently shifting every cumulative count

@@ -124,6 +124,106 @@ def _require_integral_ids(df: DataFrame, id_col: str, where: str) -> None:
         )
 
 
+def _bruteforce_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    max_queries: int,
+    what: str,
+    label_col: str | None = None,
+) -> DataFrame:
+    """Shared exact-top-k kernel behind `cosine_topk_bruteforce` and
+    `hard_negatives` (one implementation, so rounding / normalization /
+    bounded-collect fixes can never diverge between the twins): bounded
+    query side collected + normalized + broadcast as a numpy matrix,
+    one BLAS matmul per corpus Arrow batch (never a shuffle), JVM
+    window top-k over the scored rows. With `label_col`, same-label
+    pairs are masked INSIDE the kernel before ranking."""
+    import numpy as np
+
+    _require_integral_ids(queries, id_col, what)
+    _require_integral_ids(corpus, id_col, what)
+    q_cols = [F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")]
+    if label_col is not None:
+        # the vectorized path compares labels as int64; fail fast on
+        # string/decimal labels (same rationale as _require_integral_ids)
+        _require_integral_ids(queries, label_col, what)
+        _require_integral_ids(corpus, label_col, what)
+        # NULL labels are excluded on BOTH sides, matching SQL `<>`
+        # semantics (NULL <> x is NULL, i.e. not a negative) — the
+        # numpy path would instead coerce None to NaN, and NaN != x is
+        # TRUE, silently admitting unlabeled vectors as negatives
+        queries = queries.where(F.col(label_col).isNotNull())
+        corpus = corpus.where(F.col(label_col).isNotNull())
+        q_cols.append(F.col(label_col).cast("long").alias("qlbl"))
+    rows = _bounded_collect(
+        queries.select(*q_cols), max_queries, f"queries side of {what}"
+    )
+    if not rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cosine double, rank int"
+        )
+    q_ids = np.array([r.qid for r in rows], dtype=np.int64)
+    q_lbls = (
+        np.array([r.qlbl for r in rows], dtype=np.int64)
+        if label_col is not None
+        else None
+    )
+    Q = np.array([r.qv for r in rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = queries.sparkSession.sparkContext.broadcast((q_ids, q_lbls, Q))
+    with_labels = label_col is not None
+
+    def run(batches):
+        # self-contained closure (executors may lack this package)
+        import numpy as _np
+        import pandas as _pd
+
+        bq_ids, bq_lbls, bQ = bc.value
+        nq = len(bq_ids)
+        for pdf in batches:
+            c_ids = pdf["nid"].to_numpy()
+            C = _np.array(list(pdf["cv"]), dtype=_np.float64)
+            C /= _np.linalg.norm(C, axis=1, keepdims=True)
+            S = C @ bQ.T  # (batch, nq)
+            # HALF_UP away from zero, matching Spark F.round / DuckDB ROUND
+            # (plain floor(x+0.5) rounds negative halves toward +inf)
+            S = _np.copysign(_np.floor(_np.abs(S) * 1e6 + 0.5), S) / 1e6
+            rep_c = _np.repeat(c_ids, nq)
+            rep_q = _np.tile(bq_ids, len(c_ids))
+            keep = rep_c != rep_q
+            if with_labels:
+                c_lbls = pdf["nlbl"].to_numpy()
+                keep &= _np.repeat(c_lbls, nq) != _np.tile(
+                    bq_lbls, len(c_ids)
+                )
+            yield _pd.DataFrame(
+                {
+                    "query_id": rep_q[keep],
+                    "neighbor_id": rep_c[keep],
+                    "cosine": S.ravel()[keep],
+                }
+            )
+
+    c_cols = [F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")]
+    if label_col is not None:
+        c_cols.append(F.col(label_col).cast("long").alias("nlbl"))
+    src = fan_out(corpus.select(*c_cols))
+    scored = src.mapInPandas(
+        run, schema="query_id bigint, neighbor_id bigint, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -142,67 +242,11 @@ def cosine_topk_bruteforce(
     corpus partition scores its Arrow batch with one BLAS matmul and
     never shuffles. Per-query top-k is a JVM window over the
     (|corpus| × |queries|) scored rows. `dim` is kept for the signature
-    of the JVM expression path (`cosine_similarity`)."""
-    import numpy as np
-
-    _require_integral_ids(queries, id_col, "cosine_topk_bruteforce")
-    _require_integral_ids(corpus, id_col, "cosine_topk_bruteforce")
-    rows = _bounded_collect(
-        queries.select(
-            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-        ),
-        max_queries,
-        "queries side of cosine_topk_bruteforce",
-    )
-    if not rows:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id bigint, neighbor_id bigint, cosine double, rank int"
-        )
-    q_ids = np.array([r.qid for r in rows], dtype=np.int64)
-    Q = np.array([r.qv for r in rows], dtype=np.float64)
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
-    bc = queries.sparkSession.sparkContext.broadcast((q_ids, Q))
-
-    def run(batches):
-        # self-contained closure (executors may lack this package)
-        import numpy as _np
-        import pandas as _pd
-
-        bq_ids, bQ = bc.value
-        nq = len(bq_ids)
-        for pdf in batches:
-            c_ids = pdf["nid"].to_numpy()
-            C = _np.array(list(pdf["cv"]), dtype=_np.float64)
-            C /= _np.linalg.norm(C, axis=1, keepdims=True)
-            S = C @ bQ.T  # (batch, nq)
-            # HALF_UP away from zero, matching Spark F.round / DuckDB ROUND
-            # (plain floor(x+0.5) rounds negative halves toward +inf)
-            S = _np.copysign(_np.floor(_np.abs(S) * 1e6 + 0.5), S) / 1e6
-            rep_c = _np.repeat(c_ids, nq)
-            rep_q = _np.tile(bq_ids, len(c_ids))
-            flat = S.ravel()
-            keep = rep_c != rep_q
-            yield _pd.DataFrame(
-                {
-                    "query_id": rep_q[keep],
-                    "neighbor_id": rep_c[keep],
-                    "cosine": flat[keep],
-                }
-            )
-
-    src = fan_out(
-        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv"))
-    )
-    scored = src.mapInPandas(
-        run, schema="query_id bigint, neighbor_id bigint, cosine double"
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    of the JVM expression path (`cosine_similarity`). Execution lives
+    in `_bruteforce_topk` (shared with `hard_negatives`)."""
+    return _bruteforce_topk(
+        corpus, queries, k, id_col, vec_col, max_queries,
+        "cosine_topk_bruteforce",
     )
 
 
@@ -220,89 +264,18 @@ def hard_negatives(
     the anchor's label — the "close but semantically different"
     examples a contrastive loss learns most from.
 
-    Same execution shape as `cosine_topk_bruteforce` (bounded query
-    side broadcast as a numpy matrix, one BLAS matmul per corpus Arrow
-    batch, JVM window top-k), with the label inequality applied INSIDE
-    the scoring kernel — a same-label neighbor is masked before
-    ranking, not filtered after, so the returned k are genuine
-    negatives even when the anchor's own class dominates its
-    neighborhood. Self-pairs excluded. Output
+    Same kernel as `cosine_topk_bruteforce` (`_bruteforce_topk`), with
+    the label inequality applied INSIDE the scoring pass — a
+    same-label neighbor is masked before ranking, not filtered after,
+    so the returned k are genuine negatives even when the anchor's own
+    class dominates its neighborhood. NULL-labeled vectors are
+    excluded on both sides (SQL `<>` semantics); `label_col` must be
+    integral (enforced). Self-pairs excluded. Output
     (query_id, neighbor_id, cosine DOUBLE, rank INT).
     """
-    import numpy as np
-
-    _require_integral_ids(queries, id_col, "hard_negatives")
-    _require_integral_ids(corpus, id_col, "hard_negatives")
-    # NULL labels are excluded on BOTH sides, matching SQL `<>`
-    # semantics (NULL <> x is NULL, i.e. not a negative) — the numpy
-    # path would instead coerce None to NaN, and NaN != x is TRUE,
-    # silently admitting unlabeled vectors as negatives
-    queries = queries.where(F.col(label_col).isNotNull())
-    corpus = corpus.where(F.col(label_col).isNotNull())
-    rows = _bounded_collect(
-        queries.select(
-            F.col(id_col).alias("qid"),
-            F.col(label_col).cast("long").alias("qlbl"),
-            F.col(vec_col).alias("qv"),
-        ),
-        max_queries,
-        "queries side of hard_negatives",
-    )
-    if not rows:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id bigint, neighbor_id bigint, cosine double, rank int"
-        )
-    q_ids = np.array([r.qid for r in rows], dtype=np.int64)
-    q_lbls = np.array([r.qlbl for r in rows], dtype=np.int64)
-    Q = np.array([r.qv for r in rows], dtype=np.float64)
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
-    bc = queries.sparkSession.sparkContext.broadcast((q_ids, q_lbls, Q))
-
-    def run(batches):
-        # self-contained closure (executors may lack this package)
-        import numpy as _np
-        import pandas as _pd
-
-        bq_ids, bq_lbls, bQ = bc.value
-        nq = len(bq_ids)
-        for pdf in batches:
-            c_ids = pdf["nid"].to_numpy()
-            c_lbls = pdf["nlbl"].to_numpy()
-            C = _np.array(list(pdf["cv"]), dtype=_np.float64)
-            C /= _np.linalg.norm(C, axis=1, keepdims=True)
-            S = C @ bQ.T  # (batch, nq)
-            # HALF_UP away from zero, matching Spark F.round / DuckDB
-            S = _np.copysign(_np.floor(_np.abs(S) * 1e6 + 0.5), S) / 1e6
-            rep_c = _np.repeat(c_ids, nq)
-            rep_cl = _np.repeat(c_lbls, nq)
-            rep_q = _np.tile(bq_ids, len(c_ids))
-            rep_ql = _np.tile(bq_lbls, len(c_ids))
-            keep = (rep_c != rep_q) & (rep_cl != rep_ql)
-            yield _pd.DataFrame(
-                {
-                    "query_id": rep_q[keep],
-                    "neighbor_id": rep_c[keep],
-                    "cosine": S.ravel()[keep],
-                }
-            )
-
-    src = fan_out(
-        corpus.select(
-            F.col(id_col).alias("nid"),
-            F.col(label_col).cast("long").alias("nlbl"),
-            F.col(vec_col).alias("cv"),
-        )
-    )
-    scored = src.mapInPandas(
-        run, schema="query_id bigint, neighbor_id bigint, cosine double"
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return _bruteforce_topk(
+        corpus, queries, k, id_col, vec_col, max_queries,
+        "hard_negatives", label_col=label_col,
     )
 
 

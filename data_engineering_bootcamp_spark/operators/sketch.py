@@ -71,10 +71,14 @@ def bloom_bits(
 ) -> DataFrame:
     """Distinct set positions of the Bloom bitmap for `keys` — the
     distributed build half of `bloom_prune` (one shuffle, output
-    bounded by m_bits rows)."""
+    bounded by m_bits rows). NULL keys contribute no bits (a NULL
+    hashes to a NULL position, which would otherwise crash the
+    driver-side bitmap packing — and a NULL can never equal a probe
+    key anyway)."""
     h = _hash60(F.col(key_col), tag)
     return (
-        keys.select(F.explode(F.array(*_positions(h, k, m_bits))).alias("pos"))
+        keys.where(F.col(key_col).isNotNull())
+        .select(F.explode(F.array(*_positions(h, k, m_bits))).alias("pos"))
         .distinct()
     )
 
@@ -86,6 +90,7 @@ def bloom_prune(
     dim_key: str,
     m_bits: int = 1 << 20,
     k: int = 3,
+    bits_rows: list | None = None,
 ) -> DataFrame:
     """Fact rows that MIGHT match the dim key set (Bloom membership).
 
@@ -99,7 +104,9 @@ def bloom_prune(
 
     Returns the fact columns unchanged, filtered to Bloom-passing rows
     (true matches plus the false-positive residue — feed this into the
-    real join)."""
+    real join). Pass `bits_rows` (a pre-collected `bloom_bits(...)
+    .collect()` for the SAME dim/m_bits/k) to reuse an already-built
+    bitmap instead of re-scanning the dim."""
     if m_bits > _MAX_M_BITS:
         raise ValueError(
             f"bloom_prune: m_bits={m_bits} exceeds {_MAX_M_BITS} — the "
@@ -111,7 +118,11 @@ def bloom_prune(
             f"bloom_prune: m_bits={m_bits} must be a positive multiple of 64 "
             "(the bitmap is packed into 64-bit words)"
         )
-    bits = bloom_bits(dim, dim_key, m_bits, k).collect()  # ≤ m_bits rows
+    bits = (
+        bits_rows
+        if bits_rows is not None
+        else bloom_bits(dim, dim_key, m_bits, k).collect()  # ≤ m_bits rows
+    )
     words = [0] * (m_bits // 64)
     for r in bits:
         words[r.pos >> 6] |= 1 << (r.pos & 63)

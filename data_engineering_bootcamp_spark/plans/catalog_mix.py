@@ -1260,27 +1260,25 @@ def q_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_totalprice") > 400000)
         .select("o_orderkey")
     )
+    # build the bitmap ONCE: its collected rows feed bloom_prune (which
+    # would otherwise re-scan+re-hash the dim) and bits_set is just
+    # their count — already on the driver, no second dim pass
+    bits_rows = bloom_bits(od, "o_orderkey", 1 << 16, 3).collect()
     passed = bloom_prune(
-        li, od, "l_orderkey", "o_orderkey", m_bits=1 << 16, k=3
+        li, od, "l_orderkey", "o_orderkey", m_bits=1 << 16, k=3,
+        bits_rows=bits_rows,
     )
     n_pass = passed.agg(F.count(F.lit(1)).alias("n_pass_bloom"))
     n_true = li.join(
         od, li["l_orderkey"] == od["o_orderkey"], "left_semi"
     ).agg(F.count(F.lit(1)).alias("n_true_match"))
-    bits = bloom_bits(od, "o_orderkey", 1 << 16, 3).agg(
-        F.count(F.lit(1)).alias("bits_set")
-    )
-    return (
-        n_pass.crossJoin(n_true)
-        .crossJoin(bits)
-        .select(
-            "n_pass_bloom",
-            "n_true_match",
-            (F.col("n_pass_bloom") - F.col("n_true_match")).alias(
-                "n_false_positive"
-            ),
-            "bits_set",
-        )
+    return n_pass.crossJoin(n_true).select(
+        "n_pass_bloom",
+        "n_true_match",
+        (F.col("n_pass_bloom") - F.col("n_true_match")).alias(
+            "n_false_positive"
+        ),
+        F.lit(len(bits_rows)).cast("long").alias("bits_set"),
     )
 
 

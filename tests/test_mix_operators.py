@@ -1178,3 +1178,50 @@ def test_review2_null_and_direction_semantics(spark):
         ).collect()
     ]
     assert got == [2]  # the null-labeled near vector is excluded
+
+
+def test_review3_zorder_int32_and_bloom_null_dim(spark):
+    # zorder: IntegerType inputs must not wrap at shift 31
+    from data_engineering_bootcamp_spark.operators.partitioning import (
+        zorder_key,
+    )
+
+    df = spark.createDataFrame(
+        [(32768, 32768)], "x int, y int"  # bit 15 set in both dims
+    )
+    z = df.select(zorder_key(F.col("x"), F.col("y")).alias("z")).collect()[0].z
+    assert z == 3221225472  # x bit15 -> z bit30, y bit15 -> z bit31
+
+    # bloom: a NULL dim key contributes no bits and must not crash the
+    # driver-side bitmap packing
+    from data_engineering_bootcamp_spark.operators.sketch import bloom_prune
+
+    fact = spark.createDataFrame([(1,), (2,)], ["k"])
+    dim = spark.createDataFrame([(1,), (None,)], "dk int").withColumn(
+        "dk", F.col("dk").cast("long")
+    )
+    passed = {r.k for r in bloom_prune(fact, dim, "k", "dk", m_bits=64).collect()}
+    assert 1 in passed
+
+    # histogram: non-positive widths fail fast
+    from data_engineering_bootcamp_spark.operators.profile import (
+        histogram_quantiles,
+    )
+
+    vdf = spark.createDataFrame([(1.0,)], ["v"])
+    with pytest.raises(ValueError, match="bin_width"):
+        histogram_quantiles(vdf, "v", 0.0, [50])
+    with pytest.raises(ValueError, match="bin_width"):
+        histogram_quantiles(vdf, "v", -5.0, [50])
+
+    # hard negatives: non-integral label columns fail fast
+    from data_engineering_bootcamp_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], "en"), (1, [0.0, 1.0], "fr")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    with pytest.raises(TypeError, match="integral"):
+        hard_negatives(emb, emb.where(F.col("vec_id") == 0), k=1)

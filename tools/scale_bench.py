@@ -707,6 +707,14 @@ def main() -> None:
     re-run of every face-off); with none, runs everything fresh."""
     args = sys.argv[1:]
     out_path = args[0] if args else "BENCH_scale_r06.json"
+    if out_path in SECTIONS:
+        # `scale_bench.py pagerank` would otherwise write the whole
+        # suite to a file literally named "pagerank" — the out_json
+        # argument is positional and comes first
+        raise SystemExit(
+            f"first argument {out_path!r} is a section name — pass the "
+            "output json path first: scale_bench.py OUT.json [section ...]"
+        )
     only = args[1:]
     unknown = [s for s in only if s not in SECTIONS]
     if unknown:
