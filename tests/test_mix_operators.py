@@ -1225,3 +1225,18 @@ def test_review3_zorder_int32_and_bloom_null_dim(spark):
     )
     with pytest.raises(TypeError, match="integral"):
         hard_negatives(emb, emb.where(F.col("vec_id") == 0), k=1)
+
+
+def test_pagerank_lazy_equals_checkpointed(spark):
+    from data_engineering_bootcamp_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (2, 4)], ["id_a", "id_b"]
+    )
+    eager = {r.vertex_id: r.rank_scaled
+             for r in pagerank(edges, checkpoint_every=1).collect()}
+    lazy = {r.vertex_id: r.rank_scaled
+            for r in pagerank(edges, checkpoint_every=0).collect()}
+    mixed = {r.vertex_id: r.rank_scaled
+             for r in pagerank(edges, checkpoint_every=2).collect()}
+    assert eager == lazy == mixed
