@@ -119,6 +119,7 @@ HEADLINE = [
     "countmin_token_freq",
     "incremental_agg_merge",
     "last_touch_attribution",
+    "orc_roundtrip_rollup",
 ]
 
 

@@ -1383,6 +1383,7 @@ _GATE_FIRST = [
     "countmin_token_freq",     # NEW r6: count-min sketch vs ground truth
     "incremental_agg_merge",   # NEW r6: partial-agg state maintenance
     "last_touch_attribution",  # NEW r6: last_value-ignore-nulls window
+    "orc_roundtrip_rollup",    # NEW r6: ORC source/sink round-trip
     # write-path round-trips (S8-S10 still gated via metadata_scan/
     # insert_select_rollup history; S4-S7 rotated out with 2 rows each)
     "snapshot_cdc_diff",       # NEW r6: change-data-feed derivation
@@ -1392,7 +1393,6 @@ _GATE_FIRST = [
     # streaming_session_windows and streaming_foreachbatch_sink rotated
     # out (r4+r5 rows each) for the four sketch/layout entries above
     "streaming_sliding_hits",      # NEW r6: hopping-window twin
-    "streaming_dedup",         # dropDuplicatesWithinWatermark; first row r4
     "streaming_neardup_admission",  # stream-static LSH admission — first r5
     "streaming_interval_join",  # stream-stream interval join (r6 promotion)
     "streaming_upsert_sink",   # streaming ON-CONFLICT merge sink (r6 prom.)
@@ -1412,6 +1412,7 @@ _GATE_REST = [
     "streaming_foreachbatch_sink",  # T7 T8 S13; r4+r5 rows
     "streaming_stateful_sessions",  # custom stateful op; r4+r5 rows
     "corpus_curation_pipeline",  # flagship; r4+r5 rows
+    "streaming_dedup",         # dropDuplicatesWithinWatermark; r4+r5 rows
     "pricing_summary",         # r1+r3+r4 rows; P3 A3 A17
     "customer_order_spine",    # r3+r4 rows; J10 J11 J15
     "top_customers",           # r1+r3+r4 rows; J3 J13 A15 O1-O3

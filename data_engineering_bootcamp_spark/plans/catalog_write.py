@@ -202,6 +202,43 @@ FROM nation GROUP BY 1
 """
 
 
+def q_orc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as the second columnar source/sink format beside parquet
+    (Spark-native, no extra jar): events → ORC → read back → per-type
+    rollup. The oracle aggregates the RAW table, so the hash match
+    proves the ORC round-trip preserved every id and value exactly;
+    cents are integers (half-up) so the rollup has no float
+    association-order hazard."""
+    d = tempfile.mkdtemp(prefix="orcgate_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    try:
+        ev.write.mode("overwrite").orc(f"{d}/events")
+        back = spark.read.orc(f"{d}/events")
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+        return _snapshot(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_ORC_ROUNDTRIP = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(event_id) AS min_event,
+       MAX(event_id) AS max_event
+FROM events GROUP BY 1
+"""
+
+
 def q_insert_select_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9/S10 through the gate: create a table from the 'F'-status
     slice via overwrite insertInto (S9), append the 'O' slice with
@@ -428,6 +465,7 @@ WRITE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "partitioned_prune_rollup": q_partitioned_prune_rollup,
     "sorted_layout_rollup": q_sorted_layout_rollup,
     "csv_roundtrip_rollup": q_csv_roundtrip_rollup,
+    "orc_roundtrip_rollup": q_orc_roundtrip_rollup,
     "insert_select_rollup": q_insert_select_rollup,
     "metadata_scan": q_metadata_scan,
     "compaction_rollup": q_compaction_rollup,
@@ -439,6 +477,7 @@ WRITE_ORACLES: dict[str, str] = {
     "partitioned_prune_rollup": ORACLE_PARTITIONED_PRUNE,
     "sorted_layout_rollup": ORACLE_SORTED_LAYOUT,
     "csv_roundtrip_rollup": ORACLE_CSV_ROUNDTRIP,
+    "orc_roundtrip_rollup": ORACLE_ORC_ROUNDTRIP,
     "insert_select_rollup": ORACLE_INSERT_SELECT,
     "compaction_rollup": ORACLE_COMPACTION,
 }
