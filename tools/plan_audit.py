@@ -37,6 +37,7 @@ SKIP = {
     "partitioned_prune_rollup",
     "sorted_layout_rollup",
     "csv_roundtrip_rollup",
+    "orc_roundtrip_rollup",
     "insert_select_rollup",
     "metadata_scan",
     "compaction_rollup",
