@@ -120,6 +120,7 @@ HEADLINE = [
     "incremental_agg_merge",
     "last_touch_attribution",
     "orc_roundtrip_rollup",
+    "top_event_paths",
 ]
 
 

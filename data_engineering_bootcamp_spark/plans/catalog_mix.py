@@ -1392,10 +1392,15 @@ def q_zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zorder_sql(xe: str, ye: str, bits: int = 16) -> str:
+    # CAST each dim to BIGINT first — mirror of the Spark-side int32
+    # hazard: on INTEGER operands DuckDB's `(x & 1) << 31` overflows
+    # instead of widening (caught by the cross-engine property test)
+    xb = f"CAST(({xe}) AS BIGINT)"
+    yb = f"CAST(({ye}) AS BIGINT)"
     terms = []
     for i in range(bits):
-        terms.append(f"(((({xe}) >> {i}) & 1) << {2 * i})")
-        terms.append(f"(((({ye}) >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({xb} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({yb} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
 
 
@@ -1598,6 +1603,45 @@ GROUP BY 1
 """
 
 
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining over user event streams: the 10 most common 3-step
+    event-type sequences (sliding trigrams via two LEADs over each
+    user's event-time order — one window shuffle keyed by user, one
+    path aggregate; no self-joins, no explode of materialized
+    sequences). The product-analytics counterpart of the funnel: the
+    funnel counts a FIXED path, this discovers which paths dominate."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    paths = ev.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).where(F.col("step3").isNotNull())
+    return (
+        paths.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+        .limit(10)
+    )
+
+
+ORACLE_TOP_EVENT_PATHS = """
+WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+paths AS (
+  SELECT event_type AS step1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS step2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS step3
+  FROM ev)
+SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM paths WHERE step3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, step1, step2, step3
+LIMIT 10
+"""
+
+
 MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_lang_counts": q_pivot_lang_counts,
     "unpivot_region_metrics": q_unpivot_region_metrics,
@@ -1624,6 +1668,7 @@ MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "countmin_token_freq": q_countmin_token_freq,
     "incremental_agg_merge": q_incremental_agg_merge,
     "last_touch_attribution": q_last_touch_attribution,
+    "top_event_paths": q_top_event_paths,
 }
 
 MIX_ORACLES: dict[str, str] = {
@@ -1652,4 +1697,5 @@ MIX_ORACLES: dict[str, str] = {
     "countmin_token_freq": ORACLE_COUNTMIN_TOKEN_FREQ,
     "incremental_agg_merge": ORACLE_INCREMENTAL_AGG_MERGE,
     "last_touch_attribution": ORACLE_LAST_TOUCH_ATTRIBUTION,
+    "top_event_paths": ORACLE_TOP_EVENT_PATHS,
 }

@@ -208,3 +208,67 @@ def test_length_block_theorem(t, sa, sb):
         return
     k = lambda s: math.floor(math.log(max(s, 1)) / math.log(1 / t))
     assert {k(sa), k(sa) + 1} & {k(sb), k(sb) + 1}, (t, sa, sb)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(-(2**40), 2**40), st.integers(0, 3), st.integers(6, 22))
+def test_bloom_double_hash_positions_match_duckdb(key, i, log_m):
+    # sketch._positions: one md5 -> (h1 = h >> 30, step = 2*(h & mask)+1),
+    # pos_i = (h1 + i*step) % m — the identity both bloom oracles replay
+    m = 1 << log_m
+    h = _py_md5_60(f"bloom_{key}")
+    py = ((h >> 30) + i * (2 * (h & ((1 << 30) - 1)) + 1)) % m
+    got = _con.execute(
+        "WITH t AS (SELECT CAST('0x' || substr(md5('bloom_' || "
+        "CAST(? AS VARCHAR)), 1, 15) AS BIGINT) AS h) "
+        "SELECT ((h // 1073741824) + ? * (2 * (h % 1073741824) + 1)) % ? "
+        "FROM t",
+        [key, i, m],
+    ).fetchone()[0]
+    assert got == py
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=60), st.integers(0, 3), st.integers(4, 14))
+def test_countmin_cell_positions_match_duckdb(token, i, log_w):
+    try:
+        token.encode()
+    except UnicodeEncodeError:
+        return
+    w = 1 << log_w
+    py = _py_md5_60(f"cm{i}_{token}") % w
+    got = _con.execute(
+        "SELECT CAST('0x' || substr(md5('cm' || CAST(? AS VARCHAR) || '_' "
+        "|| ?), 1, 15) AS BIGINT) % ?",
+        [i, token, w],
+    ).fetchone()[0]
+    assert got == py
+
+
+def _py_zorder(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1))
+def test_zorder_interleave_matches_generated_sql(x, y):
+    # the generated expression in ORACLE_ZORDER_LOCALITY_STATS must
+    # equal the canonical bit interleave for every 16-bit dim pair
+    import sys
+
+    sys.path.insert(0, ".")
+    from data_engineering_bootcamp_spark.plans.catalog_mix import _zorder_sql
+
+    got = _con.execute(
+        f"SELECT {_zorder_sql(str(x), str(y))}"
+    ).fetchone()[0]
+    assert got == _py_zorder(x, y, 16)
+    # bijectivity on the sampled pair: decode back
+    z = got
+    dx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    dy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (dx, dy) == (x, y)
