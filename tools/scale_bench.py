@@ -686,6 +686,87 @@ def bench_pagerank(spark) -> dict:
     return out
 
 
+def bench_merge_laws(spark) -> dict:
+    """The mergeability claims behind the sketch/state operators,
+    proven at 20M rows rather than asserted: a count-min sketch built
+    on two halves and merged by cell-wise addition must equal the
+    whole-input sketch CELL FOR CELL (exact, not approximate — the
+    sketch is deterministic), and partial aggregate states over an
+    arbitrary 3-way split must re-aggregate to exactly the full
+    recompute. These are the properties that let a 100 TB frequency or
+    rollup pass run as per-day partials."""
+    from data_engineering_bootcamp_spark.operators.cumulate import (
+        merge_agg_states,
+    )
+    from data_engineering_bootcamp_spark.operators.sketch import (
+        countmin_table,
+    )
+
+    fact, _ = build_skew(spark)
+    fact = fact.repartition(64).persist()
+    n = fact.count()
+    out: dict = {"rows": n}
+
+    # count-min: halves merged == whole (cell-exact)
+    t0 = time.perf_counter()
+    whole = countmin_table(fact, "user_key", depth=4, width=2048).persist()
+    n_cells = whole.count()
+    out["countmin_whole_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    lo = countmin_table(
+        fact.where(F.col("row_id") % 2 == 0), "user_key", depth=4, width=2048
+    )
+    hi = countmin_table(
+        fact.where(F.col("row_id") % 2 == 1), "user_key", depth=4, width=2048
+    )
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+        .persist()
+    )
+    merged.count()
+    out["countmin_halves_merge_sec"] = round(time.perf_counter() - t0, 3)
+    out["countmin_cells"] = n_cells
+    out["countmin_merge_exact"] = (
+        merged.exceptAll(whole).count() == 0
+        and whole.exceptAll(merged).count() == 0
+    )
+    whole.unpersist()
+    merged.unpersist()
+
+    # agg-state merge law on the 20M fact
+    def st(part):
+        return part.groupBy("user_key").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amount").alias("amt"),
+            F.min("row_id").alias("lo"),
+            F.max("row_id").alias("hi"),
+        )
+
+    t0 = time.perf_counter()
+    direct = st(fact).persist()
+    n_keys = direct.count()
+    out["aggstate_direct_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    parts = [st(fact.where(F.col("row_id") % 3 == r)) for r in range(3)]
+    remerged = merge_agg_states(
+        parts, ["user_key"],
+        {"n": "sum", "amt": "sum", "lo": "min", "hi": "max"},
+    ).persist()
+    remerged.count()
+    out["aggstate_3way_merge_sec"] = round(time.perf_counter() - t0, 3)
+    out["aggstate_keys"] = n_keys
+    out["aggstate_merge_exact"] = (
+        remerged.exceptAll(direct).count() == 0
+        and direct.exceptAll(remerged).count() == 0
+    )
+    direct.unpersist()
+    remerged.unpersist()
+    fact.unpersist()
+    return out
+
+
 SECTIONS = {
     "skew_join": bench_skew,
     "ngram_neardup": bench_ngram,
@@ -696,6 +777,7 @@ SECTIONS = {
     "streaming": bench_streaming,
     "bloom_semijoin": bench_bloom,
     "pagerank": bench_pagerank,
+    "merge_laws": bench_merge_laws,
 }
 
 
