@@ -1610,7 +1610,12 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     path aggregate; no self-joins, no explode of materialized
     sequences). The product-analytics counterpart of the funnel: the
     funnel counts a FIXED path, this discovers which paths dominate."""
-    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    # event_type filtered non-null too: a NULL step would sort NULLS
+    # FIRST in Spark but NULLS LAST in DuckDB — a latent LIMIT-boundary
+    # divergence if the fixture ever grows null types (review finding)
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     paths = ev.select(
         F.col("event_type").alias("step1"),
@@ -1626,7 +1631,9 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TOP_EVENT_PATHS = """
-WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+WITH ev AS (
+  SELECT * FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
 paths AS (
   SELECT event_type AS step1,
          LEAD(event_type, 1) OVER (PARTITION BY user_id

@@ -176,8 +176,8 @@ def q_csv_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 through the gate: nation → CSV (header) → read back with
     schema inference → count per region. Inference must recover the
     integer keys exactly."""
-    d = tempfile.mkdtemp(prefix="csvgate_")
     nation = load_table(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="csvgate_")
     try:
         nation.coalesce(1).write.mode("overwrite").option(
             "header", "true"
@@ -209,12 +209,13 @@ def q_orc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the ORC round-trip preserved every id and value exactly;
     cents are integers (half-up) so the rollup has no float
     association-order hazard."""
-    d = tempfile.mkdtemp(prefix="orcgate_")
+    # load BEFORE mkdtemp so a read failure cannot leak the scratch dir
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
+    d = tempfile.mkdtemp(prefix="orcgate_")
     try:
         ev.write.mode("overwrite").orc(f"{d}/events")
         back = spark.read.orc(f"{d}/events")

@@ -258,9 +258,6 @@ def _py_zorder(x: int, y: int, bits: int) -> int:
 def test_zorder_interleave_matches_generated_sql(x, y):
     # the generated expression in ORACLE_ZORDER_LOCALITY_STATS must
     # equal the canonical bit interleave for every 16-bit dim pair
-    import sys
-
-    sys.path.insert(0, ".")
     from data_engineering_bootcamp_spark.plans.catalog_mix import _zorder_sql
 
     got = _con.execute(
