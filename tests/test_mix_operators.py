@@ -1240,3 +1240,19 @@ def test_pagerank_lazy_equals_checkpointed(spark):
     mixed = {r.vertex_id: r.rank_scaled
              for r in pagerank(edges, checkpoint_every=2).collect()}
     assert eager == lazy == mixed
+
+
+def test_bloom_prune_xxhash_variant(spark):
+    from data_engineering_bootcamp_spark.operators.sketch import bloom_prune
+
+    fact = spark.createDataFrame([(i,) for i in range(300)], ["k"])
+    dim = spark.createDataFrame([(i,) for i in range(0, 300, 11)], ["dk"])
+    passed = {
+        r.k
+        for r in bloom_prune(
+            fact, dim, "k", "dk", m_bits=1 << 12, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert set(range(0, 300, 11)) <= passed  # no false negatives
+    with pytest.raises(ValueError, match="hash_fn"):
+        bloom_prune(fact, dim, "k", "dk", hash_fn="sha1")

@@ -652,6 +652,28 @@ def bench_bloom(spark) -> dict:
             and abs((plain_rows["amt"] or 0) - (bloom_rows["amt"] or 0)) < 1e-6
         )
         passed.unpersist()
+
+        # the xxhash64 twin: same bitmap/probe shape, JVM-intrinsic
+        # hash instead of md5 — the hot-path configuration when SQL
+        # replay is not needed
+        t0 = time.perf_counter()
+        passed_xx = bloom_prune(
+            fact, dimsub, "user_key", "user_key",
+            m_bits=1 << 20, k=3, hash_fn="xxhash64",
+        ).persist()
+        n_pass_xx = passed_xx.count()
+        bloom_xx = passed_xx.join(dimsub, "user_key", "left_semi").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amt")
+        )
+        bloom_xx_rows = bloom_xx.collect()[0]
+        out["bloom_xxhash_then_semi_sec"] = round(time.perf_counter() - t0, 3)
+        out["rows_passing_bloom_xxhash"] = n_pass_xx
+        out["results_match_xxhash"] = (
+            plain_rows["n"] == bloom_xx_rows["n"]
+            and abs((plain_rows["amt"] or 0) - (bloom_xx_rows["amt"] or 0))
+            < 1e-6
+        )
+        passed_xx.unpersist()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         fact.unpersist()
