@@ -121,6 +121,7 @@ HEADLINE = [
     "last_touch_attribution",
     "orc_roundtrip_rollup",
     "top_event_paths",
+    "streaming_countmin",
 ]
 
 

@@ -1342,7 +1342,6 @@ _GATE_FIRST = [
     "user_vertices",           # W3 + map-typed vertex props
     "part_pair_edges",         # J9 pair self-join with inequality
     # LLM-pipeline operators (first-class per brief)
-    "doc_lang_id",             # P9
     "ngram_jaccard_allpairs",  # exact baseline twin — first driver row r5
     "media_real_decode",       # real stdlib PNG round-trip — first row r5
     "skew_salted_join",        # join twin — first driver row r5
@@ -1384,6 +1383,7 @@ _GATE_FIRST = [
     "last_touch_attribution",  # NEW r6: last_value-ignore-nulls window
     "orc_roundtrip_rollup",    # NEW r6: ORC source/sink round-trip
     "top_event_paths",         # NEW r6: sliding-trigram path mining
+    "streaming_countmin",      # NEW r6: streaming sketch maintenance
     # write-path round-trips (S8-S10 still gated via metadata_scan/
     # insert_select_rollup history; S4-S7 rotated out with 2 rows each)
     "snapshot_cdc_diff",       # NEW r6: change-data-feed derivation
@@ -1414,6 +1414,7 @@ _GATE_REST = [
     "corpus_curation_pipeline",  # flagship; r4+r5 rows
     "streaming_dedup",         # dropDuplicatesWithinWatermark; r4+r5 rows
     "doc_dedup_exact",         # A14; r1+r2+r3+r4+r5 rows
+    "doc_lang_id",             # P9; r1+r2+r3+r4+r5 rows
     "pricing_summary",         # r1+r3+r4 rows; P3 A3 A17
     "customer_order_spine",    # r3+r4 rows; J10 J11 J15
     "top_customers",           # r1+r3+r4 rows; J3 J13 A15 O1-O3

@@ -1649,6 +1649,105 @@ LIMIT 10
 """
 
 
+def q_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frequency-sketch maintenance: events stream through
+    FOUR micro-batches (maxFilesPerTrigger=1 over a 4-file copy), each
+    batch's count-min cells merged into the live store by cell-wise
+    SUM (`streaming.sinks.countmin_merge_batch_writer`). Because the
+    merge is associative/commutative, the final counter table equals
+    the whole-input sketch regardless of batch boundaries — so the
+    oracle replays the sketch over ALL rows at once and reads the top
+    users' estimates beside their exact counts; the multi-batch split
+    proves the read-merge-swap path, not just one write."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.sketch import countmin_estimates
+    from ..streaming.sinks import countmin_merge_batch_writer
+    from .catalog_write import _snapshot
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("event_id", "user_id")
+    )
+    src = tempfile.mkdtemp(prefix="stream_cm_src_")
+    store = tempfile.mkdtemp(prefix="stream_cm_store_")
+    ckpt = tempfile.mkdtemp(prefix="stream_cm_ckpt_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                countmin_merge_batch_writer(
+                    store, "user_id", depth=4, width=1024
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .queryName(f"stream_cm_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        counters = spark.read.parquet(os.path.join(store, "live"))
+        exact_top = (
+            ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+            .orderBy(F.desc("n_exact"), F.asc("user_id"))
+            .limit(10)
+        )
+        est = countmin_estimates(
+            counters, exact_top.select("user_id"), "user_id",
+            depth=4, width=1024,
+        )
+        return _snapshot(
+            exact_top.join(est, "user_id").select(
+                "user_id", "n_exact", "cm_estimate"
+            )
+        )
+    finally:
+        for d in (src, store, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_STREAMING_COUNTMIN = """
+WITH ev AS (
+  SELECT event_id, user_id FROM events WHERE user_id IS NOT NULL),
+counters AS (
+  SELECT i AS row,
+         CAST('0x' || substr(md5('cm' || CAST(i AS VARCHAR) || '_'
+                                 || CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1024 AS pos,
+         COUNT(*) AS cnt
+  FROM ev CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+  GROUP BY 1, 2),
+top AS (
+  SELECT user_id, COUNT(*) AS n_exact
+  FROM ev GROUP BY 1
+  ORDER BY n_exact DESC, user_id LIMIT 10),
+probe AS (
+  SELECT top.user_id, top.n_exact, i,
+         CAST('0x' || substr(md5('cm' || CAST(i AS VARCHAR) || '_'
+                                 || CAST(top.user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1024 AS pos
+  FROM top CROSS JOIN (VALUES (0), (1), (2), (3)) t(i))
+SELECT p.user_id,
+       CAST(p.n_exact AS BIGINT) AS n_exact,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cm_estimate
+FROM probe p
+LEFT JOIN counters c ON p.i = c.row AND p.pos = c.pos
+GROUP BY p.user_id, p.n_exact
+"""
+
+
 MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_lang_counts": q_pivot_lang_counts,
     "unpivot_region_metrics": q_unpivot_region_metrics,
@@ -1676,6 +1775,7 @@ MIX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_agg_merge": q_incremental_agg_merge,
     "last_touch_attribution": q_last_touch_attribution,
     "top_event_paths": q_top_event_paths,
+    "streaming_countmin": q_streaming_countmin,
 }
 
 MIX_ORACLES: dict[str, str] = {
@@ -1705,4 +1805,5 @@ MIX_ORACLES: dict[str, str] = {
     "incremental_agg_merge": ORACLE_INCREMENTAL_AGG_MERGE,
     "last_touch_attribution": ORACLE_LAST_TOUCH_ATTRIBUTION,
     "top_event_paths": ORACLE_TOP_EVENT_PATHS,
+    "streaming_countmin": ORACLE_STREAMING_COUNTMIN,
 }

@@ -139,6 +139,48 @@ def upsert_merge_sql(
     )
 
 
+def _publish_version(
+    store_dir: str, batch_id: int, merged: DataFrame, prev_target
+) -> None:
+    """Atomic store publication shared by the foreachBatch sinks:
+    write a fresh versioned directory, flip the `live` symlink in ONE
+    os.replace, keep the immediately-previous version for concurrent
+    readers, reclaim everything older. Staging dirs are unique PER
+    ATTEMPT (not per batch id) so a foreachBatch retry after a crash
+    between flip and commit never overwrites the directory `live`
+    still resolves to."""
+    import os
+    import shutil
+    import uuid
+
+    live = os.path.join(store_dir, "live")
+    staged = os.path.join(store_dir, f"v_{batch_id}_{uuid.uuid4().hex[:8]}")
+    merged.write.mode("overwrite").parquet(staged)
+    # atomic publish: repoint the live symlink in ONE rename. A stale
+    # tmp link from a crashed earlier attempt of this batch must not
+    # poison the retry (foreachBatch re-runs failed batches with the
+    # same id), so clear it first (ADVICE r5).
+    tmp_link = os.path.join(store_dir, f".live_tmp_{batch_id}")
+    if os.path.lexists(tmp_link):
+        os.unlink(tmp_link)
+    os.symlink(staged, tmp_link)
+    os.replace(tmp_link, live)
+    # Deferred cleanup (ADVICE r5): keep the IMMEDIATELY-PREVIOUS
+    # version on disk — a concurrent reader that resolved the old
+    # symlink just before the flip may still be scanning it. Anything
+    # older than (current, previous) is unreachable by any reader that
+    # started after the previous flip and is reclaimed here.
+    keep = {os.path.realpath(staged)}
+    if prev_target:
+        keep.add(prev_target)
+    for name in os.listdir(store_dir):
+        if not name.startswith("v_"):
+            continue
+        p = os.path.join(store_dir, name)
+        if os.path.realpath(p) not in keep:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def upsert_batch_writer(
     store_dir: str,
     key_cols: list[str],
@@ -195,43 +237,50 @@ def upsert_batch_writer(
             )
         else:
             merged = fresh
-        # Unique staging dir PER ATTEMPT, not per batch id: if the
-        # driver dies between the symlink flip and the streaming
-        # commit, foreachBatch re-runs the same batch id — a fixed
-        # v_<id> path would then be overwritten while `live` (and the
-        # lazy `existing` scan above) still resolves to it. A fresh
-        # suffix makes the rewrite target always distinct from the
-        # directory being read; the crashed attempt's orphan is
-        # reclaimed by the keep-set sweep on the next successful flip.
-        staged = os.path.join(
-            store_dir, f"v_{_batch_id}_{uuid.uuid4().hex[:8]}"
-        )
-        merged.write.mode("overwrite").parquet(staged)
-        # atomic publish: repoint the live symlink in ONE rename. A
-        # stale tmp link from a crashed earlier attempt of this batch
-        # must not poison the retry (foreachBatch re-runs failed
-        # batches with the same id), so clear it first (ADVICE r5).
-        tmp_link = os.path.join(store_dir, f".live_tmp_{_batch_id}")
-        if os.path.lexists(tmp_link):
-            os.unlink(tmp_link)
-        os.symlink(staged, tmp_link)
-        os.replace(tmp_link, live)
-        # Deferred cleanup (ADVICE r5): keep the IMMEDIATELY-PREVIOUS
-        # version on disk — a concurrent reader that resolved the old
-        # symlink just before the flip may still be scanning it.
-        # Anything older than (current, previous) is unreachable by
-        # any reader that started after the previous flip and is
-        # reclaimed here.
-        keep = {os.path.realpath(staged)}
-        if prev_target:
-            keep.add(prev_target)
-        for name in os.listdir(store_dir):
-            if not name.startswith("v_"):
-                continue
-            p = os.path.join(store_dir, name)
-            if os.path.realpath(p) not in keep:
-                shutil.rmtree(p, ignore_errors=True)
+        _publish_version(store_dir, _batch_id, merged, prev_target)
 
     write_batch.store_dir = store_dir
     write_batch.key_cols = tuple(key_cols)
+    return write_batch
+
+
+def countmin_merge_batch_writer(
+    store_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming frequency-sketch maintenance: each micro-batch's
+    count-min cells merge into the live store by cell-wise SUM —
+    associative and commutative, so the final counter table is
+    independent of micro-batch boundaries (the merge law measured
+    exact at 20M rows in BENCH_scale_r06.json's merge_laws section).
+    That batch-split independence is what makes the streaming entry
+    exactly oracle-checkable as a whole-input sketch replay. Store
+    layout and crash/retry semantics are `_publish_version`'s (shared
+    with the upsert sink); the store stays bounded at depth x width
+    rows forever, whatever the stream's volume."""
+    import os
+
+    from ..operators.sketch import countmin_table
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = countmin_table(batch_df, key_col, depth=depth, width=width)
+        live = os.path.join(store_dir, "live")
+        prev_target = (
+            os.path.realpath(live) if os.path.exists(live) else None
+        )
+        if prev_target:
+            merged = (
+                spark.read.parquet(live)
+                .unionByName(fresh)
+                .groupBy("row", "pos")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = fresh
+        _publish_version(store_dir, _batch_id, merged, prev_target)
+
+    write_batch.store_dir = store_dir
     return write_batch

@@ -442,3 +442,50 @@ def test_admission_stream_static_join_plan_shape(spark, sf_small, tmp_path):
     assert "band" in join_line and "band_hash" in join_line, join_line
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_countmin_merge_sink_split_independent(spark, tmp_path):
+    """Four micro-batches through the count-min merge sink must equal
+    the whole-input sketch cell for cell (the merge law end-to-end
+    through the streaming engine + symlink store)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_bootcamp_spark.operators.sketch import (
+        countmin_table,
+    )
+    from data_engineering_bootcamp_spark.streaming.sinks import (
+        countmin_merge_batch_writer,
+    )
+
+    rows = [(i, i % 37) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id"])
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(store, exist_ok=True)
+    df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            countmin_merge_batch_writer(store, "user_id", depth=3, width=64)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = spark.read.parquet(os.path.join(store, "live"))
+    whole = countmin_table(df, "user_id", depth=3, width=64)
+    assert got.exceptAll(whole).count() == 0
+    assert whole.exceptAll(got).count() == 0
+    # only current + previous versions retained
+    versions = [n for n in os.listdir(store) if n.startswith("v_")]
+    assert len(versions) <= 2
