@@ -33,6 +33,7 @@ SKIP = {
     "streaming_neardup_admission",
     "streaming_interval_join",
     "streaming_upsert_sink",
+    "streaming_countmin",
     "bucketed_join_rollup",
     "partitioned_prune_rollup",
     "sorted_layout_rollup",
