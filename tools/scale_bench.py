@@ -757,6 +757,36 @@ def bench_merge_laws(spark) -> dict:
     whole.unpersist()
     merged.unpersist()
 
+    # histogram-bin merge law: bin counts over halves add to the whole
+    # (what lets histogram_quantiles run as per-day partials)
+    def bins(part):
+        return (
+            part.select(
+                F.floor(F.col("amount") / F.lit(5.0)).cast("long").alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    t0 = time.perf_counter()
+    whole_b = bins(fact).persist()
+    whole_b.count()
+    merged_b = (
+        bins(fact.where(F.col("row_id") % 2 == 0))
+        .unionByName(bins(fact.where(F.col("row_id") % 2 == 1)))
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("cnt"))
+        .persist()
+    )
+    merged_b.count()
+    out["histogram_merge_sec"] = round(time.perf_counter() - t0, 3)
+    out["histogram_merge_exact"] = (
+        merged_b.exceptAll(whole_b).count() == 0
+        and whole_b.exceptAll(merged_b).count() == 0
+    )
+    whole_b.unpersist()
+    merged_b.unpersist()
+
     # agg-state merge law on the 20M fact
     def st(part):
         return part.groupBy("user_key").agg(
