@@ -224,6 +224,81 @@ def _bruteforce_topk(
     )
 
 
+def _jvm_exact_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    max_queries: int,
+    what: str,
+    label_col: str | None = None,
+) -> DataFrame:
+    """Pure-Catalyst exact-top-k twin of `_bruteforce_topk`: the
+    bounded queries side is BROADCAST (never collected into Python),
+    scoring is a BroadcastNestedLoopJoin producing |corpus|×|queries|
+    rows map-side, and the cosine is the `cosine_similarity`
+    expression — `F.aggregate`'s left-to-right fold, so the
+    pre-rounding double is bit-identical to a sequential-SUM oracle
+    (DuckDB `list_sum`). The numpy kernel sums pairwise; its doubles
+    only agree with such an oracle AFTER the 6dp round — float luck
+    exactly at rounding boundaries, which this path removes. Same
+    output contract, same NULL-label / self-pair semantics, same
+    enforced query bound (guarded with a limit-count, not a collect).
+    Each side's norm is computed once per ROW before the join (not
+    once per pair) — deterministic per row, so the quotient's doubles
+    are unchanged; the fold count drops from 3 to 1 per pair."""
+    _require_integral_ids(queries, id_col, what)
+    _require_integral_ids(corpus, id_col, what)
+    if label_col is not None:
+        _require_integral_ids(queries, label_col, what)
+        _require_integral_ids(corpus, label_col, what)
+        queries = queries.where(F.col(label_col).isNotNull())
+        corpus = corpus.where(F.col(label_col).isNotNull())
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"queries side of {what} exceeds the driver-side bound of "
+            f"{max_queries} rows — this side is a bounded dim-table by "
+            "contract; repartition the workload (blocked/banded path) "
+            "or raise the cap explicitly if the driver can hold it"
+        )
+    # per-element double cast BEFORE multiplying, matching the oracle's
+    # qv[i]::DOUBLE * cv[i]::DOUBLE (a float32*float32 product rounds
+    # differently than the widened-first product)
+    dvec = "array<double>"
+    q_cols = [
+        F.col(id_col).cast("long").alias("qid"),
+        F.col(vec_col).cast(dvec).alias("qv"),
+    ]
+    c_cols = [
+        F.col(id_col).cast("long").alias("nid"),
+        F.col(vec_col).cast(dvec).alias("cv"),
+    ]
+    if label_col is not None:
+        q_cols.append(F.col(label_col).cast("long").alias("qlbl"))
+        c_cols.append(F.col(label_col).cast("long").alias("nlbl"))
+    q = queries.select(*q_cols).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(*c_cols).withColumn("cn", _norm(F.col("cv")))
+    joined = c.crossJoin(F.broadcast(q)).where(F.col("nid") != F.col("qid"))
+    if label_col is not None:
+        joined = joined.where(F.col("nlbl") != F.col("qlbl"))
+    scored = joined.select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -258,6 +333,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     max_queries: int = 100_000,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: per anchor
     (query) vector, the top-k nearest corpus vectors that do NOT share
@@ -270,9 +346,22 @@ def hard_negatives(
     so the returned k are genuine negatives even when the anchor's own
     class dominates its neighborhood. NULL-labeled vectors are
     excluded on both sides (SQL `<>` semantics); `label_col` must be
-    integral (enforced). Self-pairs excluded. Output
-    (query_id, neighbor_id, cosine DOUBLE, rank INT).
+    integral (enforced on the arrow kernel). Self-pairs excluded.
+    Output (query_id, neighbor_id, cosine DOUBLE, rank INT).
+
+    ``kernel="jvm"`` selects `_jvm_exact_topk` — same results, but the
+    cosine is a left-to-right expression fold whose pre-rounding
+    doubles are bit-identical to a sequential-SUM SQL oracle (the
+    numpy matmul kernel sums pairwise, so its doubles only agree with
+    an oracle AFTER 6dp rounding — float luck at rounding boundaries).
     """
+    if kernel == "jvm":
+        return _jvm_exact_topk(
+            corpus, queries, k, id_col, vec_col, max_queries,
+            "hard_negatives", label_col=label_col,
+        )
+    if kernel != "arrow":
+        raise ValueError(f"kernel must be 'arrow' or 'jvm', got {kernel!r}")
     return _bruteforce_topk(
         corpus, queries, k, id_col, vec_col, max_queries,
         "hard_negatives", label_col=label_col,

@@ -64,8 +64,6 @@ def q_pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scale shuffle); the window total and the pivot then run
     over the tiny |sources| x |langs| relation.
     """
-    from pyspark.sql import Window
-
     docs = _t(spark, sf_dir, "documents")
     by_lang = docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -111,7 +109,11 @@ def q_unpivot_region_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the melt a metrics store ingests. `DataFrame.unpivot` is a
     zero-shuffle generator projection (each input row fans out to 3
     output rows map-side); all values cast to one double column, the
-    unpivot type contract. Dimension joins are broadcast.
+    unpivot type contract. Dimension joins are broadcast. Money is
+    summed as cents-as-BIGINT (this file's money convention, cf.
+    `q_rolling_time_revenue`) — the exact integer survives the
+    unpivot's double cast losslessly, where a ROUND(SUM(double)) would
+    be partition-order dependent.
     """
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -123,20 +125,25 @@ def q_unpivot_region_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
             F.count(F.lit(1)).cast("double").alias("n_orders"),
             F.countDistinct("c_custkey").cast("double").alias("n_customers"),
         )
     )
     return wide.unpivot(
-        ["r_name"], ["revenue", "n_orders", "n_customers"], "metric", "value"
+        ["r_name"],
+        ["revenue_cents", "n_orders", "n_customers"],
+        "metric",
+        "value",
     )
 
 
 ORACLE_UNPIVOT_REGION_METRICS = """
 WITH wide AS (
   SELECT r.r_name,
-         ROUND(SUM(o.o_totalprice), 2) AS revenue,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
          COUNT(*) AS n_orders,
          COUNT(DISTINCT c.c_custkey) AS n_customers
   FROM orders o
@@ -144,7 +151,8 @@ WITH wide AS (
   JOIN nation n ON c.c_nationkey = n.n_nationkey
   JOIN region r ON n.n_regionkey = r.r_regionkey
   GROUP BY r.r_name)
-SELECT r_name, 'revenue' AS metric, revenue::DOUBLE AS value FROM wide
+SELECT r_name, 'revenue_cents' AS metric, revenue_cents::DOUBLE AS value
+FROM wide
 UNION ALL
 SELECT r_name, 'n_orders', n_orders::DOUBLE FROM wide
 UNION ALL
@@ -217,10 +225,15 @@ def q_corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    rate = (
-        F.lit(20)
-        + F.lit(5)
-        * (F.regexp_extract("source", r"(\d+)", 1).cast("int") % 7)
+    # a source with no digits extracts '' -> NULL int; coalesce to
+    # bucket 0 (rate 20) so both engines stay defined and agree (the
+    # raw CAST would silently NULL-drop the source in Spark and raise
+    # a conversion error in DuckDB)
+    rate = F.lit(20) + F.lit(5) * (
+        F.coalesce(
+            F.regexp_extract("source", r"(\d+)", 1).cast("int"), F.lit(0)
+        )
+        % 7
     )
     kept = weighted_mix(docs, ["source"], "doc_id", rate)
     totals = docs.groupBy("source").agg(
@@ -246,7 +259,8 @@ def q_corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CORPUS_MIX_PLAN = r"""
 WITH rated AS (
   SELECT doc_id, source, n_chars,
-         20 + 5 * (CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 7)
+         20 + 5 * (COALESCE(TRY_CAST(regexp_extract(source, '(\d+)', 1)
+                            AS INT), 0) % 7)
            AS rate_pct,
          ROW_NUMBER() OVER (
            PARTITION BY source
@@ -441,51 +455,59 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog_write import _snapshot
 
     stream, cleanup = _events_file_stream(spark, sf_dir)
-    clicks = stream.where(
-        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
-    ).select("user_id", F.col("event_id").alias("click_id"), "ts")
-    purchases = stream.where(
-        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
-    ).select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("p_ts"),
-    )
-    joined = interval_join_streams(
-        clicks,
-        purchases,
-        key="user_id",
-        left_ts="ts",
-        right_ts="p_ts",
-        within="30 minutes",
-        watermark="1 hour",
-    ).select(
-        F.col("l.user_id").alias("user_id"),
-        "click_id",
-        "purchase_id",
-        (F.unix_timestamp("p_ts") - F.unix_timestamp("ts")).alias(
-            "secs_after"
-        ),
-    )
-    out = tempfile.mkdtemp(prefix="stream_ssj_out_")
-    ckpt = tempfile.mkdtemp(prefix="stream_ssj_ckpt_")
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .queryName(f"stream_ssj_{uuid.uuid4().hex[:8]}")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # everything past this point runs inside try/finally: a failure in
+    # plan construction or .start() (analysis errors surface at start
+    # time) must still release the stream-source symlink dir and any
+    # temp dirs already created
+    out = ckpt = None
     try:
+        clicks = stream.where(
+            (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+        ).select("user_id", F.col("event_id").alias("click_id"), "ts")
+        purchases = stream.where(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+        ).select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        joined = interval_join_streams(
+            clicks,
+            purchases,
+            key="user_id",
+            left_ts="ts",
+            right_ts="p_ts",
+            within="30 minutes",
+            watermark="1 hour",
+        ).select(
+            F.col("l.user_id").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("ts")).alias(
+                "secs_after"
+            ),
+        )
+        out = tempfile.mkdtemp(prefix="stream_ssj_out_")
+        ckpt = tempfile.mkdtemp(prefix="stream_ssj_ckpt_")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName(f"stream_ssj_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination()
         q.stop()
         return _snapshot(spark.read.parquet(out))
     finally:
         cleanup()
-        shutil.rmtree(out, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
+        if out is not None:
+            shutil.rmtree(out, ignore_errors=True)
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 ORACLE_STREAMING_INTERVAL_JOIN = """
@@ -607,26 +629,30 @@ def q_streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id").isNotNull())
         .select("event_id", "ts", "user_id", "event_type")
     )
-    src = tempfile.mkdtemp(prefix="stream_upsert_src_")
-    ev.repartition(4).write.mode("overwrite").parquet(src)
-    store = tempfile.mkdtemp(prefix="stream_upsert_store_")
-    ckpt = tempfile.mkdtemp(prefix="stream_upsert_ckpt_")
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .format("parquet")
-        .load(src)
-    )
-    q = (
-        stream.writeStream.foreachBatch(
-            upsert_batch_writer(store, ["user_id"], ["ts", "event_id"])
-        )
-        .option("checkpointLocation", ckpt)
-        .queryName(f"stream_upsert_{uuid.uuid4().hex[:8]}")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # all temp dirs are created inside the try so a failure anywhere —
+    # the source write, stream construction, or .start() — still
+    # reaches the finally and removes whatever was already made
+    src = store = ckpt = None
     try:
+        src = tempfile.mkdtemp(prefix="stream_upsert_src_")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        store = tempfile.mkdtemp(prefix="stream_upsert_store_")
+        ckpt = tempfile.mkdtemp(prefix="stream_upsert_ckpt_")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                upsert_batch_writer(store, ["user_id"], ["ts", "event_id"])
+            )
+            .option("checkpointLocation", ckpt)
+            .queryName(f"stream_upsert_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination()
         q.stop()
         got = spark.read.parquet(os.path.join(store, "live")).select(
@@ -637,9 +663,9 @@ def q_streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return _snapshot(got)
     finally:
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(store, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
+        for d in (src, store, ckpt):
+            if d is not None:
+                shutil.rmtree(d, ignore_errors=True)
 
 
 ORACLE_STREAMING_UPSERT_SINK = """
@@ -811,8 +837,6 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, term) makes the partition row count equal df; top-3 per doc
     is one window shuffle on doc_id. All Catalyst, no Python. n_docs
     comes from a parquet metadata count (no data read)."""
-    from pyspark.sql import Window
-
     docs = _t(spark, sf_dir, "documents")
     n_docs = F.lit(docs.count())
     toks = docs.select(
@@ -902,8 +926,6 @@ def q_rolling_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the daily rollup, one window shuffle on priority; the window
     state at scale is bounded by the frame horizon per partition.
     """
-    from pyspark.sql import Window
-
     daily = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority", F.col("o_orderdate").alias("d"))
@@ -971,8 +993,6 @@ def q_doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     no aggregate-plus-join-back re-scan); one final groupBy(doc).
     Three keyed shuffles, zero joins, all Catalyst.
     """
-    from pyspark.sql import Window
-
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",

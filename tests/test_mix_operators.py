@@ -999,6 +999,48 @@ def test_hard_negatives_masks_same_label(spark):
     assert hard_negatives(emb, emb.where(F.lit(False)), k=2).count() == 0
 
 
+def test_hard_negatives_jvm_kernel_matches_arrow(spark):
+    from data_engineering_bootcamp_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    # deterministic pseudo-random fixture: 40 vectors, dim 8, 3 labels
+    rows = [
+        (
+            i,
+            [float((i * 7 + j * 13 + (i * j) % 11) % 17) - 8.0
+             for j in range(8)],
+            i % 3,
+        )
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    anchors = emb.where(F.col("vec_id") < 5)
+
+    def key(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in df.collect()
+        )
+
+    arrow = key(hard_negatives(emb, anchors, k=4))
+    jvm = key(hard_negatives(emb, anchors, k=4, kernel="jvm"))
+    assert arrow == jvm
+    assert len(arrow) == 5 * 4
+    # jvm path: empty anchors, null labels, and the query bound behave
+    # the same as the arrow kernel
+    assert (
+        hard_negatives(emb, emb.where(F.lit(False)), k=2, kernel="jvm")
+        .count() == 0
+    )
+    with pytest.raises(ValueError, match="bound"):
+        hard_negatives(emb, anchors, k=2, kernel="jvm", max_queries=2)
+    with pytest.raises(ValueError, match="kernel"):
+        hard_negatives(emb, anchors, k=2, kernel="blas")
+
+
 def test_bloom_prune_no_false_negatives_and_cap(spark):
     from data_engineering_bootcamp_spark.operators.sketch import (
         bloom_prune,
