@@ -111,3 +111,68 @@ def asof_join(
         ],
     )
     return filled.where(F.col("_side") == probe_side).drop("_side")
+
+
+def interpolate_linear(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    out_col: str = "y_interp",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Linear interpolation of NULL gaps in a per-key series — the
+    hypertable/timescale `interpolate()` analog (the reference's
+    cumulative-table lessons carry state across gaps with window
+    `last()`; this extends that pattern to value reconstruction).
+
+    For every row, `out_col` is
+      - `y` itself where observed (round-tripped through the same
+        ROUND so observed and interpolated values share a dtype
+        contract),
+      - `prev_y + (next_y - prev_y) * (x - prev_x) / (next_x - prev_x)`
+        (rounded HALF_UP to `ndigits`) where `y` IS NULL and both an
+        earlier and a later observation exist in the key's series,
+      - NULL at edges (no observation on one side).
+
+    `x_col` may be a date or any numeric; spacing need not be uniform
+    (the formula uses true x distances). Rows must be unique per
+    (keys, x).
+
+    Scale: TWO window passes over ONE hash partitioning by `keys`
+    (backward last + forward first, both ignore-nulls linear scans) —
+    never a self-join against the observation set, so cost is
+    O(rows) per key regardless of gap lengths. Interpolation is
+    inherently sequential per key; parallelism comes from the key
+    space, the same contract as any window operator.
+    """
+    xc = F.col(x_col)
+    x_num = (
+        F.datediff(xc, F.lit("1970-01-01").cast("date")).cast("double")
+        if str(df.schema[x_col].dataType).startswith("Date")
+        else xc.cast("double")
+    )
+    back = (
+        Window.partitionBy(*keys)
+        .orderBy(xc.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(xc.asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    y = F.col(y_col).cast("double")
+    obs_x = F.when(y.isNotNull(), x_num)
+    prev_y = F.last(F.when(y.isNotNull(), y), ignorenulls=True).over(back)
+    prev_x = F.last(obs_x, ignorenulls=True).over(back)
+    next_y = F.first(F.when(y.isNotNull(), y), ignorenulls=True).over(fwd)
+    next_x = F.first(obs_x, ignorenulls=True).over(fwd)
+    interp = F.when(y.isNotNull(), F.round(y, ndigits)).otherwise(
+        F.round(
+            prev_y
+            + (next_y - prev_y) * (x_num - prev_x) / (next_x - prev_x),
+            ndigits,
+        )
+    )
+    return df.withColumn(out_col, interp)

@@ -1295,6 +1295,13 @@ from .catalog_mix import MIX_ORACLES, MIX_QUERIES  # noqa: E402
 QUERIES.update(MIX_QUERIES)
 ORACLES.update(MIX_ORACLES)
 
+# late round-6 additions (fuzzy entity matching, gap interpolation,
+# and the remaining curation-surface sketches)
+from .catalog_late import LATE_ORACLES, LATE_QUERIES  # noqa: E402
+
+QUERIES.update(LATE_QUERIES)
+ORACLES.update(LATE_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Gate ordering. The round driver gates exactly the FIRST `GATE_CAP`
 # entries of queries(), so registry order is a correctness-visibility
@@ -1399,6 +1406,9 @@ _GATE_FIRST = [
 ]
 
 _GATE_REST = [
+    # late round-6 additions staged here until the final rotation pass
+    "fuzzy_customer_pairs",    # NEW r6: PassJoin edit-distance blocking
+    "interpolate_daily_revenue",  # NEW r6: gap-fill + linear interpolate
     # Every entry below carries a green cumulative driver CORRECTNESS
     # row (round noted); all still oracle-checked in-repo by
     # tools/gate_check.py every round.

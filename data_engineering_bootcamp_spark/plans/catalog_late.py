@@ -1,0 +1,175 @@
+"""Late round-6 catalog entries: fuzzy entity matching, time-series
+gap interpolation, and the sketch/interval additions that round out
+the curation-pipeline surface. Same contract as every other catalog
+module: each `q_*` takes (spark, sf_dir) and returns a DataFrame whose
+columns match its ORACLE_* DuckDB SQL twin exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity matching (PassJoin lossless edit-distance blocking)
+# ---------------------------------------------------------------------------
+
+def q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity matching: every customer-name pair within
+    ONE Levenshtein edit, found by `fuzzy.fuzzy_join`'s PassJoin
+    segment blocking (equi join on (length, slot, segment) — never a
+    cross join), then aggregated to per-distance pair statistics with
+    an id checksum so the oracle verifies the exact pair SET, not just
+    its size. The oracle computes ground truth all-pairs (feasible at
+    gate scale; the Spark side stays blocked at any scale)."""
+    from ..operators.fuzzy import fuzzy_join
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = fuzzy_join(cust, "c_custkey", "c_name", max_dist=1)
+    return pairs.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("id_a").alias("n_left_ids"),
+        F.sum(F.col("id_a") * 31 + F.col("id_b")).alias("pair_checksum"),
+    )
+
+
+ORACLE_FUZZY_CUSTOMER_PAIRS = """
+WITH p AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         levenshtein(a.c_name, b.c_name) AS dist
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND abs(length(a.c_name) - length(b.c_name)) <= 1)
+SELECT dist, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT id_a) AS n_left_ids,
+       SUM(id_a * 31 + id_b)::BIGINT AS pair_checksum
+FROM p WHERE dist <= 1 GROUP BY dist
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling + linear interpolation (hypertable analog)
+# ---------------------------------------------------------------------------
+
+def q_interpolate_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gap-filled, linearly interpolated daily revenue per order
+    priority — the timescale/hypertable `time_bucket_gapfill +
+    interpolate()` pattern as one date-spine build plus TWO window
+    passes over a single hash partitioning (`temporal.
+    interpolate_linear`; never a self-join against the observation
+    set).
+
+    A deterministic outage mask (days of month divisible by 5) NULLs
+    out observed revenue so the interpolation path is actually
+    exercised; spine days with no orders are gaps too. Revenue is
+    summed as cents-as-BIGINT before the double conversion (the
+    module's money convention), so pre-interpolation inputs are exact
+    integers in both engines and the interpolated doubles are
+    bit-reproducible. Output: one row per (priority, day) with a
+    status column and the reconstructed series."""
+    from ..operators.temporal import interpolate_linear
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    spine = (
+        daily.groupBy("prio")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "prio", F.explode(F.sequence("d0", "d1")).alias("d")
+        )
+    )
+    masked = (
+        spine.join(daily, ["prio", "d"], "left")
+        .withColumn(
+            "y",
+            F.when(F.dayofmonth("d") % 5 == 0, F.lit(None)).otherwise(
+                F.col("cents").cast("double")
+            ),
+        )
+    )
+    filled = interpolate_linear(masked, ["prio"], "d", "y", "value", 6)
+    return filled.select(
+        "prio",
+        "d",
+        F.when(F.col("y").isNotNull(), "observed")
+        .when(F.col("value").isNotNull(), "interpolated")
+        .otherwise("edge")
+        .alias("status"),
+        "value",
+    )
+
+
+ORACLE_INTERPOLATE_DAILY_REVENUE = """
+WITH daily AS (
+  SELECT o_orderpriority AS prio, o_orderdate AS d,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2),
+bounds AS (
+  SELECT prio, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY prio),
+spine AS (
+  SELECT b.prio, CAST(gs.g AS DATE) AS d
+  FROM bounds b,
+       LATERAL (SELECT unnest(generate_series(b.d0, b.d1,
+                                              INTERVAL 1 DAY)) AS g) gs),
+masked AS (
+  SELECT s.prio, s.d,
+         CASE WHEN EXTRACT(DAY FROM s.d) % 5 = 0 THEN NULL
+              ELSE CAST(dl.cents AS DOUBLE) END AS y,
+         CAST(s.d - DATE '1970-01-01' AS DOUBLE) AS x
+  FROM spine s LEFT JOIN daily dl ON s.prio = dl.prio AND s.d = dl.d),
+ctx AS (
+  SELECT prio, d, y, x,
+         LAST_VALUE(y IGNORE NULLS) OVER (
+           PARTITION BY prio ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN y IS NOT NULL THEN x END IGNORE NULLS)
+           OVER (PARTITION BY prio ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+         FIRST_VALUE(y IGNORE NULLS) OVER (
+           PARTITION BY prio ORDER BY d
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN y IS NOT NULL THEN x END IGNORE NULLS)
+           OVER (PARTITION BY prio ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+  FROM masked)
+SELECT prio, d,
+       CASE WHEN y IS NOT NULL THEN 'observed'
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'
+            ELSE 'edge' END AS status,
+       CASE WHEN y IS NOT NULL THEN ROUND(y, 6)
+            ELSE ROUND(pv + (nv - pv) * (x - px) / (nx - px), 6)
+       END AS value
+FROM ctx
+"""
+
+
+LATE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "fuzzy_customer_pairs": q_fuzzy_customer_pairs,
+    "interpolate_daily_revenue": q_interpolate_daily_revenue,
+}
+
+LATE_ORACLES: dict[str, str] = {
+    "fuzzy_customer_pairs": ORACLE_FUZZY_CUSTOMER_PAIRS,
+    "interpolate_daily_revenue": ORACLE_INTERPOLATE_DAILY_REVENUE,
+}

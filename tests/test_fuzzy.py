@@ -1,0 +1,96 @@
+"""Unit tests for the PassJoin fuzzy edit-distance self-join:
+hand-built edit cases, a brute-force DP cross-check on a
+pseudo-random corpus, and the degenerate short-string edges."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_engineering_bootcamp_spark.operators.fuzzy import fuzzy_join
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _brute(rows, d):
+    return sorted(
+        (ia, ib, _lev(sa, sb))
+        for ia, sa in rows
+        for ib, sb in rows
+        if ia < ib and _lev(sa, sb) <= d
+    )
+
+
+def _got(spark, rows, d):
+    df = spark.createDataFrame(rows, "fid long, name string")
+    return sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_join(df, "fid", "name", d).collect()
+    )
+
+
+def test_fuzzy_join_edit_kinds(spark):
+    # substitution, insertion, deletion — each once at start/middle/end
+    rows = [
+        (0, "kitten"),
+        (1, "mitten"),    # sub at start, d=1
+        (2, "kittex"),    # sub at end, d=1
+        (3, "kitteny"),   # insert at end, d=1
+        (4, "kittn"),     # delete in middle, d=1
+        (5, "sitting"),   # the classic d=3
+        (6, "kitten"),    # exact duplicate -> dist 0 pair
+    ]
+    assert _got(spark, rows, 1) == _brute(rows, 1)
+    assert _got(spark, rows, 2) == _brute(rows, 2)
+    assert _got(spark, rows, 3) == _brute(rows, 3)
+    # the d=3 set must include the kitten/sitting pair
+    assert (0, 5, 3) in _got(spark, rows, 3)
+    # dist-0 duplicate pair present at every threshold
+    assert (0, 6, 0) in _got(spark, rows, 1)
+
+
+def test_fuzzy_join_matches_bruteforce_random(spark):
+    # deterministic pseudo-random corpus over a tiny alphabet so near
+    # pairs are common; lossless blocking must equal the DP ground
+    # truth exactly at several thresholds
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(3, 9))))
+        for i in range(60)
+    ]
+    for d in (1, 2):
+        assert _got(spark, rows, d) == _brute(rows, d), f"d={d}"
+
+
+def test_fuzzy_join_short_and_empty_strings(spark):
+    rows = [(0, ""), (1, "a"), (2, "b"), (3, "ab"), (4, "xyz")]
+    assert _got(spark, rows, 1) == _brute(rows, 1)
+    assert _got(spark, rows, 2) == _brute(rows, 2)
+    # null ids and null strings are excluded, not crashed on
+    df = spark.createDataFrame(
+        [(0, "aa"), (1, None), (None, "ab"), (2, "ab")],
+        "fid long, name string",
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_join(df, "fid", "name", 1).collect()
+    )
+    assert got == [(0, 2, 1)]
+
+
+def test_fuzzy_join_rejects_bad_threshold(spark):
+    df = spark.createDataFrame([(0, "a")], "fid long, name string")
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_join(df, "fid", "name", 0)
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_join(df, "fid", "name", 9)

@@ -134,3 +134,52 @@ def test_asof_matches_duckdb_native(spark, sf_dir):
         """
     ).fetchone()
     assert (got["n"], got["n_matched"], got["sum_ok"]) == want
+
+
+def test_interpolate_linear_numeric_x(spark):
+    from data_engineering_bootcamp_spark.operators.temporal import (
+        interpolate_linear,
+    )
+
+    # non-uniform x spacing: gap between x=2 (y=10) and x=8 (y=40)
+    # interpolates at true x distance, not row position
+    rows = [
+        ("a", 2, 10.0),
+        ("a", 4, None),   # 10 + 30*(2/6) = 20
+        ("a", 7, None),   # 10 + 30*(5/6) = 35
+        ("a", 8, 40.0),
+        ("a", 1, None),   # leading edge -> NULL
+        ("a", 9, None),   # trailing edge -> NULL
+        ("b", 1, 5.0),    # key isolation: single observation
+        ("b", 2, None),   # no following obs -> NULL
+    ]
+    df = spark.createDataFrame(rows, "k string, x int, y double")
+    got = {
+        (r.k, r.x): r.y_interp
+        for r in interpolate_linear(df, ["k"], "x", "y").collect()
+    }
+    assert got[("a", 2)] == 10.0 and got[("a", 8)] == 40.0
+    assert got[("a", 4)] == 20.0
+    assert got[("a", 7)] == 35.0
+    assert got[("a", 1)] is None and got[("a", 9)] is None
+    assert got[("b", 1)] == 5.0 and got[("b", 2)] is None
+
+
+def test_interpolate_linear_dates_and_rounding(spark):
+    from data_engineering_bootcamp_spark.operators.temporal import (
+        interpolate_linear,
+    )
+    import datetime as dt
+
+    d = dt.date
+    rows = [
+        ("a", d(2024, 1, 1), 0.0),
+        ("a", d(2024, 1, 2), None),  # 1/3 of the way -> 0.333333
+        ("a", d(2024, 1, 4), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, x date, y double")
+    got = {
+        r.x.day: r.y_interp
+        for r in interpolate_linear(df, ["k"], "x", "y").collect()
+    }
+    assert got[2] == 0.333333  # HALF_UP at 6dp
