@@ -271,6 +271,93 @@ def countmin_estimates(
     )
 
 
+_HLL_HASH_BITS = 60  # md5-replayable hash width (dedup.md5_hash60)
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, p: int = 10, hash_fn: str = "md5"
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) for
+    `key_col`: (register INT, max_rho INT), m = 2^p registers.
+
+    Register = top p bits of the 60-bit hash; rho = position of the
+    leftmost 1-bit in the remaining W = 60-p bits (W+1 when they are
+    all zero). rho is derived from the BINARY-STRING length
+    (`W - length(bin(rest)) + 1`) — pure integer/string ops that
+    Spark's `bin` and DuckDB's `bin` compute identically, so a SQL
+    oracle replays every register exactly (no floating log2 whose
+    floor could disagree at powers of two).
+
+    ONE map-side-combinable groupBy builds it; the result is bounded
+    by m rows regardless of input size, and two register tables MERGE
+    by register-wise MAX — the property that lets a 100 TB cardinality
+    pass run as per-partition/per-day partials (asserted in tests).
+    Output is integer-only; the float estimate lives driver-side in
+    `hll_estimate`, same division-of-labor as `linear_count`."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_registers: p must be in [4, 16], got {p}")
+    w = _HLL_HASH_BITS - p
+    h = _hash60(F.col(key_col), "hll", hash_fn)
+    rest = h.bitwiseAND(F.lit((1 << w) - 1))
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - F.length(F.bin(rest)) + F.lit(1)
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            F.shiftright(h, w).cast("int").alias("register"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_summary(registers: DataFrame, p: int = 10) -> DataFrame:
+    """One-row integer sufficient statistics of an HLL register table:
+    (m, n_zero, sum_rho, t_scaled) where
+    `t_scaled = n_zero * 2^(W+1) + SUM(2^(W+1 - max_rho))` is the
+    harmonic denominator SUM(2^-M_j) scaled by 2^(W+1) — an exact
+    BIGINT (max m * 2^51 = 2^61 at p=10), so the oracle hash never
+    touches a float. `hll_estimate` turns it into the cardinality."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_summary: p must be in [4, 16], got {p}")
+    m = 1 << p
+    rcap = _HLL_HASH_BITS - p + 1  # max_rho's own upper bound
+    return registers.agg(
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("n_zero"),
+        F.sum("max_rho").cast("long").alias("sum_rho"),
+        (
+            (F.lit(m) - F.count(F.lit(1)))
+            * F.lit(1 << rcap)
+            # SQL form: the python shiftleft() only takes a literal
+            # shift; the expression form shifts by a per-row amount
+            + F.sum(F.expr(f"shiftleft(1L, {rcap} - max_rho)"))
+        )
+        .cast("long")
+        .alias("t_scaled"),
+    )
+
+
+def hll_estimate(t_scaled: int, n_zero: int, m: int, p: int = 10) -> float:
+    """Cardinality from `hll_summary` stats. Driver-side on purpose
+    (libm is not cross-engine bit-stable; the columns stay integer).
+    Standard HLL: alpha_m * m^2 / SUM(2^-M_j), with the small-range
+    linear-counting correction when the raw estimate <= 2.5m and empty
+    registers remain. Standard error ~1.04/sqrt(m) (3.25% at p=10),
+    pinned in tests."""
+    rcap = _HLL_HASH_BITS - p + 1
+    if m != (1 << p):
+        raise ValueError(f"hll_estimate: m={m} inconsistent with p={p}")
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    denom = t_scaled / float(1 << rcap)  # SUM(2^-M_j)
+    raw = alpha * m * m / denom
+    if raw <= 2.5 * m and n_zero > 0:
+        return float(m) * math.log(m / float(n_zero))
+    return raw
+
+
 def linear_count_estimate(occupied: int, m_bits: int) -> float:
     """-m * ln(1 - occupied/m), the linear-counting estimator. Driver-
     side on purpose: libm log is not cross-engine bit-stable, so the

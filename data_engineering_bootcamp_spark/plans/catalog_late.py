@@ -164,12 +164,64 @@ FROM ctx
 """
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog cardinality sketch (mergeable, exactly replayable)
+# ---------------------------------------------------------------------------
+
+def q_hll_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch beside the exact count: one
+    bounded register table (m = 1024 rows from any input size, built
+    by a single map-side-combinable groupBy), summarized to integer
+    sufficient statistics whose every bit the oracle replays — the
+    register index, the leading-zero rank from `bin()` string length,
+    and the 2^51-scaled harmonic denominator are all BIGINT-exact in
+    both engines. The float estimate is deliberately driver-side
+    (`sketch.hll_estimate`, accuracy pinned in tests); mergeability
+    (register-wise MAX across partials) is asserted in tests and the
+    scale bench merge-law section."""
+    from ..operators.sketch import hll_registers, hll_summary
+
+    ev = _t(spark, sf_dir, "events")
+    summ = hll_summary(hll_registers(ev, "user_id", p=10), p=10)
+    exact = ev.where(F.col("user_id").isNotNull()).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return summ.crossJoin(exact)
+
+
+ORACLE_HLL_USER_CARDINALITY = """
+WITH k AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+h AS (
+  SELECT CAST('0x' || substr(md5('hll_' || CAST(user_id AS VARCHAR)),
+                             1, 15) AS BIGINT) AS h
+  FROM k),
+r AS (SELECT h >> 50 AS register, h & ((1::BIGINT << 50) - 1) AS rest
+      FROM h),
+rho AS (
+  SELECT register,
+         CASE WHEN rest = 0 THEN 51
+              ELSE 50 - length(bin(rest)) + 1 END AS rho
+  FROM r),
+regs AS (SELECT register, MAX(rho) AS max_rho FROM rho GROUP BY register)
+SELECT 1024::BIGINT AS m,
+       (1024 - COUNT(*))::BIGINT AS n_zero,
+       SUM(max_rho)::BIGINT AS sum_rho,
+       ((1024 - COUNT(*)) * (1::BIGINT << 51)
+         + SUM(1::BIGINT << (51 - max_rho)))::BIGINT AS t_scaled,
+       (SELECT COUNT(*) FROM k)::BIGINT AS exact_distinct
+FROM regs
+"""
+
+
 LATE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_customer_pairs": q_fuzzy_customer_pairs,
     "interpolate_daily_revenue": q_interpolate_daily_revenue,
+    "hll_user_cardinality": q_hll_user_cardinality,
 }
 
 LATE_ORACLES: dict[str, str] = {
     "fuzzy_customer_pairs": ORACLE_FUZZY_CUSTOMER_PAIRS,
     "interpolate_daily_revenue": ORACLE_INTERPOLATE_DAILY_REVENUE,
+    "hll_user_cardinality": ORACLE_HLL_USER_CARDINALITY,
 }

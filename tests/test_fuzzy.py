@@ -94,3 +94,60 @@ def test_fuzzy_join_rejects_bad_threshold(spark):
         fuzzy_join(df, "fid", "name", 0)
     with pytest.raises(ValueError, match="max_dist"):
         fuzzy_join(df, "fid", "name", 9)
+
+
+def test_hll_accuracy_and_merge_law(spark):
+    from data_engineering_bootcamp_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+        hll_summary,
+    )
+
+    n = 20000
+    df = spark.createDataFrame([(i,) for i in range(n)], "u long")
+    regs = hll_registers(df, "u", p=10)
+    s = hll_summary(regs, p=10).collect()[0]
+    assert s.m == 1024
+    est = hll_estimate(s.t_scaled, s.n_zero, s.m, p=10)
+    # standard error 1.04/sqrt(1024) = 3.25%; allow 4 sigma
+    assert abs(est - n) / n < 0.13
+    # duplicates do not move the sketch
+    dup = df.union(df).union(df)
+    s2 = hll_summary(hll_registers(dup, "u", p=10), p=10).collect()[0]
+    assert (s2.t_scaled, s2.n_zero, s2.sum_rho) == (
+        s.t_scaled, s.n_zero, s.sum_rho,
+    )
+    # merge law: register-wise MAX of two halves == whole
+    lo = spark.createDataFrame([(i,) for i in range(0, n, 2)], "u long")
+    hi = spark.createDataFrame([(i,) for i in range(1, n, 2)], "u long")
+    merged = (
+        hll_registers(lo, "u", p=10)
+        .unionByName(hll_registers(hi, "u", p=10))
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    sm = hll_summary(merged, p=10).collect()[0]
+    assert (sm.t_scaled, sm.n_zero, sm.sum_rho) == (
+        s.t_scaled, s.n_zero, s.sum_rho,
+    )
+
+
+def test_hll_small_range_and_validation(spark):
+    from data_engineering_bootcamp_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+        hll_summary,
+    )
+    import pytest as _pytest
+
+    # tiny cardinality lands in the linear-counting correction and
+    # must still be within a few percent
+    df = spark.createDataFrame([(i,) for i in range(100)] + [(None,)],
+                               "u long")
+    s = hll_summary(hll_registers(df, "u", p=10), p=10).collect()[0]
+    est = hll_estimate(s.t_scaled, s.n_zero, s.m, p=10)
+    assert abs(est - 100) / 100 < 0.10
+    with _pytest.raises(ValueError, match="p must be"):
+        hll_registers(df, "u", p=3)
+    with _pytest.raises(ValueError, match="inconsistent"):
+        hll_estimate(s.t_scaled, s.n_zero, 512, p=10)
