@@ -113,6 +113,83 @@ def asof_join(
     return filled.where(F.col("_side") == probe_side).drop("_side")
 
 
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_fn=None,
+) -> DataFrame:
+    """Concurrent-interval counting by sweep line — "how many sessions
+    were active at each instant" — without ever joining intervals
+    against instants (the naive range join is |intervals| × |probes|).
+
+    Each interval [start, end] INCLUSIVE emits +1 at `start` and -1 at
+    `end + 1µs`; deltas are grouped per distinct instant (so same-
+    instant starts/ends net out before any prefix sum — no tie-order
+    ambiguity), and the running sum at instant t is the number of
+    intervals covering [t, next_t).
+
+    Scale: a GLOBAL running sum would be a single-partition window, so
+    this uses the classic two-phase distributed scan:
+      1. per-BUCKET running sum (window hash-partitioned by
+         `bucket_fn(ts)`, default calendar day) over the grouped
+         deltas;
+      2. per-bucket delta totals — a relation bounded by |buckets|
+         (days/hours, thousands of rows at ANY data size) — prefix-
+         summed by one tiny global window and broadcast back as each
+         bucket's carry-in.
+    One corpus-scale shuffle (the groupBy/window bucket partitioning);
+    the only global window runs on the bounded bucket relation.
+
+    Output: (bucket, ts, n_delta, carry_in, concurrency) — one row per
+    distinct boundary instant; `concurrency` = carry_in + local run.
+    Buckets with no boundary instants are omitted (their concurrency
+    is constant and equals the carry of the next emitted bucket).
+    NULL starts/ends and inverted intervals (end < start) are excluded
+    — they have no defined coverage."""
+    if bucket_fn is None:
+        bucket_fn = F.to_date
+    ivals = df.where(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) >= F.col(start_col))
+    )
+    starts = ivals.select(
+        F.col(start_col).alias("ts"), F.lit(1).alias("delta")
+    )
+    ends = ivals.select(
+        (F.col(end_col) + F.expr("INTERVAL 1 MICROSECOND")).alias("ts"),
+        F.lit(-1).alias("delta"),
+    )
+    per_ts = (
+        starts.unionByName(ends)
+        .groupBy(bucket_fn(F.col("ts")).alias("bucket"), "ts")
+        .agg(F.sum("delta").alias("n_delta"))
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = per_ts.withColumn("run", F.sum("n_delta").over(wloc))
+    totals = per_ts.groupBy("bucket").agg(F.sum("n_delta").alias("bd"))
+    wcarry = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bd").over(wcarry), F.lit(0)).alias("carry_in"),
+    )
+    return local.join(F.broadcast(carry), "bucket").select(
+        "bucket",
+        "ts",
+        "n_delta",
+        "carry_in",
+        (F.col("carry_in") + F.col("run")).alias("concurrency"),
+    )
+
+
 def interpolate_linear(
     df: DataFrame,
     keys: list[str],

@@ -1410,6 +1410,7 @@ _GATE_REST = [
     "fuzzy_customer_pairs",    # NEW r6: PassJoin edit-distance blocking
     "interpolate_daily_revenue",  # NEW r6: gap-fill + linear interpolate
     "hll_user_cardinality",    # NEW r6: HyperLogLog register sketch
+    "session_concurrency_daily",  # NEW r6: sweep-line interval overlap
     # Every entry below carries a green cumulative driver CORRECTNESS
     # row (round noted); all still oracle-checked in-repo by
     # tools/gate_check.py every round.

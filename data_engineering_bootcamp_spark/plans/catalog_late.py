@@ -214,14 +214,111 @@ FROM regs
 """
 
 
+# ---------------------------------------------------------------------------
+# Interval concurrency (sweep line, distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+def q_session_concurrency_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak concurrent sessions per day: 5-minute-gap user sessions
+    (the `sessionization` entry's islands) become [first, last]
+    intervals, swept by `temporal.interval_concurrency` — +1/-1
+    boundary deltas netted per instant, a per-DAY running sum plus a
+    bounded per-day carry prefix (the two-phase distributed scan), so
+    no global single-partition window and no interval×instant range
+    join ever materializes. Daily max includes the day-start carry
+    level (a session spanning midnight raises the next day's floor)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",  # the running-sum window orders on it too
+        F.when(prev.isNull() | ((us - prev) > 300_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = (
+        flagged.withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    from ..operators.temporal import interval_concurrency
+
+    conc = interval_concurrency(sessions, "s", "e")
+    return conc.groupBy(F.col("bucket").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.greatest(F.max("concurrency"), F.max("carry_in")).alias(
+            "max_concurrency"
+        ),
+        (F.max("carry_in") + F.sum("n_delta")).alias("end_concurrency"),
+    )
+
+
+ORACLE_SESSION_CONCURRENCY_DAILY = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 300000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id,
+         ts
+  FROM flagged),
+ivals AS (
+  SELECT MIN(ts) AS s, MAX(ts) AS e FROM sessions
+  GROUP BY user_id, session_id),
+bounds AS (
+  SELECT s AS ts, 1 AS delta FROM ivals
+  UNION ALL
+  SELECT e + INTERVAL 1 MICROSECOND, -1 FROM ivals),
+per_ts AS (
+  SELECT CAST(ts AS DATE) AS bucket, ts, SUM(delta) AS n_delta
+  FROM bounds GROUP BY 1, 2),
+loc AS (
+  SELECT bucket, ts, n_delta,
+         SUM(n_delta) OVER (PARTITION BY bucket ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS run
+  FROM per_ts),
+carry AS (
+  SELECT bucket,
+         COALESCE(SUM(bd) OVER (ORDER BY bucket
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS carry_in
+  FROM (SELECT bucket, SUM(n_delta) AS bd FROM per_ts GROUP BY bucket))
+SELECT l.bucket AS day,
+       COUNT(*) AS n_transitions,
+       GREATEST(MAX(c.carry_in + l.run), MAX(c.carry_in))::BIGINT
+         AS max_concurrency,
+       (MAX(c.carry_in) + SUM(l.n_delta))::BIGINT AS end_concurrency
+FROM loc l JOIN carry c ON l.bucket = c.bucket
+GROUP BY l.bucket
+"""
+
+
 LATE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_customer_pairs": q_fuzzy_customer_pairs,
     "interpolate_daily_revenue": q_interpolate_daily_revenue,
     "hll_user_cardinality": q_hll_user_cardinality,
+    "session_concurrency_daily": q_session_concurrency_daily,
 }
 
 LATE_ORACLES: dict[str, str] = {
     "fuzzy_customer_pairs": ORACLE_FUZZY_CUSTOMER_PAIRS,
     "interpolate_daily_revenue": ORACLE_INTERPOLATE_DAILY_REVENUE,
     "hll_user_cardinality": ORACLE_HLL_USER_CARDINALITY,
+    "session_concurrency_daily": ORACLE_SESSION_CONCURRENCY_DAILY,
 }

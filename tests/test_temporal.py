@@ -183,3 +183,58 @@ def test_interpolate_linear_dates_and_rounding(spark):
         for r in interpolate_linear(df, ["k"], "x", "y").collect()
     }
     assert got[2] == 0.333333  # HALF_UP at 6dp
+
+
+def test_interval_concurrency_sweep(spark):
+    from data_engineering_bootcamp_spark.operators.temporal import (
+        interval_concurrency,
+    )
+    import datetime as dt
+
+    t = lambda h, m=0, s=0: dt.datetime(2024, 1, 1, h, m, s)  # noqa: E731
+    rows = [
+        (t(1), t(3)),        # A: 01-03
+        (t(2), t(4)),        # B: 02-04 (overlaps A)
+        (t(2), t(2)),        # C: point interval at 02
+        (t(5), t(5, 30)),    # D: isolated
+        (None, t(6)),        # excluded: null start
+        (t(7), t(6)),        # excluded: inverted
+        # E spans midnight into Jan 2 -> carry into next bucket
+        (dt.datetime(2024, 1, 1, 23), dt.datetime(2024, 1, 2, 1)),
+    ]
+    df = spark.createDataFrame(rows, "s timestamp, e timestamp")
+    got = {
+        r.ts: (r.concurrency, r.carry_in)
+        for r in interval_concurrency(df, "s", "e").collect()
+    }
+    assert got[t(1)] == (1, 0)          # A starts
+    assert got[t(2)] == (3, 0)          # A + B + point C
+    # C ends 1us after 02:00 -> back to 2
+    assert got[dt.datetime(2024, 1, 1, 2, 0, 0, 1)] == (2, 0)
+    assert got[dt.datetime(2024, 1, 1, 3, 0, 0, 1)] == (1, 0)  # A ends
+    assert got[dt.datetime(2024, 1, 1, 4, 0, 0, 1)] == (0, 0)  # B ends
+    assert got[t(5)] == (1, 0)
+    assert got[t(23)] == (1, 0)         # E starts
+    # E's end boundary lands on Jan 2 with carry_in 1 from Jan 1
+    assert got[dt.datetime(2024, 1, 2, 1, 0, 0, 1)] == (0, 1)
+
+
+def test_interval_concurrency_same_instant_net(spark):
+    from data_engineering_bootcamp_spark.operators.temporal import (
+        interval_concurrency,
+    )
+    import datetime as dt
+
+    # one interval's exclusive end coincides with another's start:
+    # the +1/-1 net at that instant, concurrency stays 1 (no phantom 2)
+    a = dt.datetime(2024, 1, 1, 1)
+    b = dt.datetime(2024, 1, 1, 2, 0, 0, 1)  # starts 1us after A's end
+    rows = [(a, dt.datetime(2024, 1, 1, 2)), (b, dt.datetime(2024, 1, 1, 3))]
+    df = spark.createDataFrame(rows, "s timestamp, e timestamp")
+    got = {
+        r.ts: r.concurrency
+        for r in interval_concurrency(df, "s", "e").collect()
+    }
+    assert got[a] == 1
+    assert got[b] == 1  # -1 (A end) and +1 (B start) net at the instant
+    assert max(got.values()) == 1
