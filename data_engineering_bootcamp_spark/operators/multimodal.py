@@ -410,6 +410,126 @@ def png_resize_roundtrip(content: bytes, factor: int = 2) -> tuple:
     )
 
 
+def png_ahash(content: bytes, grid: int = 8) -> tuple[int, int]:
+    """Average perceptual hash (aHash) of a PNG: REAL decode
+    (`_decode_png_pixels`), nearest-neighbor sample to a grid×grid
+    patch (src index `i*dim // grid`, the same NN convention as the
+    resize kernel), one bit per cell — 1 iff the cell's luminance
+    strictly exceeds the patch mean. Pure integer arithmetic: the
+    luminance is the raw channel SUM (scale-free under the mean
+    comparison, so no /3 rounding), and the threshold is
+    `n*lum > total` — no float mean whose rounding an oracle would
+    have to reproduce.
+
+    Returns (hash_hi, hash_lo): bit i = row-major cell r*grid+c, bits
+    0..31 in `lo`, 32..63 in `hi` — two non-negative ints so both
+    engines stay inside signed-BIGINT shift semantics (a single 64-bit
+    word would put bit 63 in the sign position)."""
+    w, h, ch, px = _decode_png_pixels(content)
+    n = grid * grid
+    lums = []
+    for r in range(grid):
+        y = r * h // grid
+        for c in range(grid):
+            x = c * w // grid
+            o = (y * w + x) * ch
+            lums.append(sum(px[o : o + ch]))
+    total = sum(lums)
+    hi = lo = 0
+    for i, v in enumerate(lums):
+        if n * v > total:
+            if i < 32:
+                lo |= 1 << i
+            else:
+                hi |= 1 << (i - 32)
+    return hi, lo
+
+
+AHASH_SCHEMA = "media_id long, hash_hi long, hash_lo long"
+
+
+def ahash_images(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual-hash extraction stage: Arrow-batched mapInPandas over
+    binary PNG content → (media_id, hash_hi, hash_lo). Narrow plan
+    (fan_out + one Python stage, no shuffle) — the scan shape of a
+    100 TB image-dedup pass; the hash is 16 bytes/row no matter the
+    image size, so everything downstream is skinny."""
+    g = int(grid)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # imported, not redefined: same executor PYTHONPATH contract as
+        # resize_images
+        from data_engineering_bootcamp_spark.operators.multimodal import (
+            png_ahash,
+        )
+
+        for pdf in batches:
+            hashes = [png_ahash(c, g) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "hash_hi": [t[0] for t in hashes],
+                    "hash_lo": [t[1] for t in hashes],
+                }
+            )
+
+    cols = fan_out(media.select("media_id", "content"))
+    return cols.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def ahash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Image near-duplicate pairs within Hamming `max_hamming` of
+    their 64-bit aHash — the same 4×16-bit pigeonhole blocking as
+    `dedup.dedup_simhash` (a pair within Hamming ≤ 3 shares at least
+    one exact 16-bit band), so candidates come from 4 equi-join
+    buckets, never O(n²); the verify is codegen xor + bit_count on the
+    two 32-bit words. Input: `ahash_images` output. Output:
+    (id_a, id_b, hamming INT)."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"ahash_neardup_pairs: max_hamming={max_hamming} exceeds "
+            "the 4-band pigeonhole guarantee — recall would silently "
+            "degrade; use more bands or a MinHash-style index"
+        )
+    mask = (1 << 16) - 1
+    banded = hashes.select(
+        F.col("media_id"),
+        "hash_hi",
+        "hash_lo",
+        F.posexplode(
+            F.array(
+                F.col("hash_lo").bitwiseAND(F.lit(mask)),
+                F.shiftright("hash_lo", 16).bitwiseAND(F.lit(mask)),
+                F.col("hash_hi").bitwiseAND(F.lit(mask)),
+                F.shiftright("hash_hi", 16).bitwiseAND(F.lit(mask)),
+            )
+        ).alias("band_idx", "band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.media_id") < F.col("b.media_id")),
+    ).select(
+        F.col("a.media_id").alias("id_a"),
+        F.col("b.media_id").alias("id_b"),
+        (
+            F.bit_count(F.col("a.hash_hi").bitwiseXOR(F.col("b.hash_hi")))
+            + F.bit_count(F.col("a.hash_lo").bitwiseXOR(F.col("b.hash_lo")))
+        ).alias("hamming"),
+    )
+    # filter before the pair dedup (cheap map-side bit op) so the
+    # distinct shuffles only true near-dups, not every band collision
+    return (
+        cand.where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
 def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
     """Image-resize stage (the third multimodal kernel beside decode
     and frame-sample): Arrow-batched mapInPandas over binary PNG

@@ -1411,6 +1411,7 @@ _GATE_REST = [
     "interpolate_daily_revenue",  # NEW r6: gap-fill + linear interpolate
     "hll_user_cardinality",    # NEW r6: HyperLogLog register sketch
     "session_concurrency_daily",  # NEW r6: sweep-line interval overlap
+    "media_ahash_neardup",     # NEW r6: perceptual-hash image near-dup
     # Every entry below carries a green cumulative driver CORRECTNESS
     # row (round noted); all still oracle-checked in-repo by
     # tools/gate_check.py every round.

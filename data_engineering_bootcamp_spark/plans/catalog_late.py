@@ -309,11 +309,87 @@ GROUP BY l.bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Image near-duplicate detection (perceptual average hash)
+# ---------------------------------------------------------------------------
+
+def q_media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by perceptual average hash — the
+    multimodal analog of SimHash text dedup, through REAL codecs: one
+    8×16 black/white-pattern PNG is ENCODED per document (pattern
+    deterministic in doc_id, plus a one-pixel "defect" whose position
+    walks with doc_id so mod-97 pattern twins land at Hamming 2, not
+    0), DECODED + NN-sampled + mean-thresholded executor-side
+    (`multimodal.png_ahash`), then paired by the 4×16-bit pigeonhole
+    bands (`ahash_neardup_pairs`) — candidates from equi-join buckets,
+    never O(n²). The oracle predicts every hash bit in closed form
+    from the synthesis parameters (the binary pattern keeps the
+    white-pixel count in [26, 38] of 64, where aHash's mean threshold
+    provably equals pixel whiteness), so the entry only matches if
+    encode→decode→resample→threshold→banding all ran pixel-exactly.
+    Both Python stages are Arrow-batched mapInPandas, narrow until the
+    skinny 16-byte/row hash relation."""
+    import pandas as pd  # noqa: PLC0415 — closure-local, executor-safe
+
+    from ..operators.multimodal import ahash_images, ahash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        from data_engineering_bootcamp_spark.operators.multimodal import (
+            encode_png_rgb,
+        )
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = bytearray()
+                for y in range(16):
+                    for x in range(8):
+                        white = ((d * 31 + y * 7 + x * 13) % 97) < 48
+                        if y == 2 * (d % 8) and x == d % 8:
+                            white = not white
+                        px.extend((255, 255, 255) if white else (0, 0, 0))
+                out.append(encode_png_rgb(8, 16, bytes(px)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": out})
+
+    media = docs.mapInPandas(encode, "media_id long, content binary")
+    return ahash_neardup_pairs(ahash_images(media, grid=8), max_hamming=3)
+
+
+ORACLE_MEDIA_AHASH_NEARDUP = """
+WITH bits AS (
+  -- sampled cell (r, c) reads image pixel (2r, c); the defect pixel
+  -- (2*(doc_id%8), doc_id%8) lands exactly on sampled cell
+  -- (doc_id%8, doc_id%8). Mean-threshold == whiteness while the white
+  -- count stays inside [1, 63] (this fixture: [26, 38]).
+  SELECT d.doc_id, r.r * 8 + c.c AS i,
+         CASE WHEN (((d.doc_id * 31 + (2 * r.r) * 7 + c.c * 13) % 97 < 48)
+                    <> (r.r = d.doc_id % 8 AND c.c = d.doc_id % 8))
+              THEN 1 ELSE 0 END AS bit
+  FROM documents d, range(8) r(r), range(8) c(c)),
+words AS (
+  SELECT doc_id,
+         SUM(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32)
+                  ELSE 0 END)::BIGINT AS hi,
+         SUM(CASE WHEN i < 32 THEN bit::BIGINT << i
+                  ELSE 0 END)::BIGINT AS lo
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT
+         AS hamming
+FROM words a JOIN words b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+"""
+
+
 LATE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_customer_pairs": q_fuzzy_customer_pairs,
     "interpolate_daily_revenue": q_interpolate_daily_revenue,
     "hll_user_cardinality": q_hll_user_cardinality,
     "session_concurrency_daily": q_session_concurrency_daily,
+    "media_ahash_neardup": q_media_ahash_neardup,
 }
 
 LATE_ORACLES: dict[str, str] = {
@@ -321,4 +397,5 @@ LATE_ORACLES: dict[str, str] = {
     "interpolate_daily_revenue": ORACLE_INTERPOLATE_DAILY_REVENUE,
     "hll_user_cardinality": ORACLE_HLL_USER_CARDINALITY,
     "session_concurrency_daily": ORACLE_SESSION_CONCURRENCY_DAILY,
+    "media_ahash_neardup": ORACLE_MEDIA_AHASH_NEARDUP,
 }

@@ -151,3 +151,74 @@ def test_hll_small_range_and_validation(spark):
         hll_registers(df, "u", p=3)
     with _pytest.raises(ValueError, match="inconsistent"):
         hll_estimate(s.t_scaled, s.n_zero, 512, p=10)
+
+
+def test_png_ahash_matches_closed_form():
+    from data_engineering_bootcamp_spark.operators.multimodal import (
+        encode_png_rgb,
+        png_ahash,
+    )
+
+    # 8x16 black/white pattern: the mean-threshold bit equals pixel
+    # whiteness while the white count stays in [1, 63]
+    d = 123
+    w, h = 8, 16
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            white = ((d * 31 + y * 7 + x * 13) % 97) < 48
+            px.extend((255, 255, 255) if white else (0, 0, 0))
+    hi, lo = png_ahash(encode_png_rgb(w, h, px), grid=8)
+    want_hi = want_lo = 0
+    for r in range(8):
+        for c in range(8):
+            if ((d * 31 + (2 * r) * 7 + c * 13) % 97) < 48:
+                i = r * 8 + c
+                if i < 32:
+                    want_lo |= 1 << i
+                else:
+                    want_hi |= 1 << (i - 32)
+    assert (hi, lo) == (want_hi, want_lo)
+    # solid image: no pixel exceeds the mean -> zero hash
+    solid = bytearray((90, 90, 90)) * (w * h)
+    assert png_ahash(encode_png_rgb(w, h, bytes(solid)), grid=8) == (0, 0)
+
+
+def test_ahash_pairs_pigeonhole_lossless(spark):
+    from data_engineering_bootcamp_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+    )
+    import pytest as _pytest
+
+    # pseudo-random 64-bit hashes plus planted near-dups; banded result
+    # must equal all-pairs ground truth at hamming <= 3
+    import random
+
+    rng = random.Random(7)
+    hashes = {i: rng.getrandbits(64) for i in range(40)}
+    hashes[100] = hashes[0]                      # hamming 0
+    hashes[101] = hashes[1] ^ 0b101              # hamming 2 (word 0)
+    hashes[102] = hashes[2] ^ (0b111 << 40)      # hamming 3 (word 1)
+    hashes[103] = hashes[3] ^ 0b1111             # hamming 4 -> excluded
+    rows = [
+        (i, (v >> 32) & 0xFFFFFFFF, v & 0xFFFFFFFF)
+        for i, v in hashes.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, hash_hi long, hash_lo long"
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in ahash_neardup_pairs(df, 3).collect()
+    )
+    want = sorted(
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    )
+    assert got == want
+    assert (0, 100, 0) in got and (1, 101, 2) in got and (2, 102, 3) in got
+    assert all(p[:2] != (3, 103) for p in got)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        ahash_neardup_pairs(df, 4)
