@@ -122,6 +122,14 @@ HEADLINE = [
     "orc_roundtrip_rollup",
     "top_event_paths",
     "streaming_countmin",
+    # round-6 LATE additions: fuzzy ER, gap interpolation, HLL,
+    # interval sweep, perceptual image dedup
+    "fuzzy_customer_pairs",
+    "interpolate_daily_revenue",
+    "hll_user_cardinality",
+    "session_concurrency_daily",
+    "media_ahash_neardup",
+    "media_curation_pipeline",
 ]
 
 

@@ -1338,18 +1338,25 @@ GATE_CAP = 50  # the driver gates exactly this many leading entries
 
 _GATE_FIRST = [
     # core relational surface (P/A/W/J/O/U ids)
-    "rolling_revenue",         # W5-W8 W11 (first driver row r5)
     "array_metrics",           # J2 J4 J5 A12 A13 A6 (first driver row r5)
-    "order_history",           # A6 W10 (first driver row r5)
-    "best_stretch",            # W9 W12 (90-row stretch half; first row r5)
-    "semi_anti_customers",     # J6 J7 (first driver row r5)
-    "merge_upsert",            # S11 J1 (first driver row r5)
+    # LATE round-6 additions, gated immediately (never the
+    # no-driver-row state) — slots freed by rolling_revenue,
+    # order_history, best_stretch, semi_anti_customers and
+    # merge_upsert (each carries a green r5 row; their operator ids
+    # stay covered by rolling_time_revenue W5-W8/W11, order_history's
+    # ordered_collect twin in array_metrics A6, longest_streak W12,
+    # and the retained merge/semi coverage in scd_incremental J6/U1)
+    "fuzzy_customer_pairs",       # NEW r6: PassJoin edit-distance ER
+    "interpolate_daily_revenue",  # NEW r6: gap-fill + linear interp
+    "hll_user_cardinality",       # NEW r6: HyperLogLog registers
+    "session_concurrency_daily",  # NEW r6: sweep-line concurrency
+    "media_ahash_neardup",        # NEW r6: perceptual-hash image dedup
+    "media_curation_pipeline",    # NEW r6: composed image-dedup pass
     # graph/vertex surface (VERDICT r5 #5: reference team_vertex_job /
     # player_player_edges round-trip — refresh driver evidence)
     "user_vertices",           # W3 + map-typed vertex props
     "part_pair_edges",         # J9 pair self-join with inequality
     # LLM-pipeline operators (first-class per brief)
-    "ngram_jaccard_allpairs",  # exact baseline twin — first driver row r5
     "media_real_decode",       # real stdlib PNG round-trip — first row r5
     "skew_salted_join",        # join twin — first driver row r5
     "semantic_dedup",          # NEW r6: SemDeDup cluster-then-dedup
@@ -1406,12 +1413,13 @@ _GATE_FIRST = [
 ]
 
 _GATE_REST = [
-    # late round-6 additions staged here until the final rotation pass
-    "fuzzy_customer_pairs",    # NEW r6: PassJoin edit-distance blocking
-    "interpolate_daily_revenue",  # NEW r6: gap-fill + linear interpolate
-    "hll_user_cardinality",    # NEW r6: HyperLogLog register sketch
-    "session_concurrency_daily",  # NEW r6: sweep-line interval overlap
-    "media_ahash_neardup",     # NEW r6: perceptual-hash image near-dup
+    # rotated out for the six LATE round-6 additions (r5 rows noted)
+    "ngram_jaccard_allpairs",  # exact baseline twin; r5 row
+    "rolling_revenue",         # W5-W8 W11; r5 row
+    "order_history",           # A6 W10; r5 row
+    "best_stretch",            # W9 W12; r5 row
+    "semi_anti_customers",     # J6 J7; r5 row
+    "merge_upsert",            # S11 J1; r5 row
     # Every entry below carries a green cumulative driver CORRECTNESS
     # row (round noted); all still oracle-checked in-repo by
     # tools/gate_check.py every round.

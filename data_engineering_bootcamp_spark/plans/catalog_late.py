@@ -316,29 +316,53 @@ GROUP BY l.bucket
 def q_media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs by perceptual average hash — the
     multimodal analog of SimHash text dedup, through REAL codecs: one
-    8×16 black/white-pattern PNG is ENCODED per document (pattern
-    deterministic in doc_id, plus a one-pixel "defect" whose position
-    walks with doc_id so mod-97 pattern twins land at Hamming 2, not
-    0), DECODED + NN-sampled + mean-thresholded executor-side
-    (`multimodal.png_ahash`), then paired by the 4×16-bit pigeonhole
-    bands (`ahash_neardup_pairs`) — candidates from equi-join buckets,
-    never O(n²). The oracle predicts every hash bit in closed form
-    from the synthesis parameters (the binary pattern keeps the
-    white-pixel count in [26, 38] of 64, where aHash's mean threshold
-    provably equals pixel whiteness), so the entry only matches if
-    encode→decode→resample→threshold→banding all ran pixel-exactly.
-    Both Python stages are Arrow-batched mapInPandas, narrow until the
-    skinny 16-byte/row hash relation."""
-    import pandas as pd  # noqa: PLC0415 — closure-local, executor-safe
-
+    8×16 black/white-pattern PNG is ENCODED per document (see
+    `_ahash_pattern_media`), DECODED + NN-sampled + mean-thresholded
+    executor-side (`multimodal.png_ahash`), then paired by the
+    4×16-bit pigeonhole bands (`ahash_neardup_pairs`) — candidates
+    from equi-join buckets, never O(n²). The oracle predicts every
+    hash bit in closed form from the synthesis parameters (the binary
+    pattern keeps the white-cell count in [20, 43] of 64, where
+    aHash's mean threshold provably equals cell whiteness), so the
+    entry only matches if encode→decode→resample→threshold→banding all
+    ran pixel-exactly. Both Python stages are Arrow-batched
+    mapInPandas, narrow until the skinny 16-byte/row hash relation."""
     from ..operators.multimodal import ahash_images, ahash_neardup_pairs
+
+    media = _ahash_pattern_media(spark, sf_dir)
+    return ahash_neardup_pairs(ahash_images(media, grid=8), max_hamming=3)
+
+
+def _ahash_pattern_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One 8×16 black/white-pattern PNG per document — the shared
+    fixture of `media_ahash_neardup` and `media_curation_pipeline`.
+
+    Cell (r, c) of class `doc_id % 97` is white iff the first hex
+    digit of md5("<class>_<r>_<c>") is below 8 — an md5-SCRAMBLED
+    pattern, deliberately not a smooth arithmetic one: a linear
+    residue pattern makes adjacent classes differ in only 1-2 cells,
+    collapsing every image into one giant near-dup component (a first
+    draft did exactly that). With md5 cells, distinct classes sit at
+    Hamming ≥ 19 while same-class docs are identical — except for a
+    one-pixel "defect" at (2·(doc_id%8), doc_id%8), which puts
+    same-class twins at Hamming 2 (or 0 when doc_ids differ by
+    lcm(97,8) = 776), exercising the near-dup (not just exact) path.
+    Both engines can replay every cell: the oracle uses the identical
+    md5 string recipe."""
+    import pandas as pd  # noqa: PLC0415 — closure-local, executor-safe
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def encode(batches):
+        import hashlib
+
         from data_engineering_bootcamp_spark.operators.multimodal import (
             encode_png_rgb,
         )
+
+        def white(cls: int, r: int, c: int) -> bool:
+            dig = hashlib.md5(f"{cls}_{r}_{c}".encode()).hexdigest()[0]
+            return int(dig, 16) < 8
 
         for pdf in batches:
             out = []
@@ -347,25 +371,51 @@ def q_media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = bytearray()
                 for y in range(16):
                     for x in range(8):
-                        white = ((d * 31 + y * 7 + x * 13) % 97) < 48
+                        w = white(d % 97, y // 2, x)
                         if y == 2 * (d % 8) and x == d % 8:
-                            white = not white
-                        px.extend((255, 255, 255) if white else (0, 0, 0))
+                            w = not w
+                        px.extend((255, 255, 255) if w else (0, 0, 0))
                 out.append(encode_png_rgb(8, 16, bytes(px)))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": out})
 
-    media = docs.mapInPandas(encode, "media_id long, content binary")
-    return ahash_neardup_pairs(ahash_images(media, grid=8), max_hamming=3)
+    return docs.mapInPandas(encode, "media_id long, content binary")
+
+
+def q_media_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IMAGE curation — the multimodal twin of
+    `corpus_curation_pipeline`: encode (real PNG) → perceptual hash
+    (real decode, `ahash_images`) → banded Hamming pairs → connected
+    components → keep-min-id retention (`clustering.
+    neardup_retention`). One composed lazy plan: two narrow Python
+    stages, the banded equi join, and the bounded CC iteration — the
+    exact architecture of an image-dedup pass over a 100 TB media
+    corpus. The oracle replays hashes in closed form and resolves
+    clusters with a recursive-CTE transitive closure, so both engines
+    must agree on every image's cluster id and keep flag."""
+    from ..operators.clustering import neardup_retention
+    from ..operators.multimodal import ahash_images, ahash_neardup_pairs
+
+    media = _ahash_pattern_media(spark, sf_dir)
+    pairs = ahash_neardup_pairs(ahash_images(media, grid=8), max_hamming=3)
+    docs = media.select(F.col("media_id").alias("doc_id"))
+    return neardup_retention(
+        docs, pairs, src_col="id_a", dst_col="id_b"
+    ).select(
+        F.col("doc_id").alias("media_id"), "cluster_id", "keep"
+    )
 
 
 ORACLE_MEDIA_AHASH_NEARDUP = """
 WITH bits AS (
-  -- sampled cell (r, c) reads image pixel (2r, c); the defect pixel
+  -- sampled cell (r, c) reads image pixel (2r, c), whose whiteness is
+  -- md5("<doc_id%97>_<r>_<c>") first hex digit < 8; the defect pixel
   -- (2*(doc_id%8), doc_id%8) lands exactly on sampled cell
   -- (doc_id%8, doc_id%8). Mean-threshold == whiteness while the white
-  -- count stays inside [1, 63] (this fixture: [26, 38]).
+  -- count stays inside [1, 63] (this fixture: [20, 43]).
   SELECT d.doc_id, r.r * 8 + c.c AS i,
-         CASE WHEN (((d.doc_id * 31 + (2 * r.r) * 7 + c.c * 13) % 97 < 48)
+         CASE WHEN ((CAST('0x' || substr(md5((d.doc_id % 97) || '_' ||
+                                             r.r || '_' || c.c), 1, 1)
+                          AS INT) < 8)
                     <> (r.r = d.doc_id % 8 AND c.c = d.doc_id % 8))
               THEN 1 ELSE 0 END AS bit
   FROM documents d, range(8) r(r), range(8) c(c)),
@@ -384,12 +434,52 @@ WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
 """
 
 
+ORACLE_MEDIA_CURATION_PIPELINE = """
+WITH RECURSIVE bits AS (
+  -- same md5-scrambled cell recipe as ORACLE_MEDIA_AHASH_NEARDUP
+  SELECT d.doc_id, r.r * 8 + c.c AS i,
+         CASE WHEN ((CAST('0x' || substr(md5((d.doc_id % 97) || '_' ||
+                                             r.r || '_' || c.c), 1, 1)
+                          AS INT) < 8)
+                    <> (r.r = d.doc_id % 8 AND c.c = d.doc_id % 8))
+              THEN 1 ELSE 0 END AS bit
+  FROM documents d, range(8) r(r), range(8) c(c)),
+words AS MATERIALIZED (
+  SELECT doc_id,
+         SUM(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32)
+                  ELSE 0 END)::BIGINT AS hi,
+         SUM(CASE WHEN i < 32 THEN bit::BIGINT << i
+                  ELSE 0 END)::BIGINT AS lo
+  FROM bits GROUP BY doc_id),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM words a JOIN words b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+edges AS MATERIALIZED (
+  SELECT pa AS a, pb AS b FROM pairs
+  UNION
+  SELECT pb, pa FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a)
+SELECT d.doc_id AS media_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
 LATE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_customer_pairs": q_fuzzy_customer_pairs,
     "interpolate_daily_revenue": q_interpolate_daily_revenue,
     "hll_user_cardinality": q_hll_user_cardinality,
     "session_concurrency_daily": q_session_concurrency_daily,
     "media_ahash_neardup": q_media_ahash_neardup,
+    "media_curation_pipeline": q_media_curation_pipeline,
 }
 
 LATE_ORACLES: dict[str, str] = {
@@ -398,4 +488,5 @@ LATE_ORACLES: dict[str, str] = {
     "hll_user_cardinality": ORACLE_HLL_USER_CARDINALITY,
     "session_concurrency_daily": ORACLE_SESSION_CONCURRENCY_DAILY,
     "media_ahash_neardup": ORACLE_MEDIA_AHASH_NEARDUP,
+    "media_curation_pipeline": ORACLE_MEDIA_CURATION_PIPELINE,
 }

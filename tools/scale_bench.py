@@ -787,6 +787,53 @@ def bench_merge_laws(spark) -> dict:
     whole_b.unpersist()
     merged_b.unpersist()
 
+    # HLL register merge law: register-wise MAX over halves must equal
+    # the whole-input register table, and the summary stats (the
+    # oracle-hashed integers) must match exactly — what lets a 100 TB
+    # cardinality pass run as per-day partials. xxhash64 path: this
+    # section proves the merge algebra, not SQL replay (the md5 twin
+    # is oracle-gated at sf0.01/0.1 by hll_user_cardinality).
+    from data_engineering_bootcamp_spark.operators.sketch import (
+        hll_registers,
+        hll_summary,
+    )
+
+    t0 = time.perf_counter()
+    hll_whole = hll_registers(
+        fact, "user_key", p=12, hash_fn="xxhash64"
+    ).persist()
+    out["hll_registers"] = hll_whole.count()
+    out["hll_whole_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    hll_merged = (
+        hll_registers(
+            fact.where(F.col("row_id") % 2 == 0), "user_key", p=12,
+            hash_fn="xxhash64",
+        )
+        .unionByName(
+            hll_registers(
+                fact.where(F.col("row_id") % 2 == 1), "user_key", p=12,
+                hash_fn="xxhash64",
+            )
+        )
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .persist()
+    )
+    hll_merged.count()
+    out["hll_halves_merge_sec"] = round(time.perf_counter() - t0, 3)
+    out["hll_merge_exact"] = (
+        hll_merged.exceptAll(hll_whole).count() == 0
+        and hll_whole.exceptAll(hll_merged).count() == 0
+    )
+    s_whole = hll_summary(hll_whole, p=12).collect()[0]
+    s_merged = hll_summary(hll_merged, p=12).collect()[0]
+    out["hll_summary_exact"] = (
+        s_whole.t_scaled, s_whole.n_zero, s_whole.sum_rho,
+    ) == (s_merged.t_scaled, s_merged.n_zero, s_merged.sum_rho)
+    hll_whole.unpersist()
+    hll_merged.unpersist()
+
     # agg-state merge law on the 20M fact
     def st(part):
         return part.groupBy("user_key").agg(
