@@ -33,6 +33,18 @@ Strings shorter than `d+1` characters get zero-length segments, which
 match anywhere within the (±d-bounded) length window; correct but
 degenerate — such rows only block against near-empty strings, so the
 blowup is bounded and tiny.
+
+KNOWN DEGENERACY (inherent to segment blocking, measured in
+`tools/scale_bench.py bench_fuzzy`): candidate volume is governed by
+segment-CONTENT diversity. A corpus whose strings share a long
+constant prefix ("Customer#000…") makes that segment one giant block
+and the verify join quadratic within it — still correct, but the
+blocking buys nothing there. Production ER pipelines normalize keys
+first (strip constant prefixes/suffixes so the discriminating
+characters land in every segment); the bench corpus demonstrates the
+fixed layout, and the `fuzzy_customer_pairs` gate entry deliberately
+keeps the raw TPC-H prefix at a scale where the quadratic block is
+cheap.
 """
 
 from __future__ import annotations

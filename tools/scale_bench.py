@@ -708,6 +708,151 @@ def bench_pagerank(spark) -> dict:
     return out
 
 
+def bench_fuzzy(spark) -> dict:
+    """PassJoin segment blocking vs the naive length-band block, and
+    the blocked path alone at 500k strings. The fixture is the
+    adversarial case for naive blocking — fixed-format names, so a
+    length-only block is ONE bucket and the candidate set is all
+    pairs; PassJoin's (length, slot, segment) key splits it by actual
+    content. Both variants must return identical pairs."""
+    from data_engineering_bootcamp_spark.operators.fuzzy import fuzzy_join
+
+    def corpus(n):
+        # clusters of 3 per base: "AeB" / "AxB" (substitution) /
+        # "AB" (deletion), where A and B are independent pseudo-random
+        # 5-digit halves of the base id. BOTH PassJoin segments need
+        # content entropy: a constant prefix OR suffix turns that
+        # segment into one giant block and the verify join quadratic
+        # (two earlier drafts hit each case in turn) — the same key
+        # normalization real ER pipelines apply before blocking.
+        base = (F.col("id") / 3).cast("long")
+        a = F.format_string("%05d", F.pmod(base * 7919, F.lit(100_000)))
+        b = F.format_string("%05d", F.pmod(base, F.lit(100_000)))
+        return spark.range(n).select(
+            F.col("id").alias("fid"),
+            F.when(F.col("id") % 3 == 0, F.concat(a, F.lit("e"), b))
+            .when(F.col("id") % 3 == 1, F.concat(a, F.lit("x"), b))
+            .otherwise(F.concat(a, b))
+            .alias("name"),
+        )
+
+    out: dict = {}
+    small = corpus(20_000).persist()
+    small.count()
+
+    # naive length-band blocking: probe emits len-1..len+1 keys, one
+    # equi join on length alone, verify with levenshtein — the
+    # "obvious" block that degenerates to all-pairs on uniform lengths
+    def length_block():
+        a = small.select(
+            F.col("fid").alias("sid"), F.col("name").alias("ss"),
+            F.length("name").alias("s_len"),
+        )
+        b = small.select(
+            F.col("fid").alias("pid"), F.col("name").alias("ps"),
+            F.explode(
+                F.sequence(F.length("name") - 1, F.length("name") + 1)
+            ).alias("s_len"),
+        )
+        return (
+            b.join(a, "s_len")
+            .where(F.col("pid") < F.col("sid"))
+            .withColumn("dist", F.levenshtein("ps", "ss"))
+            .where(F.col("dist") <= 1)
+            .select(
+                F.col("pid").alias("id_a"), F.col("sid").alias("id_b"),
+                "dist",
+            )
+        )
+
+    out["rows_small"] = 20_000
+    out["passjoin_20k_sec"] = timed(fuzzy_join(small, "fid", "name", 1))
+    out["lengthblock_20k_sec"] = timed(length_block())
+    got = fuzzy_join(small, "fid", "name", 1)
+    want = length_block()
+    out["results_match"] = (
+        got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    )
+    out["pairs_20k"] = got.count()
+    small.unpersist()
+
+    big = corpus(300_000).persist()
+    out["rows_big"] = big.count()
+    t = timed(fuzzy_join(big, "fid", "name", 1))
+    out["passjoin_300k_sec"] = t
+    out["pairs_300k"] = fuzzy_join(big, "fid", "name", 1).count()
+    big.unpersist()
+    return out
+
+
+def bench_interval_sweep(spark) -> dict:
+    """Sweep-line interval concurrency vs the naive instant-by-
+    interval range join, then the sweep alone at 20M intervals. The
+    range join is the plan a naive 'concurrency per boundary' query
+    produces (every boundary instant joined against every interval
+    covering it — candidate volume grows with overlap depth); the
+    sweep is two keyed window passes. Both must agree on every
+    instant's concurrency."""
+    from data_engineering_bootcamp_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    def intervals(n):
+        base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+        start = F.timestamp_add(
+            "SECOND", F.pmod(F.xxhash64("id"), 86400 * 30).cast("int"), base
+        )
+        dur = (F.pmod(F.xxhash64("id", F.lit(1)), 7200) + 1).cast("int")
+        return spark.range(n).select(
+            start.alias("s"), F.timestamp_add("SECOND", dur, start).alias("e")
+        )
+
+    out: dict = {}
+    small = intervals(10_000).persist()
+    small.count()
+    sweep_small = interval_concurrency(small, "s", "e")
+
+    def naive():
+        # every distinct boundary instant joined against the intervals
+        # covering it — a range join (BNLJ/broadcast range at this
+        # size; unbounded candidate volume as overlap depth grows)
+        bounds = (
+            small.select(F.col("s").alias("ts"))
+            .unionByName(
+                small.select(
+                    (F.col("e") + F.expr("INTERVAL 1 MICROSECOND")).alias(
+                        "ts"
+                    )
+                )
+            )
+            .distinct()
+        )
+        return bounds.join(
+            small,
+            (F.col("s") <= F.col("ts"))
+            & (F.col("ts") <= F.col("e")),
+            "left",
+        ).groupBy("ts").agg(
+            F.count(F.col("s")).alias("concurrency")
+        )
+
+    out["rows_small"] = 10_000
+    out["sweep_10k_sec"] = timed(sweep_small)
+    out["rangejoin_10k_sec"] = timed(naive())
+    got = sweep_small.select("ts", "concurrency")
+    want = naive()
+    out["results_match"] = (
+        got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    )
+    small.unpersist()
+
+    big = intervals(20_000_000).persist()
+    out["rows_big"] = big.count()
+    out["sweep_20m_sec"] = timed(interval_concurrency(big, "s", "e"))
+    big.unpersist()
+    return out
+
+
 def bench_merge_laws(spark) -> dict:
     """The mergeability claims behind the sketch/state operators,
     proven at 20M rows rather than asserted: a count-min sketch built
@@ -877,6 +1022,8 @@ SECTIONS = {
     "bloom_semijoin": bench_bloom,
     "pagerank": bench_pagerank,
     "merge_laws": bench_merge_laws,
+    "fuzzy_join": bench_fuzzy,
+    "interval_sweep": bench_interval_sweep,
 }
 
 
