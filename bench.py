@@ -95,6 +95,11 @@ HEADLINE = [
     "semantic_dedup",
     "compaction_rollup",
     "snapshot_cdc_diff",
+    # final round-6 additions: C4-style segment removal, KMV sketch
+    # set algebra, integer-exact z-score anomaly flags
+    "line_dedup_rebuild",
+    "kmv_set_ops",
+    "zscore_anomaly_days",
     # round-5 additions: reshaping + LLM-pipeline depth (sub-document
     # dedup, source mixing, quantile trimming, int8 quantization)
     "pivot_lang_counts",

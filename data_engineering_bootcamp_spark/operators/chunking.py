@@ -112,6 +112,85 @@ def pack_token_stream(
     )
 
 
+def drop_frequent_segments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_tokens: int = 8,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Corpus-frequency segment removal — the C4/RefinedWeb line-dedup
+    pass: any segment whose text occurs in MORE than ``max_docs``
+    distinct documents is boilerplate (navigation chrome, license
+    headers, cookie banners) and is removed from EVERY document it
+    appears in. This is a different contract from
+    `dedup_chunks_rebuild` (keep-first): frequency-threshold removal
+    keeps rare repeats (<= max_docs docs, e.g. legitimate quotations)
+    everywhere and keeps boilerplate NOWHERE — the published C4 rule
+    ("any three-sentence span occurring more than once" analog) over
+    this corpus's whitespace-token segments (the synthetic fixture has
+    no newline structure, so the segmenter is the fixed
+    ``segment_tokens``-token non-overlapping cut; a newline segmenter
+    drops in by swapping `chunk_docs` for a split(text, '\\n')).
+
+    Output: one row per input document —
+    (doc_id, n_segs, n_dropped, kept_tokens, rebuilt_md5).
+
+    Scale: ONE shuffle keyed by md5(segment_text) computes the
+    document frequency — both window passes (first-occurrence-in-doc
+    flag via lag, then the partition-wide sum of those flags) share
+    the same hash partitioning, so Catalyst plans a single Exchange;
+    no collect_set of doc ids (a boilerplate segment present in
+    billions of documents would otherwise materialize a billion-entry
+    array per row), no join-back of a df table. The rebuild is one
+    more shuffle on doc_id. Nothing quadratic, nothing collected.
+    """
+    if max_docs < 1:
+        raise ValueError("max_docs must be >= 1")
+    segs = chunk_docs(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        chunk_tokens=segment_tokens,
+        stride=segment_tokens,
+    ).withColumn("seg_md5", F.md5("chunk_text"))
+    w_ord = Window.partitionBy("seg_md5").orderBy("doc_id", "chunk_idx")
+    w_all = Window.partitionBy("seg_md5")
+    first_in_doc = (
+        F.lag("doc_id").over(w_ord).isNull()
+        | (F.lag("doc_id").over(w_ord) != F.col("doc_id"))
+    ).cast("long")
+    flagged = (
+        segs.withColumn("_first", first_in_doc)
+        .withColumn("_n_docs", F.sum("_first").over(w_all))
+        .withColumn("_keep", F.col("_n_docs") <= max_docs)
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_dropped"),
+        F.coalesce(
+            F.sum(F.when(F.col("_keep"), F.col("n_tokens")).cast("long")),
+            F.lit(0),
+        ).alias("kept_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct("chunk_idx", "chunk_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("chunk_text"),
+                ),
+            )
+        ).alias("rebuilt_md5"),
+    )
+
+
 def dedup_chunks_rebuild(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -41,10 +41,18 @@ constant prefix ("Customer#000…") makes that segment one giant block
 and the verify join quadratic within it — still correct, but the
 blocking buys nothing there. Production ER pipelines normalize keys
 first (strip constant prefixes/suffixes so the discriminating
-characters land in every segment); the bench corpus demonstrates the
-fixed layout, and the `fuzzy_customer_pairs` gate entry deliberately
-keeps the raw TPC-H prefix at a scale where the quadratic block is
-cheap.
+characters land in every segment). For the EQUAL-WIDTH case (padded
+ids, phone numbers, zip codes, fixed-length hashes — and TPC-H
+c_name), `hamming_join` below sidesteps the problem entirely:
+contiguity is irrelevant to the Hamming pigeonhole, so it measures
+per-position cardinality in one cheap aggregate and assigns positions
+to blocking buckets entropy-BALANCED — constant prefixes and
+zero-padding contribute nothing and the varying positions spread
+across every bucket. Measured on raw c_name at sf0.1 (15k rows, 9/18
+chars constant): PassJoin-on-raw 583 s, hamming_join ~seconds, same
+262,500 pairs. Since equal-length strings satisfy lev <= 1 iff
+Hamming <= 1, the d=1 edit-distance gate entry runs on the Hamming
+path with zero semantic change.
 """
 
 from __future__ import annotations
@@ -87,6 +95,16 @@ def fuzzy_join(
     excluded (no defined distance). `max_dist` must be in [1, 8] —
     0 is the exact-dedup path (`dedup_exact`), and past ~8 the
     (2d+1)²(d+1) probe fan-out stops beating smarter filters.
+
+    Blocking entropy is the CALLER's contract: the join is lossless
+    for any data, but its cost is driven by segment-key selectivity —
+    a segment-wide constant region (fixed prefixes like 'Customer#',
+    zero-padding) makes that slot's equi join a disguised cross join.
+    Normalize first (strip literal affixes, reverse zero-padded
+    numerics so entropy leads — Levenshtein's reversal invariance
+    makes such keys exact, not approximate), or, for equal-width
+    corpora at d = 1, use `hamming_join`, whose entropy-balanced
+    position bucketing needs no normalization at all.
     """
     d = int(max_dist)
     if not 1 <= d <= 8:
@@ -177,6 +195,156 @@ def fuzzy_join(
     ).distinct()
     return (
         pairs.withColumn("dist", F.levenshtein("sa", "sb"))
+        .where(F.col("dist") <= d)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def hamming_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs (id_a < id_b) of EQUAL-WIDTH strings within
+    `max_dist` HAMMING distance (substitutions only), via
+    entropy-balanced positional blocking.
+
+    For equal-length strings, Hamming distance d means exactly d
+    differing positions, so `lev <= 1` and `hamming <= 1` coincide at
+    d = 1 (one edit between equal lengths must be a substitution);
+    at d >= 2 Hamming is its own, stricter metric (lev can trade an
+    insert against a delete) — callers wanting edit distance beyond 1
+    on equal-width data still use `fuzzy_join`.
+
+    Blocking: partition the WIDTH positions into d+1 buckets; a pair
+    within Hamming d has <= d differing positions, so some bucket is
+    untouched and matches VERBATIM (pigeonhole) — any partition is
+    lossless, contiguity is irrelevant. That freedom is the fix for
+    the constant-affix degeneracy PassJoin suffers (module docstring):
+    ONE map-side-combinable aggregate measures per-position
+    approx-cardinality, and a deterministic greedy assigns positions
+    to the currently-lightest bucket in descending log-cardinality
+    order, so every bucket gets its share of the discriminating
+    positions and constant regions (fixed prefixes, zero padding)
+    dilute across buckets instead of forming corpus-wide blocks.
+    Bucketing choice affects COST only, never the result set.
+
+    Plan: one aggregate scan (position cardinalities), one self equi
+    join on (slot, bucket_text) — hash-partitioned, never cross —
+    pair-distinct, then a codegen positional-mismatch count as the
+    verify. Raises on mixed widths (use `fuzzy_join`) and on
+    width <= max_dist (every pair would match — a cross join by
+    definition, not a join problem).
+    """
+    import math
+
+    d = int(max_dist)
+    if d < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    k = d + 1
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("fid"),
+        F.col(str_col).alias("fs"),
+    ).where(F.col("fid").isNotNull() & F.col("fs").isNotNull())
+
+    bounds = base.agg(
+        F.min(F.length("fs")).alias("lo"),
+        F.max(F.length("fs")).alias("hi"),
+    ).first()
+    if bounds.lo is None:
+        # empty input: empty result with the contract schema
+        return base.limit(0).select(
+            F.col("fid").alias("id_a"),
+            F.col("fid").alias("id_b"),
+            F.lit(0).alias("dist"),
+        )
+    if bounds.lo != bounds.hi:
+        raise ValueError(
+            f"hamming_join needs equal-width strings, got widths "
+            f"[{bounds.lo}, {bounds.hi}] — use fuzzy_join for "
+            "variable-length corpora"
+        )
+    width = int(bounds.lo)
+    if width <= d:
+        raise ValueError(
+            f"width {width} <= max_dist {d}: every pair matches — "
+            "this is a cross join, not a similarity join"
+        )
+
+    cards = base.agg(
+        *[
+            F.approx_count_distinct(F.substring("fs", p + 1, 1)).alias(
+                f"c{p}"
+            )
+            for p in range(width)
+        ]
+    ).first()
+    # deterministic greedy balance: positions in descending
+    # log-cardinality (ties by index), each to the lightest bucket
+    order = sorted(
+        range(width), key=lambda p: (-math.log2(max(cards[p], 1)), p)
+    )
+    buckets: list[list[int]] = [[] for _ in range(k)]
+    loads = [0.0] * k
+    for p in order:
+        j = min(range(k), key=lambda b: (loads[b], b))
+        buckets[j].append(p)
+        loads[j] += math.log2(max(cards[p], 1))
+
+    def bucket_txt(bucket: list[int]) -> Column:
+        if not bucket:
+            return F.lit("")
+        return F.concat(
+            *[F.substring("fs", p + 1, 1) for p in sorted(bucket)]
+        )
+
+    segs = base.select(
+        "fid",
+        "fs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("slot"),
+                        bucket_txt(buckets[i]).alias("txt"),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("g"),
+    ).select("fid", "fs", F.col("g.slot").alias("slot"),
+             F.col("g.txt").alias("txt"))
+
+    right = segs.select(
+        F.col("fid").alias("fid2"),
+        F.col("fs").alias("fs2"),
+        "slot",
+        "txt",
+    )
+    cand = (
+        segs.join(right, ["slot", "txt"])
+        .where(F.col("fid") < F.col("fid2"))
+        .select(
+            F.col("fid").alias("id_a"),
+            F.col("fid2").alias("id_b"),
+            F.col("fs").alias("sa"),
+            F.col("fs2").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.sequence(F.lit(1), F.lit(width)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.col("sa").substr(i, F.lit(1)) == F.col("sb").substr(i, F.lit(1)),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    return (
+        cand.withColumn("dist", ham)
         .where(F.col("dist") <= d)
         .select("id_a", "id_b", "dist")
     )

@@ -369,3 +369,150 @@ def linear_count_estimate(occupied: int, m_bits: int) -> float:
             "— increase m_bits"
         )
     return -float(m_bits) * math.log(1.0 - occupied / float(m_bits))
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 64,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002) per
+    group: the k SMALLEST 60-bit hashes of the group's distinct keys,
+    as rows (group_col, h BIGINT, rn INT with rn in [1, k]).
+
+    Why KMV next to HLL: an HLL register table estimates ONE set's
+    cardinality and merges by MAX, but supports no intersections; a
+    KMV sketch is a uniform bottom-k SAMPLE of the key-hash space, so
+    two sketches compose — union = k smallest of the merged sketch
+    rows, Jaccard = fraction of the union sketch present in both — and
+    distinct-of-intersection falls out as J * |A u B|. That set
+    algebra (the Theta-sketch trick) is what audience-overlap /
+    contamination-overlap questions need at 100 TB, where the exact
+    answer is a full distinct-intersection shuffle per pair.
+
+    Determinism: hashes are `md5_hash60` (the repo's replay contract),
+    so a SQL oracle reproduces every row bit-for-bit; no floats
+    anywhere (the estimate lives driver-side in `kmv_estimate`).
+
+    Scale: one distinct on (group, h) with map-side partial combine,
+    then a rank confined to each group's DISTINCT hash set — the only
+    full-width pass is the distinct every exact pipeline pays anyway.
+    Output is bounded by k rows per group regardless of input size,
+    and two sketches of the SAME set merge by re-ranking their row
+    union (asserted in tests alongside the HLL/count-min merge laws).
+    """
+    if k < 2:
+        raise ValueError(f"kmv_sketch: k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    h = _hash60(F.col(key_col), "kmv", hash_fn)
+    hashes = (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(group_col), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(group_col, "h", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def kmv_pair_stats(sketch: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Set algebra over every unordered group pair of a `kmv_sketch`
+    table: for each (grp_a < grp_b) —
+
+      size_a, kth_a   : A's sketch row count and k-th (max) hash
+      size_b, kth_b   : same for B
+      union_size      : rows in the union sketch (k smallest distinct
+                        hashes of A's rows + B's rows; < k only when
+                        |A u B| < k, in which case it is exact)
+      union_kth       : the union sketch's max hash
+      inter_in_union  : union-sketch hashes present in BOTH A and B —
+                        the Jaccard numerator (denominator union_size)
+
+    All columns BIGINT; `kmv_estimate` converts (size, kth) to a
+    cardinality and the Jaccard ratio to an intersection estimate
+    driver-side. Everything here runs on sketch rows (<= k per group),
+    so the pair join is over a bounded relation no matter the input —
+    the shuffles are sketch-row-sized, never data-sized.
+    """
+    from pyspark.sql import Window
+
+    a = sketch.select(
+        F.col(group_col).alias("grp_a"),
+        F.col("h").alias("h"),
+    )
+    b = sketch.select(
+        F.col(group_col).alias("grp_b"),
+        F.col("h").alias("h_b"),
+    )
+    # every A-row against every B-group (and vice versa): the union
+    # relation per pair is A's rows + B's rows, tagged by side
+    pairs = (
+        a.select("grp_a").distinct()
+        .join(b.select("grp_b").distinct(), F.col("grp_a") < F.col("grp_b"))
+    )
+    rows_a = pairs.join(a, "grp_a").select("grp_a", "grp_b", "h",
+                                           F.lit(1).alias("in_a"),
+                                           F.lit(0).alias("in_b"))
+    rows_b = pairs.join(
+        b.withColumnRenamed("h_b", "h"), "grp_b"
+    ).select("grp_a", "grp_b", "h",
+             F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        rows_a.unionByName(rows_b)
+        .groupBy("grp_a", "grp_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    union_sk = merged.withColumn("urn", F.row_number().over(w)).where(
+        F.col("urn") <= k
+    )
+    per_side = sketch.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("size"),
+        F.max("h").alias("kth"),
+    )
+    stats = union_sk.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).cast("long").alias("union_size"),
+        F.max("h").alias("union_kth"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias(
+            "inter_in_union"
+        ),
+    )
+    sa = per_side.select(
+        F.col(group_col).alias("grp_a"),
+        F.col("size").alias("size_a"),
+        F.col("kth").alias("kth_a"),
+    )
+    sb = per_side.select(
+        F.col(group_col).alias("grp_b"),
+        F.col("size").alias("size_b"),
+        F.col("kth").alias("kth_b"),
+    )
+    return (
+        stats.join(F.broadcast(sa), "grp_a")
+        .join(F.broadcast(sb), "grp_b")
+        .select(
+            "grp_a", "grp_b", "size_a", "kth_a", "size_b", "kth_b",
+            "union_size", "union_kth", "inter_in_union",
+        )
+    )
+
+
+def kmv_estimate(size: int, kth: int, k: int) -> float:
+    """Distinct-count estimate from a KMV sketch's (size, kth): when
+    the sketch saturated (size == k) the estimate is (k-1) * 2^60 /
+    kth — the classic unbiased bottom-k estimator over the hash
+    space; when size < k the sketch IS the distinct hash set and the
+    count is exact. Driver-side on purpose (float division stays out
+    of oracle-hashed columns); relative error ~1/sqrt(k-2), pinned in
+    tests."""
+    if size < k:
+        return float(size)
+    if kth <= 0:
+        raise ValueError(f"kmv_estimate: kth must be positive, got {kth}")
+    return (k - 1) * float(1 << 60) / float(kth)

@@ -1363,12 +1363,18 @@ _GATE_FIRST = [
     "media_resize",            # NEW r6: NN resize + re-encode round-trip
     "rolling_time_revenue",    # NEW r6: RANGE-interval window frame
     "doc_bigram_lm_score",     # NEW r6: bigram-LM quality score
-    "doc_ttr_repetition",      # first driver row r5
+    # FINAL round-6 additions, gated immediately — slots freed by
+    # doc_ttr_repetition, vocab_top_tokens and neardup_clusters_star
+    # (single green r5 rows each; text-analysis stays covered by
+    # doc_bigram_lm_score/tfidf_top_terms/doc_pii_redact, vocabulary
+    # by bpe_merge_candidates, star CC by neardup_clusters plus the
+    # CC stages inside media_curation_pipeline and semantic_dedup)
+    "line_dedup_rebuild",      # NEW r6: C4/RefinedWeb segment removal
+    "kmv_set_ops",             # NEW r6: bottom-k sketch set algebra
+    "zscore_anomaly_days",     # NEW r6: integer-exact z-score anomalies
     "doc_winnow_fingerprint",  # set-stats winnow twin — first driver row r5
     "doc_pii_redact",          # regex PII counting + masking — first row r5
-    "vocab_top_tokens",        # corpus vocabulary df table — first row r5
     "neardup_clusters",        # CC + keep-one retention — first row r5
-    "neardup_clusters_star",   # large/small-star CC — first row r5
     # round-6 promotions: the 13 round-5 additions without a driver row
     "pivot_lang_counts",       # groupBy().pivot() with pinned values
     "unpivot_region_metrics",  # DataFrame.unpivot wide->long
@@ -1413,6 +1419,10 @@ _GATE_FIRST = [
 ]
 
 _GATE_REST = [
+    # rotated out for the three FINAL round-6 additions (r5 rows noted)
+    "doc_ttr_repetition",      # TTR/repetition stats; r5 row
+    "vocab_top_tokens",        # corpus vocabulary df table; r5 row
+    "neardup_clusters_star",   # large/small-star CC twin; r5 row
     # rotated out for the six LATE round-6 additions (r5 rows noted)
     "ngram_jaccard_allpairs",  # exact baseline twin; r5 row
     "rolling_revenue",         # W5-W8 W11; r5 row

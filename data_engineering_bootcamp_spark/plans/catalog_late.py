@@ -30,11 +30,26 @@ def q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join), then aggregated to per-distance pair statistics with
     an id checksum so the oracle verifies the exact pair SET, not just
     its size. The oracle computes ground truth all-pairs (feasible at
-    gate scale; the Spark side stays blocked at any scale)."""
-    from ..operators.fuzzy import fuzzy_join
+    gate scale; the Spark side stays blocked at any scale).
+
+    The names are 'Customer#%09d' — fixed width with a constant
+    9-char prefix and zero-padded digits, which degenerates CONTIGUOUS
+    segment blocking: PassJoin's 'Customer#' segment is one corpus-
+    wide block (measured 583 s / ~225M verify pairs at 15k rows), and
+    no static normalization fully fixes it (reversing the digits
+    still leaves a constant '0000' segment while ids < 100k). So the
+    entry runs `fuzzy.hamming_join` — for equal-length strings
+    lev <= 1 iff Hamming <= 1 (one edit between equal lengths must be
+    a substitution), the Hamming pigeonhole admits ANY partition of
+    positions into d+1 buckets, and the operator assigns positions to
+    buckets entropy-balanced from a measured one-pass cardinality
+    profile, so constant regions dilute instead of blocking. Same
+    pair set, which is why the oracle stays the raw all-pairs
+    Levenshtein ground truth over c_name."""
+    from ..operators.fuzzy import hamming_join
 
     cust = _t(spark, sf_dir, "customer")
-    pairs = fuzzy_join(cust, "c_custkey", "c_name", max_dist=1)
+    pairs = hamming_join(cust, "c_custkey", "c_name", max_dist=1)
     return pairs.groupBy("dist").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("id_a").alias("n_left_ids"),
@@ -473,6 +488,257 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-frequency segment removal (C4/RefinedWeb line dedup)
+# ---------------------------------------------------------------------------
+
+def q_line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate removal: any 8-token segment
+    whose text occurs in MORE than 2 distinct documents is dropped
+    from every document (frequency-threshold removal — distinct from
+    `chunk_dedup_rebuild`'s keep-first contract, which keeps one copy;
+    boilerplate should survive nowhere). See
+    `operators.chunking.drop_frequent_segments` for the shuffle
+    budget: ONE md5(segment)-keyed exchange computes the document
+    frequency (two window passes share the partitioning; no
+    collect_set of doc ids, no df join-back), one more on doc_id for
+    the rebuild."""
+    from ..operators.chunking import drop_frequent_segments
+
+    docs = _t(spark, sf_dir, "documents")
+    return drop_frequent_segments(docs, segment_tokens=8, max_docs=2)
+
+
+ORACLE_LINE_DEDUP_REBUILD = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents),
+sized AS (
+  SELECT doc_id, t,
+         1 + CAST(ceil(greatest(len(t) - 8, 0) / 8.0) AS INT) AS n_chunks
+  FROM toks),
+segs AS (
+  SELECT doc_id, i AS chunk_idx, t[(i * 8 + 1):(i * 8 + 8)] AS ctoks
+  FROM sized, UNNEST(range(0, n_chunks)) AS u(i)),
+keyed AS (
+  SELECT doc_id, chunk_idx, len(ctoks) AS n_tokens,
+         array_to_string(ctoks, ' ') AS ctext
+  FROM segs),
+df AS (
+  SELECT ctext, COUNT(DISTINCT doc_id) AS n_docs
+  FROM keyed GROUP BY ctext)
+SELECT k.doc_id,
+       COUNT(*) AS n_segs,
+       SUM(CASE WHEN df.n_docs > 2 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       COALESCE(SUM(CASE WHEN df.n_docs <= 2 THEN k.n_tokens END), 0)::BIGINT
+         AS kept_tokens,
+       md5(COALESCE(
+         string_agg(CASE WHEN df.n_docs <= 2 THEN k.ctext END, ' '
+                    ORDER BY k.chunk_idx), '')) AS rebuilt_md5
+FROM keyed k JOIN df USING (ctext)
+GROUP BY k.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch set algebra (union / intersection / Jaccard)
+# ---------------------------------------------------------------------------
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between every event-type pair through a
+    k-minimum-values sketch (k = 64): per pair, each side's sketch
+    statistics, the union sketch (k smallest distinct hashes of both
+    sides' rows), and the Jaccard numerator `inter_in_union` — the
+    Theta-sketch set algebra HLL cannot do. All columns BIGINT,
+    bit-replayed by the oracle (`md5_hash60` contract); float
+    estimates live driver-side in `sketch.kmv_estimate` with the
+    error envelope pinned in tests. The exact distinct/intersection
+    columns beside them are the small-scale AUDIT twin (a real
+    per-pair distinct-intersection join) — at 100 TB you ship only
+    the sketch columns, which is the point: sketches are bounded at
+    k rows per group no matter the input, and the only full-width
+    pass is one map-side-combined distinct."""
+    from ..operators.sketch import kmv_pair_stats, kmv_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "user_id", "event_type", k=64)
+    pair = (
+        kmv_pair_stats(sk, "event_type", k=64)
+        .withColumnRenamed("grp_a", "type_a")
+        .withColumnRenamed("grp_b", "type_b")
+    )
+    du = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    ex_sides = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact")
+    )
+    a = du.select(
+        F.col("event_type").alias("type_a"), F.col("user_id")
+    )
+    b = du.select(
+        F.col("event_type").alias("type_b"), F.col("user_id")
+    )
+    ex_inter = (
+        a.join(b, ["user_id"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    ea = ex_sides.select(
+        F.col("event_type").alias("type_a"), F.col("exact").alias("exact_a")
+    )
+    eb = ex_sides.select(
+        F.col("event_type").alias("type_b"), F.col("exact").alias("exact_b")
+    )
+    return (
+        pair.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .join(ex_inter, ["type_a", "type_b"], "left")
+        .select(
+            "type_a", "type_b", "size_a", "kth_a", "size_b", "kth_b",
+            "union_size", "union_kth", "inter_in_union",
+            "exact_a", "exact_b",
+            F.coalesce("exact_inter", F.lit(0)).cast("long").alias(
+                "exact_inter"
+            ),
+        )
+    )
+
+
+ORACLE_KMV_SET_OPS = """
+WITH du AS (
+  SELECT DISTINCT event_type, user_id
+  FROM events WHERE user_id IS NOT NULL),
+dh AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5('kmv_' || CAST(user_id AS VARCHAR)),
+                             1, 15) AS BIGINT) AS h
+  FROM du),
+sk AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM dh),
+kept AS (SELECT event_type, h FROM sk WHERE rn <= 64),
+sides AS (
+  SELECT event_type, COUNT(*) AS sz, MAX(h) AS kth
+  FROM kept GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM sides a JOIN sides b ON a.event_type < b.event_type),
+u AS (
+  SELECT p.type_a, p.type_b, k.h,
+         MAX(CASE WHEN k.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN k.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN kept k ON k.event_type IN (p.type_a, p.type_b)
+  GROUP BY p.type_a, p.type_b, k.h),
+ur AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h)
+            AS urn
+  FROM u),
+us AS (
+  SELECT type_a, type_b, COUNT(*)::BIGINT AS union_size,
+         MAX(h) AS union_kth,
+         SUM(in_a * in_b)::BIGINT AS inter_in_union
+  FROM ur WHERE urn <= 64 GROUP BY type_a, type_b),
+ex_sides AS (
+  SELECT event_type, COUNT(*)::BIGINT AS exact
+  FROM du GROUP BY event_type),
+ex_inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*)::BIGINT AS exact_inter
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT us.type_a, us.type_b,
+       sa.sz::BIGINT AS size_a, sa.kth AS kth_a,
+       sb.sz::BIGINT AS size_b, sb.kth AS kth_b,
+       us.union_size, us.union_kth, us.inter_in_union,
+       ea.exact AS exact_a, eb.exact AS exact_b,
+       COALESCE(ei.exact_inter, 0)::BIGINT AS exact_inter
+FROM us
+JOIN sides sa ON sa.event_type = us.type_a
+JOIN sides sb ON sb.event_type = us.type_b
+JOIN ex_sides ea ON ea.event_type = us.type_a
+JOIN ex_sides eb ON eb.event_type = us.type_b
+LEFT JOIN ex_inter ei
+  ON ei.type_a = us.type_a AND ei.type_b = us.type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window z-score anomaly flags in exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+def q_zscore_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-event-type revenue anomalies: a day is anomalous when
+    its total sits more than 2 population standard deviations from
+    the trailing 14-day mean (frame = 14 PRECEDING .. 1 PRECEDING;
+    NULL verdict until 7 prior days exist). The z-test runs in EXACT
+    integer arithmetic — |x - S/n| > 2*sigma is algebraically
+    (n*x - S)^2 > 4*(n*Q - S^2) with S = trailing sum, Q = trailing
+    sum of squares — evaluated in DECIMAL(38,0) (HUGEINT in the
+    oracle), so no float stddev whose Welford-vs-naive formulation
+    could disagree across engines ever touches a hashed column (the
+    repo's division-only discipline, cf. the bigram-LM and tf-idf
+    entries). Money is milli-units-as-BIGINT. One shuffle: the daily
+    aggregate and the ordered window share the event_type hash
+    partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-14, -1)
+    )
+    n = F.count("x").over(w)
+    s = F.sum("x").over(w)
+    q = F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).over(w)
+    dec = "decimal(38,0)"
+    lhs = (n.cast(dec) * F.col("x") - s) * (n.cast(dec) * F.col("x") - s)
+    rhs = F.lit(4).cast(dec) * (n.cast(dec) * q - s.cast(dec) * s)
+    return daily.select(
+        "event_type",
+        "day",
+        "x",
+        n.cast("long").alias("n_prior"),
+        s.cast("long").alias("sum_prior"),
+        F.when(n >= 7, lhs > rhs).alias("is_anomaly"),
+    )
+
+
+ORACLE_ZSCORE_ANOMALY_DAYS = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2),
+win AS (
+  SELECT event_type, day, x,
+         COUNT(x) OVER w AS n,
+         SUM(x) OVER w AS s,
+         SUM(CAST(x AS HUGEINT) * x) OVER w AS q
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING))
+SELECT event_type, day, x,
+       n::BIGINT AS n_prior,
+       s::BIGINT AS sum_prior,
+       CASE WHEN n >= 7 THEN
+         (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s)
+           > 4 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+       END AS is_anomaly
+FROM win
+"""
+
+
 LATE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_customer_pairs": q_fuzzy_customer_pairs,
     "interpolate_daily_revenue": q_interpolate_daily_revenue,
@@ -480,6 +746,9 @@ LATE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_concurrency_daily": q_session_concurrency_daily,
     "media_ahash_neardup": q_media_ahash_neardup,
     "media_curation_pipeline": q_media_curation_pipeline,
+    "line_dedup_rebuild": q_line_dedup_rebuild,
+    "kmv_set_ops": q_kmv_set_ops,
+    "zscore_anomaly_days": q_zscore_anomaly_days,
 }
 
 LATE_ORACLES: dict[str, str] = {
@@ -489,4 +758,7 @@ LATE_ORACLES: dict[str, str] = {
     "session_concurrency_daily": ORACLE_SESSION_CONCURRENCY_DAILY,
     "media_ahash_neardup": ORACLE_MEDIA_AHASH_NEARDUP,
     "media_curation_pipeline": ORACLE_MEDIA_CURATION_PIPELINE,
+    "line_dedup_rebuild": ORACLE_LINE_DEDUP_REBUILD,
+    "kmv_set_ops": ORACLE_KMV_SET_OPS,
+    "zscore_anomaly_days": ORACLE_ZSCORE_ANOMALY_DAYS,
 }

@@ -222,3 +222,74 @@ def test_ahash_pairs_pigeonhole_lossless(spark):
     assert all(p[:2] != (3, 103) for p in got)
     with _pytest.raises(ValueError, match="pigeonhole"):
         ahash_neardup_pairs(df, 4)
+
+
+def test_hamming_join_matches_bruteforce(spark):
+    # random equal-width corpus, d=1 and d=2, vs a brute-force O(n^2)
+    # Hamming ground truth computed in Python
+    import random
+
+    from data_engineering_bootcamp_spark.operators.fuzzy import hamming_join
+
+    rng = random.Random(7)
+    rows = [
+        (i, "".join(rng.choice("ab") for _ in range(6))) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["id", "s"])
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    for d in (1, 2):
+        truth = {
+            (a_id, b_id, ham(a, b))
+            for a_id, a in rows
+            for b_id, b in rows
+            if a_id < b_id and ham(a, b) <= d
+        }
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in hamming_join(df, "id", "s", max_dist=d).collect()
+        }
+        assert got == truth
+
+
+def test_hamming_join_constant_prefix_is_not_quadratic(spark):
+    # the TPC-H shape: constant literal prefix + zero-padded dense ids.
+    # Correctness here; the 37x face-off lives in scale_bench.
+    from data_engineering_bootcamp_spark.operators.fuzzy import hamming_join
+
+    rows = [(i, f"Customer#{i:09d}") for i in range(1, 400)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in hamming_join(df, "id", "s", max_dist=1).collect()
+    }
+    truth = {
+        (a, b)
+        for a, _ in rows
+        for b, _ in rows
+        if a < b
+        and sum(x != y for x, y in zip(f"{a:09d}", f"{b:09d}")) == 1
+    }
+    assert got == truth
+
+
+def test_hamming_join_rejects_mixed_width_and_degenerate_width(spark):
+    import pytest
+
+    from data_engineering_bootcamp_spark.operators.fuzzy import hamming_join
+
+    mixed = spark.createDataFrame([(1, "ab"), (2, "abc")], ["id", "s"])
+    with pytest.raises(ValueError, match="equal-width"):
+        hamming_join(mixed, "id", "s", max_dist=1)
+    tiny = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
+    with pytest.raises(ValueError, match="cross join"):
+        hamming_join(tiny, "id", "s", max_dist=1)
+
+
+def test_hamming_join_empty_input(spark):
+    from data_engineering_bootcamp_spark.operators.fuzzy import hamming_join
+
+    df = spark.createDataFrame([], "id long, s string")
+    assert hamming_join(df, "id", "s", max_dist=1).count() == 0

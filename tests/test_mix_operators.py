@@ -1298,3 +1298,147 @@ def test_bloom_prune_xxhash_variant(spark):
     assert set(range(0, 300, 11)) <= passed  # no false negatives
     with pytest.raises(ValueError, match="hash_fn"):
         bloom_prune(fact, dim, "k", "dk", hash_fn="sha1")
+
+
+def test_drop_frequent_segments_threshold(spark):
+    # "a b c d" appears in docs 1,2,3 (> max_docs=2) -> dropped from
+    # ALL of them; "e f g h" appears in docs 1,2 only -> kept in both.
+    # Contrast with dedup_chunks_rebuild, which would KEEP the first
+    # occurrence of the frequent segment.
+    from data_engineering_bootcamp_spark.operators.chunking import (
+        drop_frequent_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "a b c d x y z w"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in drop_frequent_segments(
+            docs, segment_tokens=4, max_docs=2
+        ).collect()
+    }
+    assert out[1].n_segs == 2 and out[1].n_dropped == 1
+    assert out[1].kept_tokens == 4
+    assert out[2].n_dropped == 1
+    # doc 3 keeps its unique tail, loses the shared head
+    assert out[3].n_dropped == 1 and out[3].kept_tokens == 4
+    import hashlib
+
+    assert out[1].rebuilt_md5 == hashlib.md5(b"e f g h").hexdigest()
+    assert out[3].rebuilt_md5 == hashlib.md5(b"x y z w").hexdigest()
+
+
+def test_drop_frequent_segments_total_loss_is_md5_empty(spark):
+    from data_engineering_bootcamp_spark.operators.chunking import (
+        drop_frequent_segments,
+    )
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, "p q r s") for i in range(1, 5)], ["doc_id", "text"]
+    )
+    rows = drop_frequent_segments(
+        docs, segment_tokens=4, max_docs=2
+    ).collect()
+    assert all(r.n_dropped == 1 and r.kept_tokens == 0 for r in rows)
+    assert all(
+        r.rebuilt_md5 == hashlib.md5(b"").hexdigest() for r in rows
+    )
+
+
+def test_kmv_sketch_small_set_is_exact_and_deterministic(spark):
+    from data_engineering_bootcamp_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 10, "g") for i in range(100)], ["k", "g"]
+    )
+    sk = kmv_sketch(df, "k", "g", k=64)
+    rows = sk.collect()
+    # 10 distinct keys < k: the sketch IS the distinct hash set
+    assert len(rows) == 10
+    assert kmv_estimate(10, max(r.h for r in rows), 64) == 10.0
+    again = kmv_sketch(df, "k", "g", k=64).collect()
+    assert sorted((r.h, r.rn) for r in rows) == sorted(
+        (r.h, r.rn) for r in again
+    )
+
+
+def test_kmv_sketch_merge_law(spark):
+    # KMV of the whole set == re-rank of the two halves' sketch-row
+    # union: the mergeability that lets a 100 TB pass run as partials.
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+    from data_engineering_bootcamp_spark.operators.sketch import kmv_sketch
+
+    whole = spark.createDataFrame(
+        [(i, "g") for i in range(2000)], ["k", "g"]
+    )
+    lo = whole.where(F.col("k") < 1000)
+    hi = whole.where(F.col("k") >= 1000)
+    k = 32
+    merged = (
+        kmv_sketch(lo, "k", "g", k=k)
+        .unionByName(kmv_sketch(hi, "k", "g", k=k))
+        .select("g", "h")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("g").orderBy("h")),
+        )
+        .where(F.col("rn") <= k)
+    )
+    direct = kmv_sketch(whole, "k", "g", k=k)
+    assert direct.exceptAll(merged).count() == 0
+    assert merged.exceptAll(direct).count() == 0
+
+
+def test_kmv_estimate_error_envelope(spark):
+    from data_engineering_bootcamp_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    n, k = 5000, 256
+    df = spark.createDataFrame([(i, "g") for i in range(n)], ["k", "g"])
+    rows = kmv_sketch(df, "k", "g", k=k).collect()
+    assert len(rows) == k
+    est = kmv_estimate(k, max(r.h for r in rows), k)
+    # std error ~ 1/sqrt(k-2) = 6.3%; 25% is a > 3-sigma envelope
+    assert abs(est - n) / n < 0.25
+
+
+def test_kmv_pair_stats_identical_and_disjoint_sets(spark):
+    from data_engineering_bootcamp_spark.operators.sketch import (
+        kmv_pair_stats,
+        kmv_sketch,
+    )
+
+    rows = (
+        [(i, "a") for i in range(500)]
+        + [(i, "b") for i in range(500)]       # b == a exactly
+        + [(i + 10_000, "c") for i in range(30)]  # c disjoint, small
+    )
+    df = spark.createDataFrame(rows, ["k", "g"])
+    k = 64
+    sk = kmv_sketch(df, "k", "g", k=k)
+    out = {
+        (r.grp_a, r.grp_b): r
+        for r in kmv_pair_stats(sk, "g", k=k).collect()
+    }
+    ab = out[("a", "b")]
+    # identical sets: union sketch == either sketch, Jaccard exactly 1
+    assert ab.union_size == k and ab.inter_in_union == k
+    assert ab.union_kth == ab.kth_a == ab.kth_b
+    ac = out[("a", "c")]
+    # disjoint: no shared hash in the union sketch
+    assert ac.inter_in_union == 0
+    assert ac.size_b == 30  # small side unsaturated -> exact

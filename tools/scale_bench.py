@@ -1011,6 +1011,112 @@ def bench_merge_laws(spark) -> dict:
     return out
 
 
+def bench_kmv(spark):
+    """KMV set-algebra face-off at 20M rows: per-pair distinct-user
+    overlap of 8 groups via bottom-k sketches (k = 256, xxhash64 hot
+    path) vs the exact distinct-intersection self-join, plus the
+    bottom-k merge law at full width. Group g draws users from a 1M-id
+    band starting at g*600k, so adjacent groups truly share 400k of
+    their bands — real overlap, not an artifact of the generator."""
+    from data_engineering_bootcamp_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_pair_stats,
+        kmv_sketch,
+    )
+    from pyspark.sql import Window
+
+    out = {}
+    n = 20_000_000
+    n_groups = 8
+    k = 256
+    base = (
+        spark.range(n)
+        .select(
+            (F.col("id") % n_groups).cast("int").alias("g"),
+            (
+                (F.col("id") % n_groups) * 600_000
+                + F.pmod(F.xxhash64("id"), F.lit(1_000_000))
+            ).alias("user_id"),
+        )
+        .persist()
+    )
+    out["rows"] = base.count()
+
+    t0 = time.perf_counter()
+    sk = kmv_sketch(base, "user_id", "g", k=k, hash_fn="xxhash64").persist()
+    pair_rows = kmv_pair_stats(sk, "g", k=k).collect()
+    out["sketch_pairs_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    du = base.distinct().persist()
+    a = du.select(F.col("g").alias("ga"), "user_id")
+    b = du.select(F.col("g").alias("gb"), "user_id")
+    exact_inter = {
+        (r.ga, r.gb): r.cnt
+        for r in a.join(b, "user_id")
+        .where(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    exact_sizes = {
+        r.g: r.cnt
+        for r in du.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    out["exact_pairs_sec"] = round(time.perf_counter() - t0, 3)
+
+    max_rel = 0.0
+    overlapped = 0
+    for r in pair_rows:
+        ua = kmv_estimate(r.size_a, r.kth_a, k)
+        ub = kmv_estimate(r.size_b, r.kth_b, k)
+        uu = kmv_estimate(r.union_size, r.union_kth, k)
+        jac = r.inter_in_union / r.union_size
+        est_inter = jac * uu
+        ex = exact_inter.get((r.grp_a, r.grp_b), 0)
+        if ex > 0:
+            overlapped += 1
+            max_rel = max(max_rel, abs(est_inter - ex) / ex)
+        # side estimates stay inside a 4-sigma envelope too
+        for g, est in ((r.grp_a, ua), (r.grp_b, ub)):
+            max_rel = max(
+                max_rel, abs(est - exact_sizes[g]) / exact_sizes[g]
+            )
+        del uu
+    out["pairs_with_true_overlap"] = overlapped
+    out["max_rel_error"] = round(max_rel, 4)
+    # intersection error compounds union + Jaccard noise: ~1/sqrt(k-2)
+    # each; 0.35 is a generous multi-sigma cap that still catches a
+    # broken estimator outright
+    out["estimates_ok"] = max_rel < 0.35
+
+    # merge law at full width: sketches of two disjoint row-halves,
+    # re-ranked, equal the whole-input sketch exactly
+    half_a = base.where(F.pmod(F.xxhash64("user_id", "g"), F.lit(2)) == 0)
+    half_b = base.where(F.pmod(F.xxhash64("user_id", "g"), F.lit(2)) == 1)
+    merged = (
+        kmv_sketch(half_a, "user_id", "g", k=k, hash_fn="xxhash64")
+        .unionByName(kmv_sketch(half_b, "user_id", "g", k=k,
+                                hash_fn="xxhash64"))
+        .select("g", "h")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("g").orderBy("h")),
+        )
+        .where(F.col("rn") <= k)
+    )
+    direct = kmv_sketch(base, "user_id", "g", k=k, hash_fn="xxhash64")
+    out["merge_law_exact"] = (
+        direct.exceptAll(merged).count() == 0
+        and merged.exceptAll(direct).count() == 0
+    )
+    sk.unpersist()
+    du.unpersist()
+    base.unpersist()
+    return out
+
+
 SECTIONS = {
     "skew_join": bench_skew,
     "ngram_neardup": bench_ngram,
@@ -1024,6 +1130,7 @@ SECTIONS = {
     "merge_laws": bench_merge_laws,
     "fuzzy_join": bench_fuzzy,
     "interval_sweep": bench_interval_sweep,
+    "kmv_overlap": bench_kmv,
 }
 
 
