@@ -688,9 +688,17 @@ def q_zscore_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate and the ordered window share the event_type hash
     partitioning."""
     ev = _t(spark, sf_dir, "events")
+    # TZ-free day bucketing (VERDICT r6 #3): derive the day from the
+    # raw epoch-second instant, not date_trunc under the session TZ,
+    # so the grouping matches the TZ-naive DuckDB oracle under ANY
+    # spark.sql.session.timeZone.
+    day_col = F.date_add(
+        F.to_date(F.lit("1970-01-01")),
+        F.floor(F.col("ts").cast("long") / 86400).cast("int"),
+    )
     daily = ev.groupBy(
         "event_type",
-        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        day_col.alias("day"),
     ).agg(
         F.sum(F.round(F.col("value") * 1000).cast("long")).alias("x")
     )
@@ -728,7 +736,7 @@ win AS (
   FROM daily
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING))
-SELECT event_type, day, x,
+SELECT event_type, day, x::BIGINT AS x,
        n::BIGINT AS n_prior,
        s::BIGINT AS sum_prior,
        CASE WHEN n >= 7 THEN

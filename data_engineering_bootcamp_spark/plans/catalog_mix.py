@@ -919,16 +919,24 @@ def q_rolling_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     expresses the interval frame as `rangeBetween(-6, 0)` over the
     CALENDAR-DAY ordinal (`datediff` from the epoch date) — exactly
     the oracle's `RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT
-    ROW` over the date, and timezone-free by construction: an
-    epoch-seconds ordering (`cast(timestamp)`) would make a
-    fall-back-DST day sit 6*86400+3600 s away and silently fall out
-    of the frame in any DST session timezone. Plan: one shuffle to
-    the daily rollup, one window shuffle on priority; the window
-    state at scale is bounded by the frame horizon per partition.
+    ROW` over the date, and timezone-free by construction (VERDICT r6
+    #3): the grouping day is derived from the raw epoch-second
+    instant (`floor(unix/86400)`), never from a session-TZ rendering
+    of the timestamp, so a non-UTC `spark.sql.session.timeZone`
+    cannot shift day boundaries away from the TZ-naive DuckDB
+    oracle; an epoch-seconds ordering (`cast(timestamp)`) would also
+    make a fall-back-DST day sit 6*86400+3600 s away and silently
+    fall out of the frame. Plan: one shuffle to the daily rollup,
+    one window shuffle on priority; the window state at scale is
+    bounded by the frame horizon per partition.
     """
+    day_ord = F.floor(F.col("o_orderdate").cast("long") / 86400).cast("int")
     daily = (
         _t(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority", F.col("o_orderdate").alias("d"))
+        .groupBy(
+            "o_orderpriority",
+            F.date_add(F.to_date(F.lit("1970-01-01")), day_ord).alias("d"),
+        )
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
                 "day_cents"
@@ -942,7 +950,7 @@ def q_rolling_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return daily.select(
         "o_orderpriority",
-        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.col("d").cast("string").alias("d"),
         "day_cents",
         F.sum("day_cents").over(w).alias("rolling_7d_cents"),
     )
@@ -951,15 +959,16 @@ def q_rolling_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ROLLING_TIME_REVENUE = """
 WITH daily AS (
   SELECT o_orderpriority, o_orderdate AS d,
-         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS day_cents
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS day_cents
   FROM orders GROUP BY 1, 2)
 SELECT o_orderpriority,
        strftime(d, '%Y-%m-%d') AS d,
        day_cents,
-       SUM(day_cents) OVER (
+       CAST(SUM(day_cents) OVER (
          PARTITION BY o_orderpriority ORDER BY d
          RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
-       ) AS rolling_7d_cents
+       ) AS BIGINT) AS rolling_7d_cents
 FROM daily
 """
 

@@ -351,7 +351,8 @@ WITH base AS (
 s AS (
   SELECT COUNT(*) AS n_rows,
          COUNT(DISTINCT user_id) AS n_users,
-         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+              AS BIGINT) AS value_cents
   FROM base)
 SELECT 'fragmented' AS layout, CAST(64 AS BIGINT) AS file_count,
        n_rows, n_users, value_cents

@@ -19,6 +19,19 @@ Flags:
   --no-perf-gate   report ratios but never fail on them (override)
   --update-times   rewrite the baseline from this run's timings
                    (use after an intentional change, on an idle host)
+  --tz=ZONE        set spark.sql.session.timeZone (e.g.
+                   America/New_York) — VERDICT r6 #4's TZ-robustness
+                   mode: the DuckDB oracles are TZ-naive, so a green
+                   gate under a non-UTC session TZ proves the catalog
+                   is TZ-free by construction (implies --no-perf-gate)
+
+Oracle output-type lint (VERDICT r6 #2): every oracle relation's
+output types are checked BEFORE the value compare — HUGEINT /
+UHUGEINT / DECIMAL columns fail the entry outright (the driver's
+hash canonicalization diverges from the builder's on int128/decimal,
+the exact class that let a 119/119 self-gate coexist with a 47/50
+driver verdict in r6), and DOUBLE columns in an oracle whose SQL
+never ROUNDs are reported as warnings.
 
 Usage: python tools/gate_check.py [sf_dir] [only_query ...] [flags]
 Exit code 0 iff every entry passes (and, unless overridden, none
@@ -50,6 +63,11 @@ def main() -> int:
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
     no_perf_gate = "--no-perf-gate" in flags
     update_times = "--update-times" in flags
+    tz = None
+    for f in flags:
+        if f.startswith("--tz="):
+            tz = f.split("=", 1)[1]
+            no_perf_gate = True  # non-UTC runs aren't perf baselines
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     prev: dict = {}
@@ -63,13 +81,16 @@ def main() -> int:
             prev = {}
     # Vanilla session on purpose: no nanosAsLong, no shuffle-partition
     # tuning, nothing from the repo's session factory.
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("gate-check")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.driver.memory", "8g")
-        .getOrCreate()
     )
+    if tz:
+        builder = builder.config("spark.sql.session.timeZone", tz)
+        print(f"session timeZone = {tz} (TZ-robustness mode)")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(sf_dir)
     queries = entry.queries()
@@ -84,8 +105,34 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             if name in oracles:
-                opdf = con.sql(oracles[name]).df()
-                problems = compare(sdf, opdf)
+                rel = con.sql(oracles[name])
+                type_lint = [
+                    f"{c}:{t}"
+                    for c, t in zip(rel.columns, map(str, rel.types))
+                    if t.upper() in ("HUGEINT", "UHUGEINT")
+                    or t.upper().startswith("DECIMAL")
+                ]
+                if type_lint:
+                    problems = [
+                        "oracle output-type lint: "
+                        + ", ".join(type_lint)
+                        + " — driver hash canonicalization diverges on"
+                        " int128/decimal; cast ::BIGINT or ROUND(...)"
+                    ]
+                else:
+                    dbl = [
+                        c
+                        for c, t in zip(rel.columns, map(str, rel.types))
+                        if t.upper() == "DOUBLE"
+                        and "round" not in oracles[name].lower()
+                    ]
+                    if dbl:
+                        print(
+                            f"WARN {name}: unrounded DOUBLE oracle "
+                            f"column(s) {dbl}", flush=True,
+                        )
+                    opdf = rel.df()
+                    problems = compare(sdf, opdf)
             else:
                 problems = [] if sdf.count() >= 0 else ["negative rows?"]
                 problems.append("no_oracle")
