@@ -1230,7 +1230,8 @@ hit AS (
   SELECT q.q_pct, c.n_rows, c.bin_id, c.cum_count,
          ROW_NUMBER() OVER (PARTITION BY q.q_pct ORDER BY c.bin_id) AS rn
   FROM q JOIN c ON c.cum_count >= (q.q_pct * c.n_rows + 99) // 100)
-SELECT q_pct, n_rows, bin_id, bin_id * 1000.0 AS quantile_lo, cum_count
+SELECT q_pct, n_rows, bin_id,
+       CAST(bin_id * 1000.0 AS DOUBLE) AS quantile_lo, cum_count
 FROM hit WHERE rn = 1
 """
 

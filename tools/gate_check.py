@@ -68,6 +68,12 @@ def main() -> int:
         if f.startswith("--tz="):
             tz = f.split("=", 1)[1]
             no_perf_gate = True  # non-UTC runs aren't perf baselines
+            if update_times:
+                # a TZ-robustness pass is not a valid perf baseline
+                # either — refuse rather than silently poison ratios
+                print("ERROR: --tz and --update-times are mutually "
+                      "exclusive (TZ runs are not perf baselines)")
+                return 3
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     prev: dict = {}
@@ -120,11 +126,27 @@ def main() -> int:
                         " int128/decimal; cast ::BIGINT or ROUND(...)"
                     ]
                 else:
+                    # per-column heuristic: only suppress the warning
+                    # when a ROUND( call (or an explicit DOUBLE cast,
+                    # which pins the exact bits) feeds THIS column's
+                    # alias — a ROUND elsewhere in the SQL must not
+                    # silence an unrounded column (ADVICE r7)
+                    import re as _re
+
+                    def _col_pinned(sql: str, col: str) -> bool:
+                        pat = (
+                            r"(round\s*\(|::\s*double|as\s+double\s*\))"
+                            r"[^;]{0,120}?\bas\s+" + _re.escape(col) + r"\b"
+                        )
+                        return bool(
+                            _re.search(pat, sql, _re.IGNORECASE | _re.DOTALL)
+                        )
+
                     dbl = [
                         c
                         for c, t in zip(rel.columns, map(str, rel.types))
                         if t.upper() == "DOUBLE"
-                        and "round" not in oracles[name].lower()
+                        and not _col_pinned(oracles[name], c)
                     ]
                     if dbl:
                         print(
