@@ -53,3 +53,30 @@ def datelist_active_days(mask: Column | str) -> Column:
     """BIT_COUNT(mask) — number of active days (anaylze_datelist.sql:23)."""
     mask = F.col(mask) if isinstance(mask, str) else mask
     return F.bit_count(mask)
+
+
+def epoch_day(df, col_name: str) -> Column:
+    """TZ-free calendar-day ordinal (days since 1970-01-01) for a column
+    that may be DATE- or TIMESTAMP-typed.
+
+    The two encodings need different expressions (VERDICT r8 #1):
+
+    - ``DateType`` is already a TZ-free day count, read exactly by
+      ``datediff(col, '1970-01-01')``. Casting a DATE to long is
+      **NULL** in Spark (defined only for timestamps) — the bug this
+      helper exists to prevent.
+    - ``TimestampType`` must NOT go through ``to_date`` (that renders
+      in the session timezone and shifts day boundaries); dividing the
+      raw epoch-second instant keeps the boundary pinned to UTC, the
+      same wall-clock-as-UTC reading the TZ-naive DuckDB oracle gives.
+
+    Takes the DataFrame (not just the column) because the branch is
+    static on the schema dtype — there is no runtime dtype dispatch in
+    Catalyst.
+    """
+    from pyspark.sql import types as T
+
+    dt = df.schema[col_name].dataType
+    if isinstance(dt, T.DateType):
+        return F.datediff(F.col(col_name), F.lit("1970-01-01")).cast("int")
+    return F.floor(F.col(col_name).cast("long") / 86400).cast("int")

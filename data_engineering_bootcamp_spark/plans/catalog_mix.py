@@ -926,13 +926,19 @@ def q_rolling_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot shift day boundaries away from the TZ-naive DuckDB
     oracle; an epoch-seconds ordering (`cast(timestamp)`) would also
     make a fall-back-DST day sit 6*86400+3600 s away and silently
-    fall out of the frame. Plan: one shuffle to the daily rollup,
+    fall out of the frame. The day ordinal is dtype-branched via
+    `epoch_day` (VERDICT r8 #1): a true DATE column casts to long as
+    NULL, so DATE input uses `datediff` directly — dates are TZ-free
+    already. Plan: one shuffle to the daily rollup,
     one window shuffle on priority; the window state at scale is
     bounded by the frame horizon per partition.
     """
-    day_ord = F.floor(F.col("o_orderdate").cast("long") / 86400).cast("int")
+    from ..functions.datelist import epoch_day
+
+    orders = _t(spark, sf_dir, "orders")
+    day_ord = epoch_day(orders, "o_orderdate")
     daily = (
-        _t(spark, sf_dir, "orders")
+        orders
         .groupBy(
             "o_orderpriority",
             F.date_add(F.to_date(F.lit("1970-01-01")), day_ord).alias("d"),

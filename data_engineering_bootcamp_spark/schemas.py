@@ -9,6 +9,16 @@ Two groups:
   TESTDATA — the driver's TPC-H-ish tables (TESTDATA.md / FIXTURES.md §E).
   REFERENCE — reference-domain tables used by unit-test fixtures
   (players, teams, game_details …), mirroring FIXTURES.md §A/§B.
+
+Dtype contract for date-shaped columns (VERDICT r8 #7): the driver's
+parquet stores `o_orderdate` / `l_shipdate` as TIMESTAMP(MICROS), and
+the registry mirrors that (TimestampType below) — but the ENGINE
+contract is that any query consuming them must also accept a true
+DateType encoding (a user's own parquet may store date32). Day-ordinal
+derivations therefore go through `functions.datelist.epoch_day`, which
+dtype-branches: `datediff` for DATE (date→long casts are NULL in
+Spark), `floor(epoch_seconds/86400)` for TIMESTAMP. Covered both ways
+in tests/test_readers_vanilla.py::test_orderdate_both_encodings.
 """
 
 from __future__ import annotations

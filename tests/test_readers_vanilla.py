@@ -131,3 +131,53 @@ def test_streaming_gate_self_sufficient(spark, sf_small):
     out = q_streaming_tumbling(spark, sf_small)
     assert out.count() > 0
     assert set(out.columns) == {"window_start", "event_type", "num_hits"}
+
+
+@pytest.mark.parametrize("encoding", ["date32", "timestamp_us"])
+def test_orderdate_both_encodings(spark, tmp_path, encoding):
+    """Dtype contract (schemas.py / VERDICT r8 #7): o_orderdate may
+    arrive as DATE or TIMESTAMP; epoch_day and the range-frame query
+    built on it must agree between the two encodings."""
+    from data_engineering_bootcamp_spark.functions.datelist import epoch_day
+    from data_engineering_bootcamp_spark.plans.catalog_mix import (
+        q_rolling_time_revenue,
+    )
+
+    _vanilla(spark)
+    days = [9496, 9497, 9505]  # 1996-01-01, -02, -10 as epoch days
+    if encoding == "date32":
+        od = pa.array(days, pa.date32())
+    else:
+        od = pa.array([d * 86_400_000_000 for d in days], pa.timestamp("us"))
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 3),
+            "o_totalprice": pa.array([10.0, 20.0, 40.0], pa.float64()),
+            "o_orderdate": od,
+            "o_orderpriority": pa.array(["1-URGENT"] * 3),
+        }
+    )
+    d = tmp_path / encoding
+    d.mkdir()
+    pq.write_table(table, str(d / "orders.parquet"))
+
+    o = load_table(spark, str(d), "orders")
+    ords = [
+        r[0]
+        for r in o.select(epoch_day(o, "o_orderdate")).orderBy(
+            "o_orderkey"
+        ).collect()
+    ]
+    assert sorted(ords) == days, encoding
+
+    got = {
+        r.d: r.rolling_7d_cents
+        for r in q_rolling_time_revenue(spark, str(d)).collect()
+    }
+    assert got == {
+        "1996-01-01": 1000,
+        "1996-01-02": 3000,
+        "1996-01-10": 4000,
+    }, encoding
