@@ -135,6 +135,8 @@ HEADLINE = [
     "session_concurrency_daily",
     "media_ahash_neardup",
     "media_curation_pipeline",
+    # round-9 addition: 31-day incremental daily-pipeline replay
+    "pipeline_replay_31d",
 ]
 
 
@@ -245,7 +247,12 @@ def main() -> None:
     try:
         with open(full_path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
-    except OSError:
+    except OSError as exc:
+        # the full dict carries loadavg / per-rep timings / error
+        # messages — losing it silently would defeat contaminated-run
+        # detection, so leave a visible trace (ADVICE r8)
+        print(f"WARNING: BENCH_full.json write failed ({exc}); "
+              "per-rep timings and loadavg lost", file=sys.stderr)
         full_path = None
     compact = {
         "metric": out["metric"],
@@ -261,6 +268,13 @@ def main() -> None:
     if hard_errors:
         compact["partial_total_sec"] = total
         compact["n_errors"] = len(hard_errors)
+    # a degraded run (single-shot medians past the soft budget) must be
+    # distinguishable from a clean one in the recorded stdout, and soft
+    # errors (transient fault after >=1 clean rep) counted (ADVICE r8)
+    if degraded:
+        compact["n_degraded"] = len(degraded)
+    if errors:
+        compact["n_errors_total"] = len(errors)
     budget_bytes = 1800
     compact["queries_omitted"] = len(timings)  # placeholder for sizing
     fixed = len(json.dumps(compact, separators=(",", ":")))

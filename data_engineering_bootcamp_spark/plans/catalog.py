@@ -1337,46 +1337,44 @@ ORACLES.update(LATE_ORACLES)
 GATE_CAP = 50  # the driver gates exactly this many leading entries
 
 _GATE_FIRST = [
-    # core relational surface (P/A/W/J/O/U ids)
-    "array_metrics",           # J2 J4 J5 A12 A13 A6 (first driver row r5)
-    # LATE round-6 additions, gated immediately (never the
-    # no-driver-row state) — slots freed by rolling_revenue,
-    # order_history, best_stretch, semi_anti_customers and
-    # merge_upsert (each carries a green r5 row; their operator ids
-    # stay covered by rolling_time_revenue W5-W8/W11, order_history's
-    # ordered_collect twin in array_metrics A6, longest_streak W12,
-    # and the retained merge/semi coverage in scd_incremental J6/U1)
-    "fuzzy_customer_pairs",       # NEW r6: PassJoin edit-distance ER
-    "interpolate_daily_revenue",  # NEW r6: gap-fill + linear interp
-    "hll_user_cardinality",       # NEW r6: HyperLogLog registers
-    "session_concurrency_daily",  # NEW r6: sweep-line concurrency
-    "media_ahash_neardup",        # NEW r6: perceptual-hash image dedup
-    "media_curation_pipeline",    # NEW r6: composed image-dedup pass
-    # graph/vertex surface (VERDICT r5 #5: reference team_vertex_job /
-    # player_player_edges round-trip — refresh driver evidence)
-    "user_vertices",           # W3 + map-typed vertex props
-    "part_pair_edges",         # J9 pair self-join with inequality
-    # LLM-pipeline operators (first-class per brief)
-    "media_real_decode",       # real stdlib PNG round-trip — first row r5
-    "skew_salted_join",        # join twin — first driver row r5
-    "semantic_dedup",          # NEW r6: SemDeDup cluster-then-dedup
-    "media_resize",            # NEW r6: NN resize + re-encode round-trip
-    "rolling_time_revenue",    # NEW r6: RANGE-interval window frame
-    "doc_bigram_lm_score",     # NEW r6: bigram-LM quality score
-    # FINAL round-6 additions, gated immediately — slots freed by
-    # doc_ttr_repetition, vocab_top_tokens and neardup_clusters_star
-    # (single green r5 rows each; text-analysis stays covered by
-    # doc_bigram_lm_score/tfidf_top_terms/doc_pii_redact, vocabulary
-    # by bpe_merge_candidates, star CC by neardup_clusters plus the
-    # CC stages inside media_curation_pipeline and semantic_dedup)
-    "line_dedup_rebuild",      # NEW r6: C4/RefinedWeb segment removal
-    "kmv_set_ops",             # NEW r6: bottom-k sketch set algebra
-    "zscore_anomaly_days",     # NEW r6: integer-exact z-score anomalies
-    "doc_winnow_fingerprint",  # set-stats winnow twin — first driver row r5
-    "doc_pii_redact",          # regex PII counting + masking — first row r5
-    "neardup_clusters",        # CC + keep-one retention — first row r5
-    # round-6 promotions: the 13 round-5 additions without a driver row
-    "pivot_lang_counts",       # groupBy().pivot() with pinned values
+    # -----------------------------------------------------------------
+    # r9 rotation (VERDICT r8 #3 / r6 #6): the 20 entries whose newest
+    # driver row was r2/r3 are promoted here so no entry's driver
+    # evidence goes stale (>3 rounds). Slots freed by rotating out 21
+    # entries that each hold fresh r6+r7+r8 driver-row triples
+    # (array_metrics, fuzzy_customer_pairs, interpolate_daily_revenue,
+    # hll_user_cardinality, session_concurrency_daily,
+    # media_ahash_neardup, media_curation_pipeline, user_vertices,
+    # part_pair_edges, media_real_decode, skew_salted_join,
+    # semantic_dedup, media_resize, doc_bigram_lm_score,
+    # line_dedup_rebuild, kmv_set_ops, doc_winnow_fingerprint,
+    # doc_pii_redact, neardup_clusters, pivot_lang_counts,
+    # streaming_neardup_admission — see _GATE_REST). The 21st slot
+    # gates the NEW r9 entry pipeline_replay_31d immediately.
+    "region_revenue",          # J3 J13; newest row r2
+    "tumbling_hits",           # batch T3/T4 twin; newest row r2
+    "host_activity_reduced",   # J2 J12; newest row r2
+    "top_supplier_per_nation",  # J13 A15 W9; newest row r2
+    "embedding_neardup_allpairs",  # exact baseline twin; newest row r2
+    "acctbal_tiers",           # P6; newest row r3
+    "ann_cosine_topk",         # brute-force ANN baseline; newest row r3
+    "bulk_rename_summary",     # P2; newest row r3
+    "csv_roundtrip_rollup",    # S2; newest row r3
+    "dedup_keep_first",        # W3 W4; newest row r3
+    "distinct_users",          # A4 A5; newest row r3
+    "doc_quality",             # text quality score; newest row r3
+    "doc_token_stats",         # token counting; newest row r3
+    "doc_winnow_neardup_pairs",  # winnow primary; newest row r3
+    "filter_by_top1",          # P8 O6; newest row r3
+    "growth_accounting",       # J1; newest row r3
+    "json_props",              # JSON family; newest row r3
+    "part_type_tiers",         # P5; newest row r3
+    "scd_incremental",         # J6 W1 U1; newest row r3
+    "sorted_layout_rollup",    # O4 O5; newest row r3
+    "pipeline_replay_31d",     # NEW r9: 31-day incremental replay
+    # -----------------------------------------------------------------
+    "rolling_time_revenue",    # RANGE frame — DATE-dtype fix r9, keep gated
+    "zscore_anomaly_days",     # integer-exact z-score anomalies
     "unpivot_region_metrics",  # DataFrame.unpivot wide->long
     "chunk_dedup_rebuild",     # sub-document exact dedup + rebuild
     "corpus_mix_plan",         # per-source mixing quotas (integer math)
@@ -1413,12 +1411,37 @@ _GATE_FIRST = [
     # streaming_session_windows and streaming_foreachbatch_sink rotated
     # out (r4+r5 rows each) for the four sketch/layout entries above
     "streaming_sliding_hits",      # NEW r6: hopping-window twin
-    "streaming_neardup_admission",  # stream-static LSH admission — first r5
     "streaming_interval_join",  # stream-stream interval join (r6 promotion)
     "streaming_upsert_sink",   # streaming ON-CONFLICT merge sink (r6 prom.)
 ]
 
 _GATE_REST = [
+    # rotated out r9 for the r2/r3-evidence cohort promotion + the new
+    # pipeline_replay_31d (each entry below holds r6+r7+r8 driver-row
+    # triples; operator ids stay covered by gated twins — A6/J2-J5 by
+    # host_activity_reduced + array twins, ANN by ann_cosine_topk,
+    # media by the gate_check full-registry run each round)
+    "array_metrics",           # J2 J4 J5 A12 A13 A6; r5+r6+r7+r8 rows
+    "fuzzy_customer_pairs",    # PassJoin edit-distance ER; r6+r7+r8
+    "interpolate_daily_revenue",  # gap-fill + linear interp; r6+r7+r8
+    "hll_user_cardinality",    # HyperLogLog registers; r6+r7+r8
+    "session_concurrency_daily",  # sweep-line concurrency; r6+r7+r8
+    "media_ahash_neardup",     # perceptual-hash image dedup; r6+r7+r8
+    "media_curation_pipeline",  # composed image-dedup pass; r6+r7+r8
+    "user_vertices",           # W3 + map-typed vertex props; r6+r7+r8
+    "part_pair_edges",         # J9 pair self-join; r6+r7+r8
+    "media_real_decode",       # stdlib PNG round-trip; r5..r8 rows
+    "skew_salted_join",        # salted join twin; r5..r8 rows
+    "semantic_dedup",          # SemDeDup cluster-then-dedup; r6+r7+r8
+    "media_resize",            # NN resize + re-encode; r6+r7+r8
+    "doc_bigram_lm_score",     # bigram-LM quality score; r6+r7+r8
+    "line_dedup_rebuild",      # C4/RefinedWeb segment removal; r6+r7+r8
+    "kmv_set_ops",             # bottom-k sketch set algebra; r6+r7+r8
+    "doc_winnow_fingerprint",  # set-stats winnow twin; r5..r8 rows
+    "doc_pii_redact",          # regex PII counting + masking; r5..r8
+    "neardup_clusters",        # CC + keep-one retention; r5..r8 rows
+    "pivot_lang_counts",       # groupBy().pivot(); r6+r7+r8
+    "streaming_neardup_admission",  # stream-static LSH; r5..r8 rows
     # rotated out for the three FINAL round-6 additions (r5 rows noted)
     "doc_ttr_repetition",      # TTR/repetition stats; r5 row
     "vocab_top_tokens",        # corpus vocabulary df table; r5 row
@@ -1455,26 +1478,6 @@ _GATE_REST = [
     "users_cumulated",         # r1+r3+r4+r5 rows; P4 A7 J1
     "datelist_int",            # r1+r3+r4 rows; A10 A11
     "sessionization",          # r03+r04 rows; W2/P4
-    "part_type_tiers",         # r03 row; P5 LIKE via retention_curve channel
-    "acctbal_tiers",           # r03 row; P6 tiering via union_order_tiers
-    "filter_by_top1",          # r03 row; P8/O6
-    "growth_accounting",       # r03 row; J1 via users_cumulated+merge_upsert
-    "dedup_keep_first",        # r03 row; W3/W4 inside corpus_curation_pipeline
-    "distinct_users",          # r03 row; A4/A5 via table_profile
-    "json_props",              # r03 row; JSON family via streaming_kafka_mirror
-    "scd_incremental",         # r03 row; J6/W1/U1 via semi_anti+scd_streaks+union
-    "doc_token_stats",         # r03 row
-    "doc_quality",             # r03 row
-    "ann_cosine_topk",         # r03 row; brute-force baseline
-    "doc_winnow_neardup_pairs",  # r03 row; winnow primary
-    "bulk_rename_summary",     # r03 row; P2
-    "csv_roundtrip_rollup",    # r03 row; S2
-    "sorted_layout_rollup",    # r03 row; O4/O5 via metadata_scan layouts
-    "tumbling_hits",           # batch analog of streaming_tumbling_hits
-    "region_revenue",          # J13 dup of top_customers
-    "top_supplier_per_nation",  # J13/A15 dup
-    "host_activity_reduced",   # J2/J12 (series via customer_order_spine)
-    "embedding_neardup_allpairs",  # exact baseline twin
     # rotated out r6 (>= 2 cumulative driver rows each, rounds noted)
     "doc_decontaminate",       # leakage scrub; r4+r5 rows
     "pack_token_stream",       # sequence packing; r4+r5 rows

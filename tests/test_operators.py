@@ -810,3 +810,50 @@ def test_profile_table_exact_and_approx(spark):
         for r in profile_table(df, exact_distinct=False).collect()
     }
     assert abs(approx["id"] - 30) <= 3 and abs(approx["v"] - 5) <= 2
+
+
+def test_pipeline_replay_31d_final_states(spark, tmp_path):
+    """31-day replay (catalog_late.q_pipeline_replay_31d) must land
+    every user in the correct day-31 growth state: the state machine
+    (M4A/lecture-lab/growth_accounting.sql:19-34) evaluated against a
+    fixture covering all five states."""
+    import os
+
+    from data_engineering_bootcamp_spark.plans.catalog_late import (
+        q_pipeline_replay_31d,
+    )
+
+    # (user, active days) -> expected day-31 state
+    activity = {
+        1: (["2024-01-01", "2024-01-02"], "Stale"),
+        2: (["2024-01-30"], "Churned"),
+        3: (["2024-01-30", "2024-01-31"], "Retained"),
+        4: (["2024-01-31"], "New"),
+        5: (["2024-01-05", "2024-01-31"], "Resurrected"),
+    }
+    rows = [
+        (uid * 100 + i, f"{day} 12:00:00", uid, "click", 1.0, "{}")
+        for uid, (days, _) in activity.items()
+        for i, day in enumerate(days)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    df.write.parquet(str(d / "events.parquet"))
+
+    out = {
+        r.user_id: r for r in q_pipeline_replay_31d(spark, str(d)).collect()
+    }
+    assert set(out) == set(activity)
+    for uid, (days, want_state) in activity.items():
+        r = out[uid]
+        assert r.daily_active_state == want_state, (uid, r)
+        assert r.n_days == len(days), (uid, r)
+        assert r.first_active_date == min(days), (uid, r)
+        assert r.last_active_date == max(days), (uid, r)
+        assert r.dates_active == ",".join(sorted(days, reverse=True)), (
+            uid,
+            r,
+        )

@@ -133,14 +133,88 @@ def main() -> int:
                     # silence an unrounded column (ADVICE r7)
                     import re as _re
 
-                    def _col_pinned(sql: str, col: str) -> bool:
-                        pat = (
-                            r"(round\s*\(|::\s*double|as\s+double\s*\))"
-                            r"[^;]{0,120}?\bas\s+" + _re.escape(col) + r"\b"
+                    def _col_pinned(
+                        sql: str, col: str, _depth: int = 0,
+                        _skip_at: int = -1,
+                    ) -> bool:
+                        # Examine ONLY the select-list item defining
+                        # this alias (ADVICE r8: a proximity window let
+                        # a ROUND feeding a DIFFERENT column suppress
+                        # the warning): find "AS col" (optionally
+                        # quoted/backticked), walk backwards to the
+                        # nearest top-level comma or enclosing paren,
+                        # and require the ROUND/::DOUBLE pin INSIDE
+                        # that item. \bround blocks workaround(-style
+                        # false identifiers. A bare-identifier item
+                        # (e.g. `roll AS best_rev` re-exporting a CTE
+                        # column) recurses one level to the source
+                        # alias's own definition.
+                        if _depth > 3:
+                            return False
+                        m = None
+                        alias_pat = (
+                            r"\bas\s+[\"`]?" + _re.escape(col)
+                            + r"[\"`]?\b"
                         )
-                        return bool(
-                            _re.search(pat, sql, _re.IGNORECASE | _re.DOTALL)
-                        )
+                        for m_ in _re.finditer(
+                            alias_pat, sql, _re.IGNORECASE
+                        ):
+                            if m_.start() == _skip_at:
+                                continue
+                            m = m_  # last definition = outermost SELECT
+                        if m is None:
+                            return False
+                        depth = 0
+                        i = m.start() - 1
+                        start = 0
+                        while i >= 0:
+                            ch = sql[i]
+                            if ch == ")":
+                                depth += 1
+                            elif ch == "(":
+                                if depth == 0:
+                                    start = i + 1
+                                    break
+                                depth -= 1
+                            elif ch == "," and depth == 0:
+                                start = i + 1
+                                break
+                            i -= 1
+                        item = sql[start:m.start()]
+                        # a COMPLETE paren group before the item (e.g.
+                        # a whole CTE body) survives the backward walk
+                        # — trim to after the last top-level SELECT so
+                        # an inner query's ROUND can't pin an outer
+                        # column of the same name
+                        d = 0
+                        for km in _re.finditer(
+                            r"[()]|\bselect\b", item, _re.IGNORECASE
+                        ):
+                            tok = km.group(0)
+                            if tok == "(":
+                                d += 1
+                            elif tok == ")":
+                                d -= 1
+                            elif d == 0:
+                                item = item[km.end():]
+                                break
+                        if _re.search(
+                            r"(\bround\s*\(|::\s*double"
+                            r"|\bas\s+double\s*\))",
+                            item,
+                            _re.IGNORECASE,
+                        ):
+                            return True
+                        # bare identifier re-export: trace the source
+                        # alias (skipping this very definition so
+                        # `x AS x` can't loop)
+                        ident = item.strip().strip('"`')
+                        ident = ident.rsplit(".", 1)[-1]
+                        if _re.fullmatch(r"\w+", ident):
+                            return _col_pinned(
+                                sql, ident, _depth + 1, m.start()
+                            )
+                        return False
 
                     dbl = [
                         c
