@@ -135,8 +135,12 @@ HEADLINE = [
     "session_concurrency_daily",
     "media_ahash_neardup",
     "media_curation_pipeline",
-    # round-9 addition: 31-day incremental daily-pipeline replay
-    "pipeline_replay_31d",
+    # pipeline_replay_31d is deliberately NOT a headline: its wall time
+    # is ~90% driver-side plan composition of 31 sequential daily
+    # advances (scale-independent; in production each advance is its
+    # own job), so it would measure Py4J/Catalyst overhead, not engine
+    # throughput. It stays oracle-gated in tools/gate_check.py and the
+    # driver's correctness gate every round.
 ]
 
 
