@@ -151,6 +151,16 @@ def main() -> None:
     # sharing the box with other work showed 3-5x phantom regressions in
     # round 4, so contaminated runs must be detectable post-hoc
     load_start = os.getloadavg()
+    # absolute machine-speed marker: a fixed single-thread workload.
+    # Round-over-round per-query drift with IDENTICAL code (r6: 92.9 s
+    # idle total, r9: 133.2 s idle total, zero steal, zero plan change)
+    # was unfalsifiable because no artifact recorded how fast the box
+    # itself was that day; this pins it (observed 0.3-0.7 s).
+    _t0 = time.perf_counter()
+    _x = 0
+    for _i in range(10_000_000):
+        _x += _i
+    cpu_marker = round(time.perf_counter() - _t0, 3)
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -234,6 +244,7 @@ def main() -> None:
         # $SPARK_GRAFT_CPUS to judge whether the box was idle
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "cpu_marker_sec": cpu_marker,
     }
     if errors:
         out["errors"] = errors
@@ -267,6 +278,7 @@ def main() -> None:
         "bench_reps": reps,
         "n_queries": len(timings),
         "full_artifact": "BENCH_full.json" if full_path else None,
+        "cpu_marker_sec": cpu_marker,
         "queries": {},
     }
     if hard_errors:
