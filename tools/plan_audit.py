@@ -47,6 +47,11 @@ SKIP = {
     # per-iteration shape (1 join + 1 groupBy) is audited by the
     # pagerank section of BENCH_scale_r06.json instead
     "pagerank_parts",
+    # 31 composed daily advances behind a mid-window checkpoint: the
+    # visible plan is the post-checkpoint tail, not the replay; the
+    # per-advance shape (1 full-outer join + 1 groupBy, O(users) state)
+    # is the audited `growth_accounting`/`users_cumulated` shape
+    "pipeline_replay_31d",
 }
 
 
