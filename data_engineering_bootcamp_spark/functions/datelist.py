@@ -80,3 +80,52 @@ def epoch_day(df, col_name: str) -> Column:
     if isinstance(dt, T.DateType):
         return F.datediff(F.col(col_name), F.lit("1970-01-01")).cast("int")
     return F.floor(F.col(col_name).cast("long") / 86400).cast("int")
+
+
+def utc_date_of_ts(ts: Column | str) -> Column:
+    """Session-TZ-free calendar date of a TIMESTAMP instant (its UTC
+    day). `F.to_date(ts)` renders the instant in
+    spark.sql.session.timeZone — under a non-UTC session every
+    midnight-UTC instant lands on the PREVIOUS day, shifting day
+    aggregates away from the TZ-naive oracles (GATECHECK_tz_r09 found
+    27 such entries). Pure date arithmetic on the raw epoch seconds
+    instead: days-since-epoch added to DATE'1970-01-01' — DateType
+    carries no timezone, so everything downstream (datediff, trunc,
+    dayofmonth, casts to string) stays TZ-free."""
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    return F.date_add(
+        F.to_date(F.lit("1970-01-01")),
+        F.floor(ts.cast("long") / 86400).cast("int"),
+    )
+
+
+def utc_date(df, col_name: str) -> Column:
+    """`utc_date_of_ts` with the DATE/TIMESTAMP dtype branch of
+    `epoch_day`: DATE columns pass through (already TZ-free),
+    TIMESTAMP columns take the UTC-day path."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[col_name].dataType, T.DateType):
+        return F.col(col_name)
+    return utc_date_of_ts(col_name)
+
+
+def utc_ts_str(ts: Column | str) -> Column:
+    """Session-TZ-free 'yyyy-MM-dd HH:mm:ss' rendering of a TIMESTAMP
+    instant (UTC wall clock). `F.date_format` renders in the session
+    timezone; this composes the string from epoch arithmetic only —
+    the exact string a TZ-naive engine (the DuckDB oracles) prints
+    for the same stored instant."""
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    secs = ts.cast("long")
+    days = F.floor(secs / 86400).cast("long")
+    d = F.date_add(F.to_date(F.lit("1970-01-01")), days.cast("int"))
+    sod = (secs - days * 86400).cast("int")
+    hh = F.lpad(F.floor(sod / 3600).cast("int").cast("string"), 2, "0")
+    mm = F.lpad(
+        F.floor((sod % 3600) / 60).cast("int").cast("string"), 2, "0"
+    )
+    ss = F.lpad((sod % 60).cast("string"), 2, "0")
+    return F.concat(
+        d.cast("string"), F.lit(" "), hh, F.lit(":"), mm, F.lit(":"), ss
+    )

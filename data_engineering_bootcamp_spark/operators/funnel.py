@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.datelist import utc_date_of_ts
+
 
 def funnel_conversion(
     events: DataFrame,
@@ -37,7 +39,7 @@ def funnel_conversion(
         events.where(F.col(user_col).isNotNull())
         .select(
             F.col(user_col).alias("user_id"),
-            F.to_date(F.col(ts_col)).alias("event_date"),
+            utc_date_of_ts(F.col(ts_col)).alias("event_date"),
             F.col(ts_col).alias("ts"),
             F.col(step_col).alias("step"),
         )

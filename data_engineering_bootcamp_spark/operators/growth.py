@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.datelist import utc_date_of_ts
+
 
 def growth_state(
     y_last_active: Column, t_active_date: Column, ds_col: Column
@@ -99,7 +101,7 @@ def retention_curve(
         events.where(F.col(user_col).isNotNull())
         .select(
             F.col(user_col).alias("user_id"),
-            F.to_date(F.col(ts_col)).alias("d"),
+            utc_date_of_ts(F.col(ts_col)).alias("d"),
         )
         .distinct()
     )

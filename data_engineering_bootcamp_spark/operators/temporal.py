@@ -148,7 +148,11 @@ def interval_concurrency(
     NULL starts/ends and inverted intervals (end < start) are excluded
     — they have no defined coverage."""
     if bucket_fn is None:
-        bucket_fn = F.to_date
+        # default calendar-day bucket must be the TZ-free UTC day:
+        # F.to_date renders in the session timezone (GATECHECK_tz_r09)
+        from ..functions.datelist import utc_date_of_ts
+
+        bucket_fn = utc_date_of_ts
     ivals = df.where(
         F.col(start_col).isNotNull()
         & F.col(end_col).isNotNull()

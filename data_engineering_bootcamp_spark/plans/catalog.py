@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.arrays import ordered_collect
-from ..functions.datelist import datelist_int
+from ..functions.datelist import (
+    datelist_int,
+    utc_date,
+    utc_date_of_ts,
+    utc_ts_str,
+)
 from ..functions.text import (
     LANG_MARKERS,
     bpe_ish_token_count,
@@ -199,11 +204,13 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling/offset/whole-partition window frames (W5, W6, W7, W11,
     M4A/lecture-lab/window_based_analysis.sql:30-53)."""
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
-        F.sum("o_totalprice").alias("rev")
-    )
+    daily = orders.groupBy(
+        utc_date(orders, "o_orderdate").alias("order_date")
+    ).agg(F.sum("o_totalprice").alias("rev"))
     w = Window.orderBy("order_date")
-    month = F.date_trunc("month", F.col("order_date"))
+    # trunc() on a DATE stays DateType (TZ-free); date_trunc() would
+    # return a session-TZ-rendered midnight TIMESTAMP
+    month = F.trunc(F.col("order_date"), "month")
     wm = Window.partitionBy(month).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -269,7 +276,10 @@ def q_customer_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (J10, J11, J12)."""
     orders = _t(spark, sf_dir, "orders")
     yearly = orders.groupBy(
-        "o_custkey", F.year("o_orderdate").cast("long").alias("order_year")
+        "o_custkey",
+        F.year(utc_date(orders, "o_orderdate")).cast("long").alias(
+            "order_year"
+        ),
     ).agg(F.count(F.lit(1)).alias("cnt"))
     bounds = yearly.groupBy("o_custkey").agg(
         F.min("order_year").alias("y0"), F.max("order_year").alias("y1")
@@ -441,7 +451,7 @@ def q_filter_by_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.join(F.broadcast(top), "event_type")
-        .groupBy(F.to_date("ts").alias("event_date"))
+        .groupBy(utc_date_of_ts("ts").alias("event_date"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
 
@@ -521,7 +531,7 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = GROWTH_DS
     daily = (
         ev.where(F.col("user_id").isNotNull())
-        .select("user_id", F.to_date("ts").alias("d"))
+        .select("user_id", utc_date_of_ts("ts").alias("d"))
         .distinct()
     )
     hist = daily.where(F.col("d") < ds)
@@ -531,8 +541,8 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("d"), asc=False).alias("dates_active"),
     )
     today = ev.where(
-        F.col("user_id").isNotNull() & (F.to_date("ts") == F.lit(ds))
-    ).withColumn("date_active", F.to_date("ts"))
+        F.col("user_id").isNotNull() & (utc_date_of_ts("ts") == F.lit(ds))
+    ).withColumn("date_active", utc_date_of_ts("ts"))
     out = growth_accounting(yesterday, today, ds)
     return out.select(
         "user_id",
@@ -581,7 +591,7 @@ def q_scd_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = (
         ev.where(F.col("user_id").isNotNull())
-        .groupBy("user_id", F.to_date("ts").alias("d"), "event_type")
+        .groupBy("user_id", utc_date_of_ts("ts").alias("d"), "event_type")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     dominant = dedup_keep_first(
@@ -632,10 +642,10 @@ def q_users_cumulated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(
-            _arr_str(F.sort_array(F.collect_set(F.to_date("ts")))).alias(
+            _arr_str(F.sort_array(F.collect_set(utc_date_of_ts("ts")))).alias(
                 "dates_active"
             ),
-            F.countDistinct(F.to_date("ts")).alias("n_days"),
+            F.countDistinct(utc_date_of_ts("ts")).alias("n_days"),
         )
     )
 
@@ -658,7 +668,7 @@ def q_datelist_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = (
         ev.where(F.col("user_id").isNotNull())
-        .select("user_id", F.to_date("ts").alias("d"))
+        .select("user_id", utc_date_of_ts("ts").alias("d"))
         .distinct()
     )
     ref = F.lit(DATELIST_REF).cast("date")
@@ -703,9 +713,12 @@ def q_array_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.where(
             F.col("user_id").isNotNull()
-            & (F.date_trunc("month", F.col("ts")) == F.lit("2024-01-01").cast("timestamp"))
+            & (F.trunc(utc_date_of_ts("ts"), "month")
+               == F.lit("2024-01-01").cast("date"))
         )
-        .groupBy("user_id", F.dayofmonth("ts").alias("di"))
+        .groupBy(
+            "user_id", F.dayofmonth(utc_date_of_ts("ts")).alias("di")
+        )
         .agg(F.count(F.lit(1)).alias("c"))
     )
     users = daily.select("user_id").distinct()
@@ -747,7 +760,7 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority dedup (W3/W4, M2/homework/assignmnet_2.sql:47-67): best
     row per (user, type, day) with a deterministic total order."""
     ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
-    ev = ev.withColumn("event_date", F.to_date("ts"))
+    ev = ev.withColumn("event_date", utc_date_of_ts("ts"))
     kept = dedup_keep_first(
         ev,
         ["user_id", "event_type", "event_date"],
@@ -812,7 +825,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return sessions.groupBy("user_id", "session_id").agg(
-        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        utc_ts_str(F.min("ts")).alias("session_start"),
         F.count(F.lit(1)).alias("n_events"),
         (F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts")))).alias(
             "duration_us"
@@ -848,9 +861,7 @@ def q_tumbling_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("num_hits"))
         .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                "window_start"
-            ),
+            utc_ts_str(F.col("w.start")).alias("window_start"),
             "event_type",
             "num_hits",
         )

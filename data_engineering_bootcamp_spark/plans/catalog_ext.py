@@ -16,6 +16,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.datelist import utc_date, utc_date_of_ts, utc_ts_str
+
 from ..functions.arrays import array_last, ordered_collect
 from ..operators.dedup import dedup_keep_first, dedup_ngram_jaccard
 from ..operators.graph import build_vertices
@@ -50,8 +52,8 @@ def _jan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.where(
         F.col("user_id").isNotNull()
-        & (F.date_trunc("month", F.col("ts")) == F.lit(JAN).cast("timestamp"))
-    )
+        & (F.trunc(utc_date_of_ts("ts"), "month") == F.lit(JAN).cast("date"))
+    ).withColumn("utc_d", utc_date_of_ts("ts"))
 
 
 # ---------------------------------------------------------------------------
@@ -64,7 +66,7 @@ def _dominant_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tie-break (W3/W4)."""
     daily = (
         _jan_events(spark, sf_dir)
-        .groupBy("user_id", F.dayofmonth("ts").alias("d"), "event_type")
+        .groupBy("user_id", F.dayofmonth("utc_d").alias("d"), "event_type")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return dedup_keep_first(
@@ -152,7 +154,7 @@ def q_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     entry = F.concat_ws(
-        ":", F.date_format("o_orderdate", "yyyy-MM-dd"), cents.cast("string")
+        ":", utc_date(orders, "o_orderdate").cast("string"), cents.cast("string")
     )
     hist = ordered_collect(
         entry, F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
@@ -198,7 +200,7 @@ def q_host_activity_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zero-filled via the day spine J12)."""
     daily = (
         _jan_events(spark, sf_dir)
-        .groupBy("event_type", F.dayofmonth("ts").alias("di"))
+        .groupBy("event_type", F.dayofmonth("utc_d").alias("di"))
         .agg(
             F.count(F.lit(1)).alias("c"),
             F.countDistinct("user_id").alias("u"),
@@ -259,7 +261,7 @@ def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = (
         _t(spark, sf_dir, "events")
         .where(F.col("user_id").isNotNull())
-        .select("user_id", F.to_date("ts").alias("d"))
+        .select("user_id", utc_date_of_ts("ts").alias("d"))
         .distinct()
     )
     w = Window.partitionBy("user_id").orderBy("d")
@@ -297,7 +299,7 @@ def q_best_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 90-game stretch" shape): rolling frame + per-group argmax."""
     orders = _t(spark, sf_dir, "orders")
     daily = orders.groupBy(
-        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+        "o_orderpriority", utc_date(orders, "o_orderdate").alias("d")
     ).agg(F.sum("o_totalprice").alias("rev"))
     w30 = (
         Window.partitionBy("o_orderpriority").orderBy("d").rowsBetween(-29, 0)
@@ -445,7 +447,7 @@ def q_user_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user",
         {
             "first_type": F.col("event_type"),
-            "first_date": F.to_date("ts"),
+            "first_date": utc_date_of_ts("ts"),
         },
         order_by=[F.asc("ts"), F.asc("event_id")],
     )
@@ -1021,9 +1023,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         # to remove the symlinked source immediately after termination
         shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
-            "window_start"
-        ),
+        utc_ts_str("window_start").alias("window_start"),
         "event_type",
         "num_hits",
     )
@@ -1070,9 +1070,7 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup()
     return spark.table(name).select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
-            "window_start"
-        ),
+        utc_ts_str("window_start").alias("window_start"),
         "event_type",
         "num_hits",
     )
@@ -1166,12 +1164,8 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 < F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
             )
             .select(
-                F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
-                    "session_start"
-                ),
-                F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
-                    "session_end"
-                ),
+                utc_ts_str("session_start").alias("session_start"),
+                utc_ts_str("session_end").alias("session_end"),
                 "user_id",
                 "num_events",
             )
@@ -1388,12 +1382,8 @@ def q_streaming_kafka_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_events"),
                 F.countDistinct("user_id").alias("n_users"),
                 F.round(F.sum("value"), 2).alias("total_value"),
-                F.date_format(
-                    F.min("ts"), "yyyy-MM-dd HH:mm:ss"
-                ).alias("first_ts"),
-                F.date_format(
-                    F.max("ts"), "yyyy-MM-dd HH:mm:ss"
-                ).alias("last_ts"),
+                utc_ts_str(F.min("ts")).alias("first_ts"),
+                utc_ts_str(F.max("ts")).alias("last_ts"),
             )
         )
         return _snapshot(got)
@@ -1474,12 +1464,8 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("ip").alias("user_id"),
                 F.col("host").alias("event_type"),
-                F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
-                    "session_start"
-                ),
-                F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
-                    "session_end"
-                ),
+                utc_ts_str("session_start").alias("session_start"),
+                utc_ts_str("session_end").alias("session_end"),
                 "num_events",
             )
         )

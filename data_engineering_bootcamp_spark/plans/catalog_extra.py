@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.temporal import asof_join
+from ..functions.datelist import utc_date, utc_date_of_ts
 from ..sources.readers import load_table
 
 
@@ -54,16 +55,20 @@ def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         _t(spark, sf_dir, "events")
         .where(F.col("user_id").isNotNull())
-        .select("event_id", "user_id", F.to_date("ts").alias("event_date"))
+        .select(
+            "event_id", "user_id", utc_date_of_ts("ts").alias("event_date")
+        )
     )
+    orders = _t(spark, sf_dir, "orders")
     od = (
-        _t(spark, sf_dir, "orders")
-        # EXPLICIT day resolution: o_orderdate is stored as a
-        # (midnight) timestamp; asof_join refuses lossy implicit casts,
-        # so the date intent is declared here where the data is known
+        orders
+        # EXPLICIT day resolution: o_orderdate ships as a (midnight)
+        # timestamp but the schema contract admits DATE too; asof_join
+        # refuses lossy implicit casts, so the TZ-free date intent is
+        # declared here via the dtype-branching helper
         .groupBy(
             F.col("o_custkey").alias("user_id"),
-            F.to_date("o_orderdate").alias("o_orderdate"),
+            utc_date(orders, "o_orderdate").alias("o_orderdate"),
         )
         .agg(F.max("o_orderkey").alias("last_order_key"))
     )

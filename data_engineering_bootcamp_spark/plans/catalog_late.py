@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.datelist import utc_date, utc_date_of_ts
 from ..sources.readers import load_table
 
 
@@ -95,11 +96,17 @@ def q_interpolate_daily_revenue(
     status column and the reconstructed series."""
     from ..operators.temporal import interpolate_linear
 
+    orders = _t(spark, sf_dir, "orders")
+    # group on the TZ-free UTC calendar day (DateType): a raw-timestamp
+    # key would make the downstream sequence() spine step in SESSION-TZ
+    # local days (DST-varying instants) and dayofmonth() render in
+    # session TZ — both diverge from the TZ-naive oracle under a
+    # non-UTC session (GATECHECK_tz_r09)
     daily = (
-        _t(spark, sf_dir, "orders")
+        orders
         .groupBy(
             F.col("o_orderpriority").alias("prio"),
-            F.col("o_orderdate").alias("d"),
+            utc_date(orders, "o_orderdate").alias("d"),
         )
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
@@ -783,7 +790,7 @@ def q_pipeline_replay_31d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.where(F.col("user_id").isNotNull())
-        .select("user_id", F.to_date("ts").alias("date_active"))
+        .select("user_id", utc_date_of_ts("ts").alias("date_active"))
         .distinct()
         .localCheckpoint(eager=False)
     )

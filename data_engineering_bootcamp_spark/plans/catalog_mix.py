@@ -34,6 +34,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.datelist import utc_date, utc_date_of_ts, utc_ts_str
 from ..sources.readers import load_table
 
 _LANGS = ["de", "en", "es", "fr", "zh"]
@@ -659,7 +660,7 @@ def q_streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("event_id").alias("last_event_id"),
             F.col("event_type").alias("last_event_type"),
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            utc_ts_str("ts").alias("last_ts"),
         )
         return _snapshot(got)
     finally:
@@ -1412,7 +1413,7 @@ def q_zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = _t(spark, sf_dir, "orders")
     x = F.col("o_custkey").bitwiseAND(F.lit(65535))
     y = F.datediff(
-        F.to_date("o_orderdate"), F.to_date(F.lit("1992-01-01"))
+        utc_date(od, "o_orderdate"), F.to_date(F.lit("1992-01-01"))
     ).cast("long").bitwiseAND(F.lit(65535))
     pts = od.select(x.alias("x"), y.alias("y")).withColumn(
         "z", zorder_key(F.col("x"), F.col("y"), bits=16)
@@ -1535,11 +1536,12 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer DIV."""
     from ..operators.cumulate import merge_agg_states
 
-    od = _t(spark, sf_dir, "orders").select(
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    od = _t(spark, sf_dir, "orders")
+    od = od.select(
+        F.trunc(utc_date(od, "o_orderdate"), "month").alias("month"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.col("o_orderkey"),
-        F.to_date("o_orderdate").alias("d"),
+        utc_date(od, "o_orderdate").alias("d"),
     )
     cut = F.lit("1997-01-01").cast("date")
 

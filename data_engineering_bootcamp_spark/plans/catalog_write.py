@@ -31,6 +31,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.datelist import utc_date
 from ..sources.readers import load_table, read_csv
 from ..sources.writers import (
     compact_parquet,
@@ -113,8 +114,10 @@ def q_partitioned_prune_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched), aggregate. Oracle filters the raw table by the same
     month."""
     d = tempfile.mkdtemp(prefix="partgate_")
-    orders = load_table(spark, sf_dir, "orders").withColumn(
-        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    orders = load_table(spark, sf_dir, "orders")
+    orders = orders.withColumn(
+        "o_month",
+        F.substring(utc_date(orders, "o_orderdate").cast("string"), 1, 7),
     )
     try:
         write_partitioned(orders, f"{d}/orders", "o_month")

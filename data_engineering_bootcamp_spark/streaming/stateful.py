@@ -30,12 +30,19 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-SESSION_SCHEMA = StructType(
+# The Python-boundary schema carries RAW MICROS, not timestamps:
+# Arrow converts TimestampType to/from pandas via the SESSION timezone
+# (values arrive TZ-naive in session wall clock, and naive values
+# returned are re-interpreted in session wall clock), so a non-UTC
+# session would shift every instant crossing the boundary. int64 in,
+# int64 out; `sessionize_stateful` converts back with
+# timestamp_micros() (instant-exact, TZ-free) after the stateful op.
+_SESSION_RAW_SCHEMA = StructType(
     [
         StructField("ip", StringType()),
         StructField("host", StringType()),
-        StructField("session_start", TimestampType()),
-        StructField("session_end", TimestampType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
         StructField("num_events", IntegerType()),
     ]
 )
@@ -76,11 +83,11 @@ def sessionize_stateful(
                 {
                     "ip": [ip] * len(rows),
                     "host": [host] * len(rows),
-                    "session_start": _pd.to_datetime(
-                        [r[0] for r in rows], unit="us"
+                    "start_us": _pd.array(
+                        [r[0] for r in rows], dtype="int64"
                     ),
-                    "session_end": _pd.to_datetime(
-                        [r[1] for r in rows], unit="us"
+                    "end_us": _pd.array(
+                        [r[1] for r in rows], dtype="int64"
                     ),
                     "num_events": _pd.array(
                         [r[2] for r in rows], dtype="int32"
@@ -96,8 +103,7 @@ def sessionize_stateful(
 
         ts_us: list[int] = []
         for pdf in pdfs:
-            col = _pd.to_datetime(pdf[ts_col])
-            ts_us.extend(col.astype("int64").floordiv(1000).tolist())
+            ts_us.extend(pdf["_ts_us"].astype("int64").tolist())
         ts_us.sort()
 
         cur = state.get if state.exists else None
@@ -120,14 +126,24 @@ def sessionize_stateful(
         if closed:
             yield _emit(closed)
 
-    return (
-        events.withWatermark(ts_col, watermark)
+    from pyspark.sql import functions as F
+
+    raw = (
+        events.withColumn("_ts_us", F.unix_micros(F.col(ts_col)))
+        .withWatermark(ts_col, watermark)
         .groupBy("ip", "host")
         .applyInPandasWithState(
             fn,
-            SESSION_SCHEMA,
+            _SESSION_RAW_SCHEMA,
             _STATE_SCHEMA,
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )
+    )
+    return raw.select(
+        "ip",
+        "host",
+        F.timestamp_micros(F.col("start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).alias("session_end"),
+        "num_events",
     )
