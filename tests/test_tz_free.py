@@ -1,0 +1,106 @@
+"""Session-timezone invariance (the GATECHECK_tz contract, in-suite).
+
+Every catalog result must be identical under ANY
+spark.sql.session.timeZone: the engine pins calendar-day semantics to
+the UTC day of the stored instant (COVERAGE.md round-9 notes), so no
+executor/session TZ configuration can change query output. The
+`--tz=...` gate mode proves this for all 123 entries per round; these
+tests pin the contract into pytest so a session-TZ-sensitive
+expression fails CI immediately, including across a DST transition
+the testdata's January window never exercises.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_bootcamp_spark.functions.datelist import (
+    utc_date_of_ts,
+    utc_ts_str,
+)
+
+ZONES = ["UTC", "America/New_York", "Asia/Kolkata", "Australia/Lord_Howe"]
+
+
+def _with_tz(spark, tz):
+    spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+@pytest.fixture()
+def restore_tz(spark):
+    key = "spark.sql.session.timeZone"
+    old = spark.conf.get(key)
+    yield
+    spark.conf.set(key, old)
+
+
+def test_utc_helpers_invariant_across_zones_and_dst(
+    spark, tmp_path, restore_tz
+):
+    """utc_date_of_ts / utc_ts_str return identical values under every
+    session TZ, including instants around a US DST fall-back (the
+    hardest case: the local wall clock repeats an hour)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    instants_us = [
+        0,  # epoch
+        694224000_000000,  # 1992-01-01 00:00:00 UTC (midnight boundary)
+        1699164000_000000,  # 2023-11-05 06:00:00 UTC (inside NY fall-back)
+        1699167600_000000,  # 2023-11-05 07:00:00 UTC (repeated NY hour)
+        1704067199_999999,  # 2023-12-31 23:59:59.999999 UTC
+    ]
+    t = pa.table({"ts": pa.array(instants_us, pa.timestamp("us"))})
+    pq.write_table(t, str(tmp_path / "t.parquet"))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    df = spark.read.parquet(str(tmp_path / "t.parquet"))
+
+    results = {}
+    for tz in ZONES:
+        _with_tz(spark, tz)
+        rows = (
+            df.select(
+                utc_date_of_ts("ts").cast("string").alias("d"),
+                utc_ts_str("ts").alias("s"),
+            )
+            .orderBy("s")
+            .collect()
+        )
+        results[tz] = [(r.d, r.s) for r in rows]
+    want = results["UTC"]
+    assert want[1] == ("1992-01-01", "1992-01-01 00:00:00")
+    assert want[4] == ("2023-12-31", "2023-12-31 23:59:59")
+    for tz, got in results.items():
+        assert got == want, tz
+
+
+@pytest.mark.parametrize(
+    "entry",
+    [
+        "users_cumulated",  # to_date family (UTC-day aggregation)
+        "tumbling_hits",  # F.window + rendered bounds
+        "sessionization",  # rendered session_start strings
+        "best_stretch",  # o_orderdate (timestamp-encoded) day rollup
+    ],
+)
+def test_catalog_entries_tz_invariant(spark, sf_small, restore_tz, entry):
+    """End-to-end: a representative slice of the formerly TZ-sensitive
+    entries returns row-identical results under non-UTC session TZs.
+    (The full 123-entry proof is the per-round --tz gate run.)"""
+    from data_engineering_bootcamp_spark.plans.catalog import QUERIES
+
+    def run():
+        df = QUERIES[entry](spark, sf_small)
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(str(v) for v in row)
+            for row in df.select(*cols).collect()
+        )
+
+    _with_tz(spark, "UTC")
+    want = run()
+    assert want  # non-empty result, or the invariance proves nothing
+    for tz in ZONES[1:]:
+        _with_tz(spark, tz)
+        assert run() == want, tz
