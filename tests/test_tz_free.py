@@ -104,3 +104,46 @@ def test_catalog_entries_tz_invariant(spark, sf_small, restore_tz, entry):
     for tz in ZONES[1:]:
         _with_tz(spark, tz)
         assert run() == want, tz
+
+
+def test_utc_ts_str_matches_python_and_duckdb(spark, tmp_path, restore_tz):
+    """Batch cross-engine check: utc_ts_str equals Python's UTC
+    rendering AND DuckDB's strftime for 500 seeded-random instants
+    spanning 1970-2100, evaluated under a non-UTC session TZ."""
+    import datetime as dt
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(20240815)
+    secs = rng.integers(0, 4_102_444_800, size=500)  # 1970..2100
+    micros = secs * 1_000_000 + rng.integers(0, 1_000_000, size=500)
+    t = pa.table({"ts": pa.array(micros.tolist(), pa.timestamp("us"))})
+    pq.write_table(t, str(tmp_path / "t.parquet"))
+
+    want_py = [
+        dt.datetime.fromtimestamp(int(s), dt.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        for s in secs
+    ]
+    want_duck = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') FROM "
+            f"read_parquet('{tmp_path}/t.parquet')"
+        ).fetchall()
+    ]
+    assert want_py == want_duck  # the two oracles agree with each other
+
+    _with_tz(spark, "America/New_York")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    got = [
+        r.s
+        for r in spark.read.parquet(str(tmp_path / "t.parquet"))
+        .select(utc_ts_str("ts").alias("s"))
+        .collect()
+    ]
+    assert got == want_py
