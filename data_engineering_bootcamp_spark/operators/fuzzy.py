@@ -273,6 +273,78 @@ def hamming_join(
             "this is a cross join, not a similarity join"
         )
 
+    def verify(cand: DataFrame) -> DataFrame:
+        ham = F.aggregate(
+            F.sequence(F.lit(1), F.lit(width)),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                F.col("sa").substr(i, F.lit(1))
+                == F.col("sb").substr(i, F.lit(1)),
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        return (
+            cand.withColumn("dist", ham)
+            .where(F.col("dist") <= d)
+            .select("id_a", "id_b", "dist")
+        )
+
+    if d == 1:
+        # EXACT candidate generation via mask-one-position blocking: a
+        # pair within Hamming <= 1 agrees on every position except (at
+        # most) one, so the two strings share the key (p, string with
+        # position p removed) for the differing p — and exact
+        # duplicates share every key. Candidates therefore EQUAL the
+        # result set (× key multiplicity), so group sizes stay O(1)
+        # even on the degenerate low-entropy corpora the pigeonhole
+        # path exists for (constant prefixes + zero padding), where
+        # two 9-position buckets still admit ~1M false candidates at
+        # 15k rows. Keys ship as (slot, xxhash64) — 12 B/row × width
+        # rows — and strings join back only for the tiny candidate
+        # set; a hash collision admits a false candidate that `verify`
+        # removes, so exactness never depends on xxhash64. d >= 2
+        # keeps the entropy-balanced pigeonhole below (masking every
+        # d-subset would be C(width, d) keys — combinatorial).
+        masks = base.select(
+            "fid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("slot"),
+                            F.xxhash64(
+                                F.concat(
+                                    F.substring("fs", 1, p),
+                                    F.substring(
+                                        "fs", p + 2, width - p - 1
+                                    ),
+                                )
+                            ).alias("h"),
+                        )
+                        for p in range(width)
+                    ]
+                )
+            ).alias("g"),
+        ).select(
+            "fid", F.col("g.slot").alias("slot"), F.col("g.h").alias("h")
+        )
+        right = masks.select(F.col("fid").alias("fid2"), "slot", "h")
+        cand_ids = (
+            masks.join(right, ["slot", "h"])
+            .where(F.col("fid") < F.col("fid2"))
+            .select(F.col("fid").alias("id_a"), F.col("fid2").alias("id_b"))
+            .distinct()
+        )
+        cand = cand_ids.join(
+            base.select(F.col("fid").alias("id_a"), F.col("fs").alias("sa")),
+            "id_a",
+        ).join(
+            base.select(F.col("fid").alias("id_b"), F.col("fs").alias("sb")),
+            "id_b",
+        )
+        return verify(cand)
+
     cards = base.agg(
         *[
             F.approx_count_distinct(F.substring("fs", p + 1, 1)).alias(
@@ -334,17 +406,4 @@ def hamming_join(
         )
         .distinct()
     )
-    ham = F.aggregate(
-        F.sequence(F.lit(1), F.lit(width)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(
-            F.col("sa").substr(i, F.lit(1)) == F.col("sb").substr(i, F.lit(1)),
-            F.lit(0),
-        ).otherwise(F.lit(1)),
-    )
-    return (
-        cand.withColumn("dist", ham)
-        .where(F.col("dist") <= d)
-        .select("id_a", "id_b", "dist")
-    )
+    return verify(cand)
