@@ -25,7 +25,23 @@ def with_event_time(
 ) -> DataFrame:
     """T1: computed event-time column, the Spark form of the Flink DDL
     `event_timestamp AS TO_TIMESTAMP(event_time, fmt)`
-    (M4F/src/job/start_job.py:87,97)."""
+    (M4F/src/job/start_job.py:87,97).
+
+    TZ note (the one seam in the engine's session-TZ-free contract
+    that follows Spark's parse semantics instead): a pattern-parsed
+    string WITHOUT an explicit zone offset is interpreted as wall
+    clock in spark.sql.session.timeZone — there is no TZ-free parse
+    of a naive string, because a wall-clock string simply does not
+    name an instant until a zone is chosen. The engine's own JSON
+    sources are TZ-consistent round trips (strings and their
+    consumers live in one session), verified end to end by the
+    --tz gate mode; an EXTERNAL feed carrying UTC strings should
+    append an explicit offset to `fmt` (e.g. "... Z" with "+0000"
+    concatenated to the value) so parsing pins to UTC regardless of
+    session configuration. Everything DOWNSTREAM of the parsed
+    instant (windows, day buckets, renderings) is TZ-free — see
+    functions/datelist.py.
+    """
     return df.withColumn(ts_col, F.to_timestamp(F.col(source_col), fmt))
 
 
