@@ -1164,7 +1164,10 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint_every=0: a BOUNDED 5-iteration loop composes into one
     # lazily-planned job (measured ~35% faster than per-round eager
     # checkpoints at gate scale); open-ended runs keep the default
-    ranks = pagerank(edges, "id_a", "id_b", iterations=5, checkpoint_every=0)
+    ranks = pagerank(
+        edges, "id_a", "id_b", iterations=5, checkpoint_every=0,
+        assume_canonical=True,  # grouped builder emits unique sorted pairs
+    )
     return (
         ranks.orderBy(F.desc("rank_scaled"), F.asc("vertex_id"))
         .limit(20)

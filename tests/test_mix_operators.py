@@ -1191,6 +1191,13 @@ def test_review2_null_and_direction_semantics(spark):
     r1 = {r.vertex_id: r.rank_scaled for r in pagerank(canon).collect()}
     r2 = {r.vertex_id: r.rank_scaled for r in pagerank(both).collect()}
     assert r1 == r2
+    # the assume_canonical fast path (skips the canonicalize-distinct
+    # shuffle) must be rank-identical on already-canonical input
+    r3 = {
+        r.vertex_id: r.rank_scaled
+        for r in pagerank(canon, assume_canonical=True).collect()
+    }
+    assert r3 == r1
 
     # histogram: NULLs excluded (SQL percentile semantics)
     from data_engineering_bootcamp_spark.operators.profile import (

@@ -63,7 +63,14 @@ from tests.oracle_harness import compare, duck_con  # noqa: E402
 TIMES_PATH = os.path.join(os.path.dirname(__file__), "..",
                           "GATECHECK_times.json")
 PERF_RATIO = 2.0      # fail when now > ratio x baseline ...
-PERF_FLOOR_SEC = 1.0  # ... and the slower side is at least this long
+PERF_FLOOR_SEC = 1.0  # ... and the BASELINE is at least this long
+PERF_ABS_SEC = 5.0    # sub-floor entries still flag above this time
+# floor semantics (r9): the floor applies to the BASELINE — an entry
+# whose baseline is 0.4 s cannot distinguish a code regression from
+# +-1 s of scheduler noise (four DIFFERENT sub-second entries tripped
+# across three identical-code r9 runs), so ratio-gating it is pure
+# noise; a REAL regression on a tiny entry is still caught by the
+# absolute cap (0.4 s -> >5 s cannot be jitter on this box)
 
 
 def _cpu_marker() -> float:
@@ -278,7 +285,7 @@ def main() -> int:
         slow = (
             ratio is not None
             and ratio > ratio_cap
-            and max(dt, base) >= PERF_FLOOR_SEC
+            and (base >= PERF_FLOOR_SEC or dt >= PERF_ABS_SEC)
         )
         if slow and ok:
             # confirm before failing: re-time (twice) and keep the best
@@ -296,8 +303,8 @@ def main() -> int:
                     if dt2 < dt:
                         dt = dt2
                         ratio = round(dt / base, 2)
-                        slow = ratio > ratio_cap and max(dt, base) >= (
-                            PERF_FLOOR_SEC
+                        slow = ratio > ratio_cap and (
+                            base >= PERF_FLOOR_SEC or dt >= PERF_ABS_SEC
                         )
                 except Exception:  # noqa: BLE001 — keep prior sample
                     break
