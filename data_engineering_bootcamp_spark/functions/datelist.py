@@ -73,13 +73,38 @@ def epoch_day(df, col_name: str) -> Column:
     Takes the DataFrame (not just the column) because the branch is
     static on the schema dtype — there is no runtime dtype dispatch in
     Catalyst.
+
+    Raises TypeError for any other dtype (ADVICE r9): a STRING or INT
+    column falling through to the timestamp arm would cast-to-long into
+    silent NULLs (string) or mis-scaled ordinals (int) — the exact
+    silent-wrong-answer class this helper exists to prevent.
     """
+    _require_date_or_ts(df, col_name, "epoch_day")
     from pyspark.sql import types as T
 
     dt = df.schema[col_name].dataType
     if isinstance(dt, T.DateType):
         return F.datediff(F.col(col_name), F.lit("1970-01-01")).cast("int")
     return F.floor(F.col(col_name).cast("long") / 86400).cast("int")
+
+
+def _require_date_or_ts(df, col_name: str, fn_name: str) -> None:
+    """Enforce the schemas.py dtype contract at the helper boundary:
+    only DATE and TIMESTAMP (with or without TZ) have a well-defined
+    TZ-free day reading; anything else must fail loudly, not NULL."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[col_name].dataType
+    ok = (T.DateType, T.TimestampType)
+    ntz = getattr(T, "TimestampNTZType", None)
+    if ntz is not None:
+        ok = (*ok, ntz)
+    if not isinstance(dt, ok):
+        raise TypeError(
+            f"{fn_name}({col_name!r}): column is {dt.simpleString()}, "
+            "need DATE or TIMESTAMP — a string/int column would cast "
+            "to silent NULLs on the epoch-arithmetic path"
+        )
 
 
 def utc_date_of_ts(ts: Column | str) -> Column:
@@ -102,9 +127,11 @@ def utc_date_of_ts(ts: Column | str) -> Column:
 def utc_date(df, col_name: str) -> Column:
     """`utc_date_of_ts` with the DATE/TIMESTAMP dtype branch of
     `epoch_day`: DATE columns pass through (already TZ-free),
-    TIMESTAMP columns take the UTC-day path."""
+    TIMESTAMP columns take the UTC-day path. Any other dtype raises
+    TypeError (ADVICE r9 — same contract as `epoch_day`)."""
     from pyspark.sql import types as T
 
+    _require_date_or_ts(df, col_name, "utc_date")
     if isinstance(df.schema[col_name].dataType, T.DateType):
         return F.col(col_name)
     return utc_date_of_ts(col_name)

@@ -128,10 +128,34 @@ def pagerank(
         # slices + pair groupBy), so re-canonicalizing would spend one
         # full edge-relation shuffle proving a no-op (measured: the
         # redundant distinct cost as much as the entire edge build at
-        # sf0.1, 1.5 s of a 7 s query)
-        e = edges.select(
-            F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+        # sf0.1, 1.5 s of a 7 s query).
+        #
+        # Boundary guard (ADVICE r9): the contract is still ENFORCED
+        # map-side at zero shuffle cost — assert_true(src < dst) rides
+        # inside the projected expression (an unused check column would
+        # be pruned by Catalyst), so a mirrored pair (b,a) or self-loop
+        # fails the job loudly instead of silently corrupting every
+        # rank. Duplicate canonical pairs are the one violation this
+        # cannot see — detecting those requires exactly the distinct
+        # shuffle the flag exists to skip, so the flag's docstring
+        # contract (unique pairs) remains caller-owned.
+        s_col, d_col = F.col(src_col), F.col(dst_col)
+        src_type = edges.schema[src_col].dataType.simpleString()
+        # (assert_true would be folded away here: its NullType output
+        # lets NullPropagation rewrite isnull(assert_true(..)) to a
+        # literal; raise_error inside a taken-only-on-violation CASE
+        # branch survives optimization)
+        checked = F.when(s_col < d_col, s_col).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"pagerank(assume_canonical=True): edge violates "
+                    f"{src_col} < {dst_col} — input is not canonical "
+                    "(mirrored pair or self-loop); pass "
+                    "assume_canonical=False to canonicalize"
+                )
+            ).cast(src_type)
         )
+        e = edges.select(checked.alias("s"), d_col.alias("d"))
     else:
         # canonicalize BEFORE distinct: a caller passing both (a,b) and
         # (b,a) for the same undirected edge must not double every

@@ -1198,6 +1198,13 @@ def test_review2_null_and_direction_semantics(spark):
         for r in pagerank(canon, assume_canonical=True).collect()
     }
     assert r3 == r1
+    # ... and the contract is ENFORCED map-side (ADVICE r9): mirrored /
+    # self-loop input under the flag fails the job loudly instead of
+    # silently corrupting every rank
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)canonical"):
+        pagerank(both, assume_canonical=True).collect()
 
     # histogram: NULLs excluded (SQL percentile semantics)
     from data_engineering_bootcamp_spark.operators.profile import (

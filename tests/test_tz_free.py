@@ -147,3 +147,28 @@ def test_utc_ts_str_matches_python_and_duckdb(spark, tmp_path, restore_tz):
         .collect()
     ]
     assert got == want_py
+
+
+def test_day_helpers_reject_non_temporal_dtypes(spark):
+    """ADVICE r9: epoch_day/utc_date must raise TypeError on a STRING
+    or INT column instead of falling through to the timestamp arm
+    (string casts to long as silent NULLs; int mis-scales)."""
+    from data_engineering_bootcamp_spark.functions.datelist import (
+        epoch_day,
+        utc_date,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 19723)], ["s", "n"]
+    ).withColumn("d", F.col("s").cast("date"))
+    for bad in ("s", "n"):
+        with pytest.raises(TypeError, match="need DATE or TIMESTAMP"):
+            epoch_day(df, bad)
+        with pytest.raises(TypeError, match="need DATE or TIMESTAMP"):
+            utc_date(df, bad)
+    # the contract types still pass
+    ts = df.withColumn("t", F.col("d").cast("timestamp"))
+    assert ts.select(
+        epoch_day(ts, "d").alias("a"), epoch_day(ts, "t").alias("b"),
+        utc_date(ts, "d").alias("c"), utc_date(ts, "t").alias("e"),
+    ).first().a == 19723

@@ -73,13 +73,25 @@ PERF_ABS_SEC = 5.0    # sub-floor entries still flag above this time
 # absolute cap (0.4 s -> >5 s cannot be jitter on this box)
 
 
-def _cpu_marker() -> float:
-    """Fixed-work single-thread marker (bench.py's cpu_marker_sec)."""
-    t0 = time.perf_counter()
-    x = 0
-    for i in range(10_000_000):
-        x += i
-    return round(time.perf_counter() - t0, 3)
+HOST_FACTOR_CAP = 2.0  # loosen the perf threshold at most this much
+
+
+def _cpu_marker(samples: int = 3) -> float:
+    """Fixed-work single-thread marker (bench.py's cpu_marker_sec).
+
+    Best-of-N (ADVICE r9): the marker feeds host_factor, which
+    MULTIPLIES the perf-gate threshold — one transiently contended
+    sample (GC, cold interpreter, noisy neighbor) would silently loosen
+    the regression gate for the whole run. The minimum of 3 samples is
+    the least contended estimate of the box's true speed."""
+    best = float("inf")
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(10_000_000):
+            x += i
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def main() -> int:
@@ -115,6 +127,18 @@ def main() -> int:
     host_factor = 1.0
     if base_marker:
         host_factor = max(1.0, cur_marker / base_marker)
+        if host_factor > HOST_FACTOR_CAP:
+            # an uncapped factor would let a pathologically slow marker
+            # sample mask ANY regression; past the cap the box is too
+            # different from the baseline host for ratios to mean much,
+            # so say so rather than silently widening (ADVICE r9)
+            print(
+                f"perf gate: host_factor {host_factor:.2f} exceeds cap "
+                f"{HOST_FACTOR_CAP} — capping (box is >{HOST_FACTOR_CAP}x "
+                "slower than the baseline host; ratios are low-trust, "
+                "consider --update-times on an idle host)"
+            )
+            host_factor = HOST_FACTOR_CAP
     ratio_cap = PERF_RATIO * host_factor
     if prev:
         print(

@@ -1070,6 +1070,8 @@ def bench_kmv(spark):
     max_rel = 0.0
     max_sigmas = 0.0
     overlapped = 0
+    missed_overlaps = 0        # true overlap, sketch said jac == 0
+    missed_overlap_fail = False
     side_sigma = 1.0 / math.sqrt(k - 2)
     for r in pair_rows:
         ua = kmv_estimate(r.size_a, r.kth_a, k)
@@ -1092,15 +1094,31 @@ def bench_kmv(spark):
             # 4 sigma of ITS OWN model instead.
             pair_sigma = math.sqrt((1 - jac) / (k * jac) + side_sigma**2)
             max_sigmas = max(max_sigmas, rel / pair_sigma)
+        elif ex > 0:
+            # jac == 0 on a pair with TRUE overlap (ADVICE r9): these
+            # pairs carry no relative error to gate, but an estimator
+            # that misses overlaps wholesale must not pass silently.
+            # inter_in_union ~ Bin(k, p) with p = true Jaccard; zero
+            # hits is a (k*p)/sqrt(k*p*(1-p)) ≈ sqrt(k*p)-sigma event,
+            # so observing 0 when k*p > 16 is itself a >4-sigma
+            # failure of the estimator.
+            missed_overlaps += 1
+            union_true = (
+                exact_sizes[r.grp_a] + exact_sizes[r.grp_b] - ex
+            )
+            true_jac = ex / union_true
+            if k * true_jac > 16:
+                missed_overlap_fail = True
         for g, est in ((r.grp_a, ua), (r.grp_b, ub)):
             rel = abs(est - exact_sizes[g]) / exact_sizes[g]
             max_rel = max(max_rel, rel)
             max_sigmas = max(max_sigmas, rel / side_sigma)
         del uu
-    out["pairs_with_true_overlap"] = overlapped
+    out["pairs_with_true_overlap"] = overlapped + missed_overlaps
+    out["pairs_overlap_missed_by_sketch"] = missed_overlaps
     out["max_rel_error"] = round(max_rel, 4)
     out["max_error_sigmas"] = round(max_sigmas, 2)
-    out["estimates_ok"] = max_sigmas < 4.0
+    out["estimates_ok"] = max_sigmas < 4.0 and not missed_overlap_fail
 
     # merge law at full width: sketches of two disjoint row-halves,
     # re-ranked, equal the whole-input sketch exactly
