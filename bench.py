@@ -135,12 +135,14 @@ HEADLINE = [
     "session_concurrency_daily",
     "media_ahash_neardup",
     "media_curation_pipeline",
-    # pipeline_replay_31d is deliberately NOT a headline: its wall time
-    # is ~90% driver-side plan composition of 31 sequential daily
-    # advances (scale-independent; in production each advance is its
-    # own job), so it would measure Py4J/Catalyst overhead, not engine
-    # throughput. It stays oracle-gated in tools/gate_check.py and the
-    # driver's correctness gate every round.
+    # The three replay entries (pipeline_replay_31d, scd_replay_31d,
+    # users_cumulated_replay_31d) are deliberately NOT headlines: their
+    # wall time is ~90% driver-side plan composition of 31 sequential
+    # daily advances (scale-independent — sf0.1 times within noise of
+    # sf0.01; in production each advance is its own job), so they would
+    # measure Py4J/Catalyst overhead, not engine throughput. They stay
+    # oracle-gated in tools/gate_check.py and the driver's correctness
+    # gate every round.
 ]
 
 

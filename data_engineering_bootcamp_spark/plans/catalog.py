@@ -1349,90 +1349,137 @@ GATE_CAP = 50  # the driver gates exactly this many leading entries
 
 _GATE_FIRST = [
     # -----------------------------------------------------------------
-    # r9 rotation (VERDICT r8 #3 / r6 #6): the 20 entries whose newest
-    # driver row was r2/r3 are promoted here so no entry's driver
-    # evidence goes stale (>3 rounds). Slots freed by rotating out 21
-    # entries that each hold fresh r6+r7+r8 driver-row triples
-    # (array_metrics, fuzzy_customer_pairs, interpolate_daily_revenue,
-    # hll_user_cardinality, session_concurrency_daily,
-    # media_ahash_neardup, media_curation_pipeline, user_vertices,
-    # part_pair_edges, media_real_decode, skew_salted_join,
-    # semantic_dedup, media_resize, doc_bigram_lm_score,
-    # line_dedup_rebuild, kmv_set_ops, doc_winnow_fingerprint,
-    # doc_pii_redact, neardup_clusters, pivot_lang_counts,
-    # streaming_neardup_admission — see _GATE_REST). The 21st slot
-    # gates the NEW r9 entry pipeline_replay_31d immediately.
-    "region_revenue",          # J3 J13; newest row r2
-    "tumbling_hits",           # batch T3/T4 twin; newest row r2
-    "host_activity_reduced",   # J2 J12; newest row r2
-    "top_supplier_per_nation",  # J13 A15 W9; newest row r2
-    "embedding_neardup_allpairs",  # exact baseline twin; newest row r2
-    "acctbal_tiers",           # P6; newest row r3
-    "ann_cosine_topk",         # brute-force ANN baseline; newest row r3
-    "bulk_rename_summary",     # P2; newest row r3
-    "csv_roundtrip_rollup",    # S2; newest row r3
-    "dedup_keep_first",        # W3 W4; newest row r3
-    "distinct_users",          # A4 A5; newest row r3
-    "doc_quality",             # text quality score; newest row r3
-    "doc_token_stats",         # token counting; newest row r3
-    "doc_winnow_neardup_pairs",  # winnow primary; newest row r3
-    "filter_by_top1",          # P8 O6; newest row r3
-    "growth_accounting",       # J1; newest row r3
-    "json_props",              # JSON family; newest row r3
-    "part_type_tiers",         # P5; newest row r3
-    "scd_incremental",         # J6 W1 U1; newest row r3
-    "sorted_layout_rollup",    # O4 O5; newest row r3
-    "pipeline_replay_31d",     # NEW r9: 31-day incremental replay
-    # -----------------------------------------------------------------
-    "rolling_time_revenue",    # RANGE frame — DATE-dtype fix r9, keep gated
-    "zscore_anomaly_days",     # integer-exact z-score anomalies
-    "unpivot_region_metrics",  # DataFrame.unpivot wide->long
-    "chunk_dedup_rebuild",     # sub-document exact dedup + rebuild
-    "corpus_mix_plan",         # per-source mixing quotas (integer math)
-    "quantile_band_filter",    # exact-percentile length trimming
-    "embedding_quantize_error",  # int8 SQ reconstruction error
-    "ann_q8_rerank",           # SQ8 candidates + float rerank
-    "bpe_merge_candidates",    # BPE pass-2 pair statistics
-    "dup_span_extract",        # cross-doc duplicate-span extraction
-    "dup_span_removal",        # cleaned-corpus rebuild (md5 witness)
-    "tfidf_top_terms",         # tf-idf keyword extraction
-    # round-6 LATE additions, gated immediately (never the
-    # no-driver-row state): iterative centrality, one-pass histogram
-    # quantiles, contrastive hard negatives — slots freed by
-    # ngram_jaccard_pairs (r3+r4+r5 rows), bucketed_join_rollup
-    # (r4+r5), partitioned_prune_rollup (r4+r5)
-    "pagerank_parts",          # NEW r6: fixed-point integer PageRank
-    "histogram_quantiles",     # NEW r6: mergeable bin-histogram p50/90/99
-    "hard_negative_mining",    # NEW r6: label-masked contrastive ANN
-    "bloom_prune_stats",       # NEW r6: Bloom pre-join reducer (exact bits)
-    "distinct_sketch_users",   # NEW r6: linear-counting cardinality sketch
-    "zorder_locality_stats",   # NEW r6: Morton-key multi-dim clustering
-    "countmin_token_freq",     # NEW r6: count-min sketch vs ground truth
-    "incremental_agg_merge",   # NEW r6: partial-agg state maintenance
-    "last_touch_attribution",  # NEW r6: last_value-ignore-nulls window
-    "orc_roundtrip_rollup",    # NEW r6: ORC source/sink round-trip
-    "top_event_paths",         # NEW r6: sliding-trigram path mining
-    "streaming_countmin",      # NEW r6: streaming sketch maintenance
-    # write-path round-trips (S8-S10 still gated via metadata_scan/
-    # insert_select_rollup history; S4-S7 rotated out with 2 rows each)
-    "snapshot_cdc_diff",       # NEW r6: change-data-feed derivation
-    "compaction_rollup",       # NEW r6: small-files OPTIMIZE round-trip
-    # streaming through the real engine (T1-T8, S12-S14);
-    # streaming_tumbling_hits, streaming_kafka_mirror,
-    # streaming_session_windows and streaming_foreachbatch_sink rotated
-    # out (r4+r5 rows each) for the four sketch/layout entries above
-    "streaming_sliding_hits",      # NEW r6: hopping-window twin
-    "streaming_interval_join",  # stream-stream interval join (r6 promotion)
-    "streaming_upsert_sink",   # streaming ON-CONFLICT merge sink (r6 prom.)
+    # r10 rotation (VERDICT r9 #1, the standing freshness policy): the
+    # cohort whose newest driver row was r4/r5 — 9 r4 entries + 39 of
+    # the 43 r5 entries — is promoted so no entry's driver evidence
+    # stays >4 rounds old, prioritizing the heavyweights whose code
+    # moved since r5 (minhash_lsh_pairs, corpus_curation_pipeline,
+    # ann_cosine_ivf/lsh, streaming_stateful_sessions — the r9 TZ
+    # rewrite touched stateful micros). The two NEW r10 replay entries
+    # (scd_replay_31d, users_cumulated_replay_31d — VERDICT r9 #3) are
+    # gated on arrival. Slots freed by rotating out the whole r9
+    # prefix (each of those 50 holds a fresh r9 driver row). The 4
+    # r5-cohort entries that didn't fit (simhash_pairs,
+    # skew_salted_agg, asof_latest_order, ngram_jaccard_pairs — each
+    # holding r3+r4+r5 triples, the deepest evidence in the cohort)
+    # are first in line for r11.
+    "scd_replay_31d",          # NEW r10: 31-day SCD incremental replay
+    "users_cumulated_replay_31d",  # NEW r10: 31-day datelist replay
+    # the 9 entries whose newest driver row was r4
+    "pricing_summary",         # P3 A3 A17; newest row r4
+    "customer_order_spine",    # J10 J11 J15; newest row r4
+    "top_customers",           # J3 J13 A15 O1-O3; newest row r4
+    "grouping_sets",           # A9 S3; newest row r4
+    "funnel_conversion",       # P7 J8 A16; newest row r4
+    "scd_streaks",             # W1 W2 A1; newest row r4
+    "users_cumulated",         # P4 A7 J1; newest row r4
+    "datelist_int",            # A10 A11; newest row r4
+    "sessionization",          # W2 P4; newest row r4
+    # 39 of the 43 entries whose newest driver row was r5
+    "doc_ttr_repetition",      # TTR/repetition stats
+    "vocab_top_tokens",        # corpus vocabulary df table
+    "neardup_clusters_star",   # large/small-star CC twin
+    "ngram_jaccard_allpairs",  # exact baseline twin
+    "rolling_revenue",         # W5-W8 W11
+    "order_history",           # A6 W10
+    "best_stretch",            # W9 W12
+    "semi_anti_customers",     # J6 J7
+    "merge_upsert",            # S11 J1
+    "bucketed_join_rollup",    # S4 S5 J14
+    "partitioned_prune_rollup",  # S6 S7
+    "streaming_tumbling_hits",  # T1 T3 T4
+    "streaming_kafka_mirror",  # S12 S14
+    "streaming_session_windows",  # T5
+    "streaming_foreachbatch_sink",  # T7 T8 S13
+    "streaming_stateful_sessions",  # stateful op; r9 int64-micros fix
+    "corpus_curation_pipeline",  # flagship composed pipeline
+    "streaming_dedup",         # dropDuplicatesWithinWatermark
+    "doc_dedup_exact",         # A14
+    "doc_lang_id",             # P9
+    "doc_decontaminate",       # leakage scrub
+    "pack_token_stream",       # sequence packing
+    "doc_chunks",              # chunking primary
+    "table_profile",           # one-pass profiling
+    "udf_enrich_broadcast",    # T6 / §2.10
+    "metadata_scan",           # S8 layouts
+    "insert_select_rollup",    # S9 S10
+    "longest_streak",          # W12 streak half
+    "union_order_tiers",       # U1 U2 P6
+    "retention_curve",         # A16 + channel LIKE
+    "exact_percentiles",       # exact distributed percentiles
+    "minhash_lsh_pairs",       # banded LSH primary
+    "ann_cosine_ivf",          # IVF cell-blocked ANN
+    "ann_cosine_lsh",          # LSH-bucketed ANN
+    "embedding_neardup",       # blocked embedding near-dup
+    "media_features",          # multimodal feature extraction
+    "media_frame_sample",      # frame sampling
+    "hash_sample_split",       # deterministic hash split
+    "stratified_sample",       # per-stratum exact quotas
 ]
 
 _GATE_REST = [
-    # rotated out r9 for the r2/r3-evidence cohort promotion + the new
-    # pipeline_replay_31d (each entry below holds r6+r7+r8 driver-row
-    # triples; operator ids stay covered by gated twins — A6/J2-J5 by
-    # host_activity_reduced + array twins, ANN by ann_cosine_topk,
-    # media by the gate_check full-registry run each round)
-    "array_metrics",           # J2 J4 J5 A12 A13 A6; r5+r6+r7+r8 rows
+    # rotated out r10: the entire r9 prefix (each entry holds a fresh
+    # r9 driver row; operator ids stay covered by the gate_check
+    # full-registry run at HEAD each round)
+    "region_revenue",          # J3 J13; r9 row
+    "tumbling_hits",           # batch T3/T4 twin; r9 row
+    "host_activity_reduced",   # J2 J12; r9 row
+    "top_supplier_per_nation",  # J13 A15 W9; r9 row
+    "embedding_neardup_allpairs",  # exact baseline twin; r9 row
+    "acctbal_tiers",           # P6; r9 row
+    "ann_cosine_topk",         # brute-force ANN baseline; r9 row
+    "bulk_rename_summary",     # P2; r9 row
+    "csv_roundtrip_rollup",    # S2; r9 row
+    "dedup_keep_first",        # W3 W4; r9 row
+    "distinct_users",          # A4 A5; r9 row
+    "doc_quality",             # text quality score; r9 row
+    "doc_token_stats",         # token counting; r9 row
+    "doc_winnow_neardup_pairs",  # winnow primary; r9 row
+    "filter_by_top1",          # P8 O6; r9 row
+    "growth_accounting",       # J1; r9 row
+    "json_props",              # JSON family; r9 row
+    "part_type_tiers",         # P5; r9 row
+    "scd_incremental",         # J6 W1 U1; r9 row
+    "sorted_layout_rollup",    # O4 O5; r9 row
+    "pipeline_replay_31d",     # 31-day growth replay; r9 row
+    "rolling_time_revenue",    # RANGE frame; r9 row
+    "zscore_anomaly_days",     # integer-exact z-score; r9 row
+    "unpivot_region_metrics",  # unpivot wide->long; r9 row
+    "chunk_dedup_rebuild",     # sub-document dedup; r9 row
+    "corpus_mix_plan",         # mixing quotas; r9 row
+    "quantile_band_filter",    # percentile trimming; r9 row
+    "embedding_quantize_error",  # int8 SQ error; r9 row
+    "ann_q8_rerank",           # SQ8 + rerank; r9 row
+    "bpe_merge_candidates",    # BPE pair stats; r9 row
+    "dup_span_extract",        # duplicate-span extraction; r9 row
+    "dup_span_removal",        # cleaned-corpus rebuild; r9 row
+    "tfidf_top_terms",         # tf-idf keywords; r9 row
+    "pagerank_parts",          # fixed-point PageRank; r9 row
+    "histogram_quantiles",     # bin-histogram quantiles; r9 row
+    "hard_negative_mining",    # contrastive ANN; r9 row
+    "bloom_prune_stats",       # Bloom pre-join; r9 row
+    "distinct_sketch_users",   # linear counting; r9 row
+    "zorder_locality_stats",   # Morton clustering; r9 row
+    "countmin_token_freq",     # count-min sketch; r9 row
+    "incremental_agg_merge",   # partial-agg maintenance; r9 row
+    "last_touch_attribution",  # last_value window; r9 row
+    "orc_roundtrip_rollup",    # ORC round-trip; r9 row
+    "top_event_paths",         # trigram path mining; r9 row
+    "streaming_countmin",      # streaming sketch; r9 row
+    "snapshot_cdc_diff",       # change-data-feed; r9 row
+    "compaction_rollup",       # OPTIMIZE round-trip; r9 row
+    "streaming_sliding_hits",  # hopping-window twin; r9 row
+    "streaming_interval_join",  # stream-stream interval join; r9 row
+    "streaming_upsert_sink",   # streaming merge sink; r9 row
+    # the 4 r5-cohort entries that didn't fit this round's 50 slots
+    # (deepest cumulative evidence in the cohort: r3+r4+r5 triples);
+    # FIRST IN LINE for the r11 prefix
+    "simhash_pairs",           # r3+r4+r5 rows
+    "skew_salted_agg",         # r3+r4+r5 rows
+    "asof_latest_order",       # r3+r4+r5 rows
+    "ngram_jaccard_pairs",     # prefix-filtered primary; r3+r4+r5 rows
+    # entries rotated out in r9 (each holds r6+r7+r8 driver triples)
+    "array_metrics",           # J2 J4 J5 A12 A13 A6; r5..r8 rows
     "fuzzy_customer_pairs",    # PassJoin edit-distance ER; r6+r7+r8
     "interpolate_daily_revenue",  # gap-fill + linear interp; r6+r7+r8
     "hll_user_cardinality",    # HyperLogLog registers; r6+r7+r8
@@ -1446,72 +1493,13 @@ _GATE_REST = [
     "semantic_dedup",          # SemDeDup cluster-then-dedup; r6+r7+r8
     "media_resize",            # NN resize + re-encode; r6+r7+r8
     "doc_bigram_lm_score",     # bigram-LM quality score; r6+r7+r8
-    "line_dedup_rebuild",      # C4/RefinedWeb segment removal; r6+r7+r8
+    "line_dedup_rebuild",      # C4/RefinedWeb segment removal; r6..r8
     "kmv_set_ops",             # bottom-k sketch set algebra; r6+r7+r8
     "doc_winnow_fingerprint",  # set-stats winnow twin; r5..r8 rows
     "doc_pii_redact",          # regex PII counting + masking; r5..r8
     "neardup_clusters",        # CC + keep-one retention; r5..r8 rows
     "pivot_lang_counts",       # groupBy().pivot(); r6+r7+r8
     "streaming_neardup_admission",  # stream-static LSH; r5..r8 rows
-    # rotated out for the three FINAL round-6 additions (r5 rows noted)
-    "doc_ttr_repetition",      # TTR/repetition stats; r5 row
-    "vocab_top_tokens",        # corpus vocabulary df table; r5 row
-    "neardup_clusters_star",   # large/small-star CC twin; r5 row
-    # rotated out for the six LATE round-6 additions (r5 rows noted)
-    "ngram_jaccard_allpairs",  # exact baseline twin; r5 row
-    "rolling_revenue",         # W5-W8 W11; r5 row
-    "order_history",           # A6 W10; r5 row
-    "best_stretch",            # W9 W12; r5 row
-    "semi_anti_customers",     # J6 J7; r5 row
-    "merge_upsert",            # S11 J1; r5 row
-    # Every entry below carries a green cumulative driver CORRECTNESS
-    # row (round noted); all still oracle-checked in-repo by
-    # tools/gate_check.py every round.
-    # rotated out for the round-6 late additions (rows noted)
-    "ngram_jaccard_pairs",     # prefix-filtered primary; r3+r4+r5 rows
-    "bucketed_join_rollup",    # S4 S5 J14; r4+r5 rows
-    "partitioned_prune_rollup",  # S6 S7; r4+r5 rows
-    "streaming_tumbling_hits",  # T1 T3 T4; r4+r5 rows
-    "streaming_kafka_mirror",  # S12 S14; r4+r5 rows
-    "streaming_session_windows",  # T5; r4+r5 rows
-    "streaming_foreachbatch_sink",  # T7 T8 S13; r4+r5 rows
-    "streaming_stateful_sessions",  # custom stateful op; r4+r5 rows
-    "corpus_curation_pipeline",  # flagship; r4+r5 rows
-    "streaming_dedup",         # dropDuplicatesWithinWatermark; r4+r5 rows
-    "doc_dedup_exact",         # A14; r1+r2+r3+r4+r5 rows
-    "doc_lang_id",             # P9; r1+r2+r3+r4+r5 rows
-    "pricing_summary",         # r1+r3+r4 rows; P3 A3 A17
-    "customer_order_spine",    # r3+r4 rows; J10 J11 J15
-    "top_customers",           # r1+r3+r4 rows; J3 J13 A15 O1-O3
-    "grouping_sets",           # r1+r3+r4 rows; A9 S3
-    "funnel_conversion",       # r1+r3+r4 rows; P7 J8 A16
-    "scd_streaks",             # r1+r3+r4 rows; W1 W2 A1
-    "users_cumulated",         # r1+r3+r4+r5 rows; P4 A7 J1
-    "datelist_int",            # r1+r3+r4 rows; A10 A11
-    "sessionization",          # r03+r04 rows; W2/P4
-    # rotated out r6 (>= 2 cumulative driver rows each, rounds noted)
-    "doc_decontaminate",       # leakage scrub; r4+r5 rows
-    "pack_token_stream",       # sequence packing; r4+r5 rows
-    "doc_chunks",              # chunking primary; r4+r5 rows
-    "table_profile",           # one-pass profiling; r4+r5 rows
-    "udf_enrich_broadcast",    # T6 / §2.10; r4+r5 rows
-    "metadata_scan",           # S8 layouts; r4+r5 rows
-    "insert_select_rollup",    # S9 S10; r4+r5 rows
-    "longest_streak",          # W12 streak half; r4+r5 rows
-    "union_order_tiers",       # U1 U2 P6; r4+r5 rows
-    "retention_curve",         # A16 + channel LIKE; r4+r5 rows
-    "exact_percentiles",       # r4+r5 rows
-    "minhash_lsh_pairs",       # r3+r4+r5 rows
-    "simhash_pairs",           # r3+r4+r5 rows
-    "ann_cosine_ivf",          # r3+r4+r5 rows
-    "ann_cosine_lsh",          # r4+r5 rows
-    "embedding_neardup",       # r3+r4+r5 rows
-    "media_features",          # r4+r5 rows
-    "media_frame_sample",      # r4+r5 rows
-    "skew_salted_agg",         # r3+r4+r5 rows
-    "asof_latest_order",       # r3+r4+r5 rows
-    "hash_sample_split",       # r4+r5 rows
-    "stratified_sample",       # r4+r5 rows
 ]
 
 assert len(_GATE_FIRST) == GATE_CAP, (

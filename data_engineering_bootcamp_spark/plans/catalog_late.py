@@ -867,6 +867,194 @@ FROM agg
 """
 
 
+def q_scd_replay_31d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """31-day incremental replay of the SCD-2 advance (VERDICT r9 #3,
+    completing the replay matrix r8 #6 started): drive
+    `operators.scd.scd_incremental` — the reference's one-period
+    UNION-ALL advance (M1/lecture-lab/incremental_scd_query.sql:38-110)
+    — day by day over January from an EMPTY history, and emit the
+    final SCD table. The oracle is the reference's OTHER form of the
+    same table: the batch streak SCD over the whole window
+    (M1/lecture-lab/scd_generation_query.sql:1-35) — the two-forms
+    equivalence the reference itself teaches, proved here as 31
+    composed advances ≡ one batch window build.
+
+    The equivalence requires DENSE snapshots (every entity present in
+    every period from its first appearance — exactly the reference's
+    players table, which carries a row per season with an is_active
+    flag once a player exists): a user inactive on day d snapshots as
+    dominant='none' rather than vanishing, because the incremental
+    advance seals a vanished entity's range while the batch form would
+    bridge the gap. Densification = first-activity spine LEFT JOIN the
+    per-day dominant, COALESCE 'none'.
+
+    Scale shape: the dominant-daily relation and the first-day spine
+    are each materialized once (localCheckpoint) and sliced 31 times by
+    a pushed day predicate; each advance is ONE full-outer join keyed
+    on user_id over O(users) state rows plus a single explode (never a
+    per-branch UNION re-scan — see scd.py:104). Plan depth is bounded
+    by one lazy checkpoint every 8 advances; in production each advance
+    is its own run writing a snapshot table, so depth is 1 there — the
+    composed form exists to PROVE day-composition ≡ batch.
+    """
+    from pyspark.sql import types as T
+
+    from ..operators.scd import scd_incremental
+    from .catalog_ext import _dominant_daily
+
+    dom = _dominant_daily(spark, sf_dir).localCheckpoint(eager=False)
+    firstd = (
+        dom.groupBy("user_id")
+        .agg(F.min("d").alias("fd"))
+        .localCheckpoint(eager=False)
+    )
+    hist_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("dominant", T.StringType()),
+            T.StructField("start_d", T.IntegerType()),
+            T.StructField("end_d", T.IntegerType()),
+        ]
+    )
+    history = spark.createDataFrame([], hist_schema)
+    for day in range(1, 32):
+        snap = (
+            firstd.where(F.col("fd") <= day)
+            .join(dom.where(F.col("d") == day), "user_id", "left")
+            .select(
+                "user_id",
+                F.coalesce(F.col("dominant"), F.lit("none")).alias(
+                    "dominant"
+                ),
+            )
+        )
+        history = scd_incremental(
+            history, snap, "user_id", "d", ["dominant"], day
+        )
+        if day % 4 == 0:
+            # cadence 4, tighter than the other replays' 16: each
+            # advance references `history` TWICE (the historical/
+            # current filter split), so plan size doubles per advance
+            # within a checkpoint window. Measured at gate scale:
+            # cadence 8 → 54.7 s (2^8 subtree copies of pure Catalyst
+            # analysis), 4 → 24.7 s, 2 → 29.6 s (checkpoint overhead
+            # takes over) — 4 is the knee
+            history = history.localCheckpoint(eager=False)
+    return history.select(
+        "user_id",
+        F.col("dominant").alias("event_type"),
+        "start_d",
+        "end_d",
+    )
+
+
+ORACLE_SCD_REPLAY_31D = """
+WITH daily AS (
+  SELECT user_id, EXTRACT(day FROM ts)::INT AS d, event_type,
+         COUNT(*) AS c
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND date_trunc('month', ts) = TIMESTAMP '2024-01-01'
+  GROUP BY 1, 2, 3),
+dom AS (
+  SELECT user_id, d, event_type AS dominant FROM (
+    SELECT user_id, d, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, d
+                              ORDER BY c DESC, event_type) AS rn
+    FROM daily) WHERE rn = 1),
+firstd AS (SELECT user_id, MIN(d) AS fd FROM dom GROUP BY user_id),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(fd, 31)) AS INT) AS d
+  FROM firstd),
+dense AS (
+  SELECT s.user_id, s.d, COALESCE(dom.dominant, 'none') AS dominant
+  FROM spine s LEFT JOIN dom ON s.user_id = dom.user_id AND s.d = dom.d),
+flagged AS (
+  SELECT user_id, d, dominant,
+         CASE WHEN LAG(dominant) OVER w IS DISTINCT FROM dominant
+              THEN 1 ELSE 0 END AS chg
+  FROM dense
+  WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+streaks AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY d
+                           ROWS UNBOUNDED PRECEDING) AS s
+  FROM flagged)
+SELECT user_id, dominant AS event_type,
+       MIN(d) AS start_d, MAX(d) AS end_d
+FROM streaks GROUP BY user_id, dominant, s
+"""
+
+
+def q_users_cumulated_replay_31d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """31-day incremental replay of the users_cumulated datelist build
+    (VERDICT r9 #3): drive `operators.cumulate.cumulate_datelist` — the
+    reference's daily cumulation
+    (M2/lecture-lab/user_cumulated_populate.sql:1-30, yesterday FULL
+    OUTER today with the new date prepended newest-first) — day by day
+    over 2024-01-01..31 from an EMPTY state. The oracle is the direct
+    whole-window date-array aggregate: 31 composed advances must equal
+    one groupBy with a DESC-sorted distinct date array, the same
+    day-composition ≡ batch proof as pipeline_replay_31d.
+
+    Scale shape: the per-day activity slice is one DISTINCT over one
+    events scan materialized once and sliced 31 times by a pushed day
+    predicate; each advance shuffles only O(users) state rows on
+    user_id (the array concat is map-side). One lazy mid-window
+    checkpoint bounds plan depth, as in the other replays.
+    """
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    from ..operators.cumulate import cumulate_datelist
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("user_id", utc_date_of_ts("ts").alias("date_active"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("dates_active", T.ArrayType(T.DateType())),
+            T.StructField("date", T.DateType()),
+        ]
+    )
+    state = spark.createDataFrame([], state_schema)
+    start = _dt.date(2024, 1, 1)
+    for i in range(31):
+        ds = (start + _dt.timedelta(days=i)).isoformat()
+        today = daily.where(F.col("date_active") == F.lit(ds).cast("date"))
+        state = cumulate_datelist(state, today, ds)
+        if (i + 1) % 16 == 0:
+            state = state.localCheckpoint(eager=False)
+    return state.select(
+        "user_id",
+        F.array_join(
+            F.transform(F.col("dates_active"), lambda d: d.cast("string")),
+            ",",
+        ).alias("dates_active"),
+        F.size("dates_active").alias("n_days"),
+    )
+
+
+ORACLE_USERS_CUMULATED_REPLAY_31D = """
+WITH daily AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-31')
+SELECT user_id,
+       array_to_string(list_transform(
+         array_agg(DISTINCT d ORDER BY d DESC),
+         x -> CAST(x AS VARCHAR)), ',') AS dates_active,
+       CAST(COUNT(DISTINCT d) AS INT) AS n_days
+FROM daily GROUP BY user_id
+"""
+
+
 LATE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_customer_pairs": q_fuzzy_customer_pairs,
     "interpolate_daily_revenue": q_interpolate_daily_revenue,
@@ -878,6 +1066,8 @@ LATE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_set_ops": q_kmv_set_ops,
     "zscore_anomaly_days": q_zscore_anomaly_days,
     "pipeline_replay_31d": q_pipeline_replay_31d,
+    "scd_replay_31d": q_scd_replay_31d,
+    "users_cumulated_replay_31d": q_users_cumulated_replay_31d,
 }
 
 LATE_ORACLES: dict[str, str] = {
@@ -891,4 +1081,6 @@ LATE_ORACLES: dict[str, str] = {
     "kmv_set_ops": ORACLE_KMV_SET_OPS,
     "zscore_anomaly_days": ORACLE_ZSCORE_ANOMALY_DAYS,
     "pipeline_replay_31d": ORACLE_PIPELINE_REPLAY_31D,
+    "scd_replay_31d": ORACLE_SCD_REPLAY_31D,
+    "users_cumulated_replay_31d": ORACLE_USERS_CUMULATED_REPLAY_31D,
 }
