@@ -185,7 +185,9 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
     t_start = time.perf_counter()
     degraded: list[str] = []
+    noisy: list[str] = []
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     reps_out: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -195,7 +197,9 @@ def main() -> None:
         if reps > 1 and time.perf_counter() - t_start > budget:
             n_reps = 1
             degraded.append(name)
-        for _ in range(n_reps):
+        rep_i = 0
+        while rep_i < n_reps:
+            rep_i += 1
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
@@ -215,11 +219,27 @@ def main() -> None:
                     release_caches()
                 except Exception:
                     pass
+            # noise guardrail (VERDICT r9 #5): a >2x spread across reps
+            # of identical code means at least one rep was contended
+            # (r9 neardup_clusters: [7.3, 15.7, 6.1] moved the headline
+            # ~3 s). Buy ONE extra rep so the median has a majority of
+            # clean samples, budget permitting.
+            if (
+                rep_i == n_reps
+                and n_reps > 1
+                and len(per_rep) >= 2
+                and max(per_rep) > 2.0 * min(per_rep)
+                and n_reps == reps  # never extend past the soft budget
+                and time.perf_counter() - t_start <= budget
+            ):
+                n_reps += 1
+                noisy.append(name)
         if per_rep:
             # median: the robust location for 3 reps on a noisy host —
             # one contended rep can no longer dominate the artifact
             timings[name] = sorted(per_rep)[len(per_rep) // 2]
             reps_out[name] = per_rep
+            mins[name] = min(per_rep)
 
     total = round(sum(timings.values()), 3)
     # hard error = a query with ZERO successful reps (missing from the
@@ -238,6 +258,14 @@ def main() -> None:
         "valid": not hard_errors,
         "unit": "sec",
         "queries": timings,
+        # min-of-reps companion (VERDICT r9 #5): medians are the
+        # headline, but on a shared box the per-query MIN is the least
+        # contended sample — "min_total_sec" is the noise-floor twin of
+        # "value", and a round-over-round comparison that disagrees
+        # between the two is flagging contention, not code.
+        "queries_min": mins,
+        "min_total_sec": round(sum(mins.values()), 3),
+        "noisy_entries": noisy,
         "bench_reps": reps,
         "queries_reps": reps_out,
         "budget_degraded": degraded,
@@ -281,8 +309,11 @@ def main() -> None:
         "n_queries": len(timings),
         "full_artifact": "BENCH_full.json" if full_path else None,
         "cpu_marker_sec": cpu_marker,
+        "min_total_sec": out["min_total_sec"],
         "queries": {},
     }
+    if noisy:
+        compact["n_noisy"] = len(noisy)
     if hard_errors:
         compact["partial_total_sec"] = total
         compact["n_errors"] = len(hard_errors)
