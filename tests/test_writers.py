@@ -49,6 +49,72 @@ def test_bucket_join_elides_shuffle(spark, orders, tmp_path):
     spark.sql("DROP TABLE t_bucket_r")
 
 
+def test_bucketed_layout_feeds_heavy_selfjoin_paths(spark, sf_small):
+    """VERDICT r9 #7 — the reference's M3 bucket-join lesson
+    (bucket-joins-in-iceberg.ipynb) end-to-end on the engine's own
+    heavy queries: a lineitem table bucketed on l_orderkey removes the
+    pair-builder's grouping Exchange (2 → 1: only the final pair-count
+    shuffle remains), and an events table bucketed on user_id removes
+    the funnel's dedup + both self-join Exchanges (5 → 2: only the
+    two aggregation-key shuffles remain). Results must be identical to
+    the raw-table runs — layout is semantically transparent.
+
+    Subset co-partitioning is what makes the funnel case work:
+    HashPartitioning(user_id) satisfies clustering on
+    (user_id, event_date) because equal composite keys share the
+    user_id hash (requireAllClusterKeysForCoPartition=false, the
+    default)."""
+    from data_engineering_bootcamp_spark.operators.funnel import (
+        funnel_conversion,
+    )
+    from data_engineering_bootcamp_spark.operators.graph import (
+        build_edges_pairs_grouped,
+    )
+
+    def n_exchanges(df):
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange"
+        )
+
+    from data_engineering_bootcamp_spark.sources.readers import load_table
+
+    # load_table, not raw spark.read.parquet: the events ts column must
+    # surface as plain TIMESTAMP (inferTimestampNTZ=false) for the
+    # funnel's epoch arithmetic
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    ev = load_table(spark, sf_small, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    try:
+        write_bucketed(li, "t_li_bkt", "l_orderkey", num_buckets=8)
+        write_bucketed(ev, "t_ev_bkt", "user_id", num_buckets=8)
+
+        raw_pairs = build_edges_pairs_grouped(li, "l_orderkey", "l_partkey")
+        bkt_pairs = build_edges_pairs_grouped(
+            spark.table("t_li_bkt"), "l_orderkey", "l_partkey"
+        )
+        assert n_exchanges(raw_pairs) == 2
+        assert n_exchanges(bkt_pairs) == 1
+        assert sorted(map(tuple, bkt_pairs.collect())) == sorted(
+            map(tuple, raw_pairs.collect())
+        )
+
+        raw_funnel = funnel_conversion(ev, "view", "purchase")
+        bkt_funnel = funnel_conversion(
+            spark.table("t_ev_bkt"), "view", "purchase"
+        )
+        assert n_exchanges(raw_funnel) == 5
+        assert n_exchanges(bkt_funnel) == 2
+        assert sorted(map(tuple, bkt_funnel.collect())) == sorted(
+            map(tuple, raw_funnel.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_ev_bkt")
+
+
 def test_partitioned_write_prunes(spark, orders, tmp_path):
     path = str(tmp_path / "part")
     df = orders.withColumn("status", F.col("o_orderstatus"))
