@@ -52,6 +52,8 @@ SKIP = {
     # per-advance shape (1 full-outer join + 1 groupBy, O(users) state)
     # is the audited `growth_accounting`/`users_cumulated` shape
     "pipeline_replay_31d",
+    "scd_replay_31d",          # same: per-advance shape = scd_incremental
+    "users_cumulated_replay_31d",  # same: per-advance = users_cumulated
 }
 
 
