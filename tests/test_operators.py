@@ -857,3 +857,64 @@ def test_pipeline_replay_31d_final_states(spark, tmp_path):
             uid,
             r,
         )
+
+
+def test_scd_replay_composition_equals_batch_generation(spark):
+    """The two-forms equivalence scd_replay_31d rests on, pinned on a
+    hand fixture with the repo's OWN batch operator (no DuckDB): N
+    composed scd_incremental advances over DENSE snapshots equal one
+    scd_from_snapshots over the same dense stream. Includes a gap
+    (densified to 'none'), a value change, a late-arriving entity, and
+    an entity inactive from day 3 on."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_engineering_bootcamp_spark.operators.scd import (
+        scd_from_snapshots,
+        scd_incremental,
+    )
+
+    # (user, day) -> value; dense = every user present every day from
+    # its first appearance, absent day = 'none'
+    activity = {
+        (1, 1): "A", (1, 2): "A", (1, 4): "A",      # gap on day 3
+        (2, 2): "B", (2, 3): "C", (2, 4): "C",      # changes B->C
+        (3, 1): "A",                                 # inactive from d2
+        (4, 5): "D",                                 # appears on day 5
+    }
+    first = {u: min(d for (uu, d) in activity if uu == u)
+             for u in {u for (u, _) in activity}}
+    days = range(1, 6)
+    dense = [
+        (u, d, activity.get((u, d), "none"))
+        for u in sorted(first)
+        for d in days
+        if d >= first[u]
+    ]
+    dense_df = spark.createDataFrame(dense, ["user_id", "d", "v"])
+
+    batch = scd_from_snapshots(dense_df, "user_id", "d", ["v"])
+
+    hist_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("start_d", T.LongType()),
+            T.StructField("end_d", T.LongType()),
+        ]
+    )
+    replay = spark.createDataFrame([], hist_schema)
+    for day in days:
+        snap = dense_df.where(F.col("d") == day).select("user_id", "v")
+        replay = scd_incremental(replay, snap, "user_id", "d", ["v"], day)
+
+    got_batch = {tuple(r) for r in batch.collect()}
+    got_replay = {
+        (r.user_id, r.v, r.start_d, r.end_d) for r in replay.collect()
+    }
+    assert got_replay == got_batch
+    # spot-pin the interesting ranges so the fixture can't silently rot
+    assert (1, "A", 1, 2) in got_replay and (1, "none", 3, 3) in got_replay
+    assert (2, "B", 2, 2) in got_replay and (2, "C", 3, 4) in got_replay
+    assert (3, "A", 1, 1) in got_replay and (3, "none", 2, 5) in got_replay
+    assert (4, "D", 5, 5) in got_replay
