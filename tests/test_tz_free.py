@@ -82,12 +82,13 @@ def test_utc_helpers_invariant_across_zones_and_dst(
         "tumbling_hits",  # F.window + rendered bounds
         "sessionization",  # rendered session_start strings
         "best_stretch",  # o_orderdate (timestamp-encoded) day rollup
+        "users_cumulated_replay_31d",  # 31 composed daily advances
     ],
 )
 def test_catalog_entries_tz_invariant(spark, sf_small, restore_tz, entry):
     """End-to-end: a representative slice of the formerly TZ-sensitive
     entries returns row-identical results under non-UTC session TZs.
-    (The full 123-entry proof is the per-round --tz gate run.)"""
+    (The full 125-entry proof is the per-round --tz gate run.)"""
     from data_engineering_bootcamp_spark.plans.catalog import QUERIES
 
     def run():
