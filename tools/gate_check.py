@@ -32,6 +32,12 @@ Flags:
                    mode: the DuckDB oracles are TZ-naive, so a green
                    gate under a non-UTC session TZ proves the catalog
                    is TZ-free by construction (implies --no-perf-gate)
+  --conf=K=V       arbitrary session conf for robustness axes, e.g.
+                   --conf=spark.sql.execution.arrow.maxRecordsPerBatch=7
+                   (exposes Pandas stages assuming batch == partition)
+                   or --conf=spark.sql.shuffle.partitions=1 (layout
+                   assumptions). Repeatable; implies --no-perf-gate —
+                   an axis run is not a perf baseline
 
 Oracle output-type lint (VERDICT r6 #2): every oracle relation's
 output types are checked BEFORE the value compare — HUGEINT /
@@ -100,6 +106,7 @@ def main() -> int:
     no_perf_gate = "--no-perf-gate" in flags
     update_times = "--update-times" in flags
     tz = None
+    axis_confs: dict[str, str] = {}
     for f in flags:
         if f.startswith("--tz="):
             tz = f.split("=", 1)[1]
@@ -109,6 +116,17 @@ def main() -> int:
                 # either — refuse rather than silently poison ratios
                 print("ERROR: --tz and --update-times are mutually "
                       "exclusive (TZ runs are not perf baselines)")
+                return 3
+        elif f.startswith("--conf="):
+            k, _, v = f[len("--conf="):].partition("=")
+            if not k or not v:
+                print(f"ERROR: malformed {f!r}; want --conf=key=value")
+                return 3
+            axis_confs[k] = v
+            no_perf_gate = True  # axis runs aren't perf baselines
+            if update_times:
+                print("ERROR: --conf and --update-times are mutually "
+                      "exclusive (axis runs are not perf baselines)")
                 return 3
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
@@ -162,6 +180,9 @@ def main() -> int:
     if tz:
         builder = builder.config("spark.sql.session.timeZone", tz)
         print(f"session timeZone = {tz} (TZ-robustness mode)")
+    for k, v in axis_confs.items():
+        builder = builder.config(k, v)
+        print(f"axis conf: {k} = {v}")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(sf_dir)
