@@ -236,8 +236,12 @@ def main() -> None:
                 noisy.append(name)
         if per_rep:
             # median: the robust location for 3 reps on a noisy host —
-            # one contended rep can no longer dominate the artifact
-            timings[name] = sorted(per_rep)[len(per_rep) // 2]
+            # one contended rep can no longer dominate the artifact.
+            # LOWER-middle for even counts: when the guardrail buys a
+            # 4th rep because spread was >2x, the upper-middle of
+            # [a, b, HIGH, HIGH] would hand the headline to a contended
+            # sample — the exact outcome the extra rep exists to avoid
+            timings[name] = sorted(per_rep)[(len(per_rep) - 1) // 2]
             reps_out[name] = per_rep
             mins[name] = min(per_rep)
 
@@ -262,9 +266,14 @@ def main() -> None:
         # headline, but on a shared box the per-query MIN is the least
         # contended sample — "min_total_sec" is the noise-floor twin of
         # "value", and a round-over-round comparison that disagrees
-        # between the two is flagging contention, not code.
+        # between the two is flagging contention, not code. Like
+        # "value", it is NULLED on a partial run (a sum over fewer
+        # queries would make failures look like speedups); the partial
+        # sum stays available as "partial_min_total_sec".
         "queries_min": mins,
-        "min_total_sec": round(sum(mins.values()), 3),
+        "min_total_sec": (
+            round(sum(mins.values()), 3) if not hard_errors else None
+        ),
         "noisy_entries": noisy,
         "bench_reps": reps,
         "queries_reps": reps_out,
@@ -280,6 +289,7 @@ def main() -> None:
         out["errors"] = errors
     if hard_errors:
         out["partial_total_sec"] = total
+        out["partial_min_total_sec"] = round(sum(mins.values()), 3)
     # Full artifact goes to a FILE; stdout gets a compact line. The
     # driver records only the LAST 2000 bytes of stdout (BENCH_r06/r07
     # both came back "parsed": null because the full dict outgrew that

@@ -78,6 +78,11 @@ def epoch_day(df, col_name: str) -> Column:
     column falling through to the timestamp arm would cast-to-long into
     silent NULLs (string) or mis-scaled ordinals (int) — the exact
     silent-wrong-answer class this helper exists to prevent.
+
+    TIMESTAMP_NTZ gets its own arm: NTZ cannot cast to long (analysis
+    error on Spark 4), and it doesn't need epoch arithmetic — an NTZ
+    value IS a TZ-free wall clock, so ``to_date`` reads its calendar
+    day without any session-TZ involvement.
     """
     _require_date_or_ts(df, col_name, "epoch_day")
     from pyspark.sql import types as T
@@ -85,6 +90,11 @@ def epoch_day(df, col_name: str) -> Column:
     dt = df.schema[col_name].dataType
     if isinstance(dt, T.DateType):
         return F.datediff(F.col(col_name), F.lit("1970-01-01")).cast("int")
+    ntz = getattr(T, "TimestampNTZType", None)
+    if ntz is not None and isinstance(dt, ntz):
+        return F.datediff(
+            F.to_date(F.col(col_name)), F.lit("1970-01-01")
+        ).cast("int")
     return F.floor(F.col(col_name).cast("long") / 86400).cast("int")
 
 
@@ -127,13 +137,20 @@ def utc_date_of_ts(ts: Column | str) -> Column:
 def utc_date(df, col_name: str) -> Column:
     """`utc_date_of_ts` with the DATE/TIMESTAMP dtype branch of
     `epoch_day`: DATE columns pass through (already TZ-free),
-    TIMESTAMP columns take the UTC-day path. Any other dtype raises
-    TypeError (ADVICE r9 — same contract as `epoch_day`)."""
+    TIMESTAMP columns take the UTC-day path; TIMESTAMP_NTZ columns are
+    TZ-free wall clocks already, so plain `to_date` reads their
+    calendar day (NTZ cannot cast to long, which the UTC-day path
+    needs). Any other dtype raises TypeError (ADVICE r9 — same
+    contract as `epoch_day`)."""
     from pyspark.sql import types as T
 
     _require_date_or_ts(df, col_name, "utc_date")
-    if isinstance(df.schema[col_name].dataType, T.DateType):
+    dt = df.schema[col_name].dataType
+    if isinstance(dt, T.DateType):
         return F.col(col_name)
+    ntz = getattr(T, "TimestampNTZType", None)
+    if ntz is not None and isinstance(dt, ntz):
+        return F.to_date(F.col(col_name))
     return utc_date_of_ts(col_name)
 
 

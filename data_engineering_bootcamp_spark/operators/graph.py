@@ -155,7 +155,14 @@ def pagerank(
                 )
             ).cast(src_type)
         )
-        e = edges.select(checked.alias("s"), d_col.alias("d"))
+        # NULL-id edges are dropped BEFORE the check, matching the
+        # non-canonical path (least/greatest skip NULLs there, so a
+        # NULL-sided pair collapses to s == d and is filtered); without
+        # this, s < d evaluates NULL and the raise would misdiagnose a
+        # malformed edge as a mirrored pair
+        e = edges.where(
+            s_col.isNotNull() & d_col.isNotNull()
+        ).select(checked.alias("s"), d_col.alias("d"))
     else:
         # canonicalize BEFORE distinct: a caller passing both (a,b) and
         # (b,a) for the same undirected edge must not double every

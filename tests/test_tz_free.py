@@ -173,3 +173,20 @@ def test_day_helpers_reject_non_temporal_dtypes(spark):
         epoch_day(ts, "d").alias("a"), epoch_day(ts, "t").alias("b"),
         utc_date(ts, "d").alias("c"), utc_date(ts, "t").alias("e"),
     ).first().a == 19723
+    # TIMESTAMP_NTZ: a TZ-free wall clock — must work (it cannot take
+    # the cast-to-long arm, which is an analysis error on NTZ) and its
+    # calendar day must be the literal wall-clock date under ANY
+    # session TZ
+    ntz = df.withColumn("t", F.col("s").cast("timestamp_ntz"))
+    key = "spark.sql.session.timeZone"
+    old = spark.conf.get(key)
+    try:
+        for tz in ZONES:
+            spark.conf.set(key, tz)
+            row = ntz.select(
+                epoch_day(ntz, "t").alias("a"),
+                utc_date(ntz, "t").cast("string").alias("c"),
+            ).first()
+            assert (row.a, row.c) == (19723, "2024-01-01"), tz
+    finally:
+        spark.conf.set(key, old)

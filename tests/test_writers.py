@@ -70,11 +70,9 @@ def test_bucketed_layout_feeds_heavy_selfjoin_paths(spark, sf_small):
     from data_engineering_bootcamp_spark.operators.graph import (
         build_edges_pairs_grouped,
     )
-
-    def n_exchanges(df):
-        return df._jdf.queryExecution().executedPlan().toString().count(
-            "Exchange"
-        )
+    from data_engineering_bootcamp_spark.plans.introspect import (
+        count_exchanges as n_exchanges,
+    )
 
     from data_engineering_bootcamp_spark.sources.readers import load_table
 

@@ -102,7 +102,9 @@ def _cpu_marker(samples: int = 3) -> float:
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    # ordered list, not a set: repeated --conf flags must resolve
+    # deterministically (and duplicate keys are rejected below)
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
     no_perf_gate = "--no-perf-gate" in flags
     update_times = "--update-times" in flags
     tz = None
@@ -121,6 +123,10 @@ def main() -> int:
             k, _, v = f[len("--conf="):].partition("=")
             if not k or not v:
                 print(f"ERROR: malformed {f!r}; want --conf=key=value")
+                return 3
+            if k in axis_confs:
+                print(f"ERROR: duplicate --conf key {k!r} "
+                      f"({axis_confs[k]!r} vs {v!r}) — pass each key once")
                 return 3
             axis_confs[k] = v
             no_perf_gate = True  # axis runs aren't perf baselines

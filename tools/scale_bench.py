@@ -51,7 +51,6 @@ from data_engineering_bootcamp_spark.sources.readers import (  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 FACT_MULT = 200         # 100k events -> 20M fact rows
-HOT_FRACTION = 2        # every 2nd row remapped to the hot key
 DIM_KEYS = 200_000
 DOC_VARIANTS = 4
 NGRAM_SMALL = 1500
@@ -89,19 +88,19 @@ def build_skew(spark, hot_pct: int = 50):
 
 
 def bench_skew(spark) -> dict:
-    """Two hot-key distributions (VERDICT r9 #4): hot50 (the original
-    fixture — HALF the fact on one key) documents the crossover where
-    the salted join's fixed costs (dim replicated ×32, salt column on
-    every fact row) are NOT yet paid back because the hot task at 10M
-    rows finishes in about the time the salted variant's extra shuffle
-    volume takes; hot90 (90% of 20M rows on ONE key) is the regime the
-    operator exists for — the plain no-AQE sort-merge join serializes
-    an 18M-row sorted partition through one thread while 31 sit idle,
-    and salting spreads it 32-ways. AQE skew-split is measured on both
-    as Spark's own runtime fix: reach for salted_join when AQE can't
-    apply — a skewed AGGREGATION key, a join that must keep a
-    deterministic partitioning, or an engine path where AQE's
-    post-shuffle re-split is disabled."""
+    """Two hot-key distributions (VERDICT r9 #4): hot50 (HALF the fact
+    on one key) sits near the crossover — the salted join's fixed
+    costs (dim replicated ×32, salt column on every fact row) roughly
+    offset what the split hot task saves, so salted only edges out
+    plain no-AQE (idle-box r10: 8.5 vs 10.2 s) and AQE's skew split
+    performs the same mitigation (8.7 s); hot90 (90% of 20M rows on
+    ONE key) is the regime the operator exists for — the plain no-AQE
+    sort-merge join serializes an 18M-row sorted partition through one
+    thread while 31 sit idle, and salting spreads it 32-ways (6.1 vs
+    10.2 s, with AQE's split at 10.6 s). Reach for salted_join when
+    skew is severe and AQE can't apply — a skewed AGGREGATION key, a
+    join that must keep a deterministic partitioning, or an engine
+    path where AQE's post-shuffle re-split is disabled."""
     out_all: dict = {"dim_rows": DIM_KEYS, "n_salts": 32}
     conf = spark.conf
     old_thr = conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -1191,12 +1190,10 @@ def bench_bucketed_selfjoin(spark):
     from data_engineering_bootcamp_spark.operators.graph import (
         build_edges_pairs_grouped,
     )
+    from data_engineering_bootcamp_spark.plans.introspect import (
+        count_exchanges as n_exchanges,
+    )
     from data_engineering_bootcamp_spark.sources.writers import write_bucketed
-
-    def n_exchanges(df):
-        return df._jdf.queryExecution().executedPlan().toString().count(
-            "Exchange"
-        )
 
     out: dict = {}
     tag = uuid.uuid4().hex[:6]
