@@ -87,9 +87,20 @@ def bloom_bits(
     driver-side bitmap packing — and a NULL can never equal a probe
     key anyway)."""
     h = _hash60(F.col(key_col), tag, hash_fn)
+    # explode(array(h)) is a GENERATE fence: CollapseProject would
+    # otherwise inline the digest expression into all 2k position
+    # references (h1 + step per position) and codegen re-evaluates it
+    # each time — measured 3x the md5 cost per row on the probe side.
+    # A generator node pins the hash to ONE evaluation per row.
+    hashed = keys.where(F.col(key_col).isNotNull()).select(
+        F.explode(F.array(h)).alias("__h")
+    )
     return (
-        keys.where(F.col(key_col).isNotNull())
-        .select(F.explode(F.array(*_positions(h, k, m_bits))).alias("pos"))
+        hashed.select(
+            F.explode(
+                F.array(*_positions(F.col("__h"), k, m_bits))
+            ).alias("pos")
+        )
         .distinct()
     )
 
@@ -159,8 +170,17 @@ def bloom_prune(
     bm = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
 
     out_cols = list(fact.columns)
-    probed = fact.withColumn(
-        "__bh", _hash60(F.col(fact_key), "bloom", hash_fn)
+    # explode(array(h)) = generate fence (see bloom_bits): without it,
+    # CollapseProject inlines the digest into every one of the 2k
+    # position references and the md5 runs ~3x per row — measured
+    # 5.0 s -> 1.6 s for the 600k-row probe at sf0.1. A NULL fact key
+    # hashes to NULL -> NULL positions -> NULL condition -> filtered,
+    # same as the pre-fence behavior.
+    probed = fact.select(
+        "*",
+        F.explode(
+            F.array(_hash60(F.col(fact_key), "bloom", hash_fn))
+        ).alias("__bh"),
     )
     cond = F.lit(True)
     for i, pos in enumerate(_positions(F.col("__bh"), k, m_bits)):
@@ -297,14 +317,22 @@ def hll_registers(
     if not 4 <= p <= 16:
         raise ValueError(f"hll_registers: p must be in [4, 16], got {p}")
     w = _HLL_HASH_BITS - p
-    h = _hash60(F.col(key_col), "hll", hash_fn)
+    # explode(array(h)) = generate fence (see bloom_bits): the digest
+    # feeds register AND both rho references; without the fence
+    # CollapseProject inlines it into each and codegen re-evaluates the
+    # md5 per reference
+    hashed = df.where(F.col(key_col).isNotNull()).select(
+        F.explode(
+            F.array(_hash60(F.col(key_col), "hll", hash_fn))
+        ).alias("__h")
+    )
+    h = F.col("__h")
     rest = h.bitwiseAND(F.lit((1 << w) - 1))
     rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
         F.lit(w) - F.length(F.bin(rest)) + F.lit(1)
     )
     return (
-        df.where(F.col(key_col).isNotNull())
-        .select(
+        hashed.select(
             F.shiftright(h, w).cast("int").alias("register"),
             rho.cast("int").alias("rho"),
         )
