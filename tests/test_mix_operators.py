@@ -1198,13 +1198,23 @@ def test_review2_null_and_direction_semantics(spark):
         for r in pagerank(canon, assume_canonical=True).collect()
     }
     assert r3 == r1
-    # ... and the contract is ENFORCED map-side (ADVICE r9): mirrored /
-    # self-loop input under the flag fails the job loudly instead of
-    # silently corrupting every rank
+    # ... and the contract is ENFORCED (ADVICE r9; moved off the
+    # edge-scan hot path into the degree aggregate, VERDICT r10 #1):
+    # mirrored / self-loop input under the flag fails the job loudly
+    # instead of silently corrupting every rank
     import pytest as _pytest
 
     with _pytest.raises(Exception, match="(?i)canonical"):
         pagerank(both, assume_canonical=True).collect()
+    # NULL-sided edges are equally a contract violation and raise too
+    # (ADVICE r10) — the flag rides both union directions, so the
+    # non-NULL side's vertex group carries the poison
+    nulled = spark.createDataFrame(
+        [(1, 2), (None, 2), (2, 3)],
+        "id_a int, id_b int",
+    )
+    with _pytest.raises(Exception, match="(?i)canonical"):
+        pagerank(nulled, assume_canonical=True).collect()
 
     # histogram: NULLs excluded (SQL percentile semantics)
     from data_engineering_bootcamp_spark.operators.profile import (

@@ -716,6 +716,14 @@ def bench_pagerank(spark) -> dict:
     edges = build_edges_pairs_grouped(li, "l_orderkey", "l_partkey").persist()
     n_edges = edges.count()
     out: dict = {"edges": n_edges}
+    # warmup (VERDICT r10 #4): one throwaway short run absorbs JVM /
+    # codegen / shuffle warmup that otherwise lands entirely on the
+    # iter5 sample — r10 recorded iter5 14.4 s vs iter10 14.2 s, i.e. a
+    # NEGATIVE per-extra-iteration figure, a bench artifact rather than
+    # an engine property. With both samples warmed, the difference is
+    # the marginal cost of 5 more iterations, which is the scale signal
+    # this fixture exists to publish.
+    pagerank(edges, iterations=1).count()
     for iters in (5, 10):
         t0 = time.perf_counter()
         ranks = pagerank(edges, iterations=iters)
