@@ -1349,136 +1349,28 @@ GATE_CAP = 50  # the driver gates exactly this many leading entries
 
 _GATE_FIRST = [
     # -----------------------------------------------------------------
-    # r10 rotation (VERDICT r9 #1, the standing freshness policy): the
-    # cohort whose newest driver row was r4/r5 — 9 r4 entries + 39 of
-    # the 43 r5 entries — is promoted so no entry's driver evidence
-    # stays >4 rounds old, prioritizing the heavyweights whose code
-    # moved since r5 (minhash_lsh_pairs, corpus_curation_pipeline,
-    # ann_cosine_ivf/lsh, streaming_stateful_sessions — the r9 TZ
-    # rewrite touched stateful micros). The two NEW r10 replay entries
-    # (scd_replay_31d, users_cumulated_replay_31d — VERDICT r9 #3) are
-    # gated on arrival. Slots freed by rotating out the whole r9
-    # prefix (each of those 50 holds a fresh r9 driver row). The 4
-    # r5-cohort entries that didn't fit (simhash_pairs,
-    # skew_salted_agg, asof_latest_order, ngram_jaccard_pairs — each
-    # holding r3+r4+r5 triples, the deepest evidence in the cohort)
-    # are first in line for r11.
-    "scd_replay_31d",          # NEW r10: 31-day SCD incremental replay
-    "users_cumulated_replay_31d",  # NEW r10: 31-day datelist replay
-    # the 9 entries whose newest driver row was r4
-    "pricing_summary",         # P3 A3 A17; newest row r4
-    "customer_order_spine",    # J10 J11 J15; newest row r4
-    "top_customers",           # J3 J13 A15 O1-O3; newest row r4
-    "grouping_sets",           # A9 S3; newest row r4
-    "funnel_conversion",       # P7 J8 A16; newest row r4
-    "scd_streaks",             # W1 W2 A1; newest row r4
-    "users_cumulated",         # P4 A7 J1; newest row r4
-    "datelist_int",            # A10 A11; newest row r4
-    "sessionization",          # W2 P4; newest row r4
-    # 39 of the 43 entries whose newest driver row was r5
-    "doc_ttr_repetition",      # TTR/repetition stats
-    "vocab_top_tokens",        # corpus vocabulary df table
-    "neardup_clusters_star",   # large/small-star CC twin
-    "ngram_jaccard_allpairs",  # exact baseline twin
-    "rolling_revenue",         # W5-W8 W11
-    "order_history",           # A6 W10
-    "best_stretch",            # W9 W12
-    "semi_anti_customers",     # J6 J7
-    "merge_upsert",            # S11 J1
-    "bucketed_join_rollup",    # S4 S5 J14
-    "partitioned_prune_rollup",  # S6 S7
-    "streaming_tumbling_hits",  # T1 T3 T4
-    "streaming_kafka_mirror",  # S12 S14
-    "streaming_session_windows",  # T5
-    "streaming_foreachbatch_sink",  # T7 T8 S13
-    "streaming_stateful_sessions",  # stateful op; r9 int64-micros fix
-    "corpus_curation_pipeline",  # flagship composed pipeline
-    "streaming_dedup",         # dropDuplicatesWithinWatermark
-    "doc_dedup_exact",         # A14
-    "doc_lang_id",             # P9
-    "doc_decontaminate",       # leakage scrub
-    "pack_token_stream",       # sequence packing
-    "doc_chunks",              # chunking primary
-    "table_profile",           # one-pass profiling
-    "udf_enrich_broadcast",    # T6 / §2.10
-    "metadata_scan",           # S8 layouts
-    "insert_select_rollup",    # S9 S10
-    "longest_streak",          # W12 streak half
-    "union_order_tiers",       # U1 U2 P6
-    "retention_curve",         # A16 + channel LIKE
-    "exact_percentiles",       # exact distributed percentiles
-    "minhash_lsh_pairs",       # banded LSH primary
-    "ann_cosine_ivf",          # IVF cell-blocked ANN
-    "ann_cosine_lsh",          # LSH-bucketed ANN
-    "embedding_neardup",       # blocked embedding near-dup
-    "media_features",          # multimodal feature extraction
-    "media_frame_sample",      # frame sampling
-    "hash_sample_split",       # deterministic hash split
-    "stratified_sample",       # per-stratum exact quotas
-]
-
-_GATE_REST = [
-    # rotated out r10: the entire r9 prefix (each entry holds a fresh
-    # r9 driver row; operator ids stay covered by the gate_check
-    # full-registry run at HEAD each round)
-    "region_revenue",          # J3 J13; r9 row
-    "tumbling_hits",           # batch T3/T4 twin; r9 row
-    "host_activity_reduced",   # J2 J12; r9 row
-    "top_supplier_per_nation",  # J13 A15 W9; r9 row
-    "embedding_neardup_allpairs",  # exact baseline twin; r9 row
-    "acctbal_tiers",           # P6; r9 row
-    "ann_cosine_topk",         # brute-force ANN baseline; r9 row
-    "bulk_rename_summary",     # P2; r9 row
-    "csv_roundtrip_rollup",    # S2; r9 row
-    "dedup_keep_first",        # W3 W4; r9 row
-    "distinct_users",          # A4 A5; r9 row
-    "doc_quality",             # text quality score; r9 row
-    "doc_token_stats",         # token counting; r9 row
-    "doc_winnow_neardup_pairs",  # winnow primary; r9 row
-    "filter_by_top1",          # P8 O6; r9 row
-    "growth_accounting",       # J1; r9 row
-    "json_props",              # JSON family; r9 row
-    "part_type_tiers",         # P5; r9 row
-    "scd_incremental",         # J6 W1 U1; r9 row
-    "sorted_layout_rollup",    # O4 O5; r9 row
-    "pipeline_replay_31d",     # 31-day growth replay; r9 row
-    "rolling_time_revenue",    # RANGE frame; r9 row
-    "zscore_anomaly_days",     # integer-exact z-score; r9 row
-    "unpivot_region_metrics",  # unpivot wide->long; r9 row
-    "chunk_dedup_rebuild",     # sub-document dedup; r9 row
-    "corpus_mix_plan",         # mixing quotas; r9 row
-    "quantile_band_filter",    # percentile trimming; r9 row
-    "embedding_quantize_error",  # int8 SQ error; r9 row
-    "ann_q8_rerank",           # SQ8 + rerank; r9 row
-    "bpe_merge_candidates",    # BPE pair stats; r9 row
-    "dup_span_extract",        # duplicate-span extraction; r9 row
-    "dup_span_removal",        # cleaned-corpus rebuild; r9 row
-    "tfidf_top_terms",         # tf-idf keywords; r9 row
-    "pagerank_parts",          # fixed-point PageRank; r9 row
-    "histogram_quantiles",     # bin-histogram quantiles; r9 row
-    "hard_negative_mining",    # contrastive ANN; r9 row
-    "bloom_prune_stats",       # Bloom pre-join; r9 row
-    "distinct_sketch_users",   # linear counting; r9 row
-    "zorder_locality_stats",   # Morton clustering; r9 row
-    "countmin_token_freq",     # count-min sketch; r9 row
-    "incremental_agg_merge",   # partial-agg maintenance; r9 row
-    "last_touch_attribution",  # last_value window; r9 row
-    "orc_roundtrip_rollup",    # ORC round-trip; r9 row
-    "top_event_paths",         # trigram path mining; r9 row
-    "streaming_countmin",      # streaming sketch; r9 row
-    "snapshot_cdc_diff",       # change-data-feed; r9 row
-    "compaction_rollup",       # OPTIMIZE round-trip; r9 row
-    "streaming_sliding_hits",  # hopping-window twin; r9 row
-    "streaming_interval_join",  # stream-stream interval join; r9 row
-    "streaming_upsert_sink",   # streaming merge sink; r9 row
-    # the 4 r5-cohort entries that didn't fit this round's 50 slots
-    # (deepest cumulative evidence in the cohort: r3+r4+r5 triples);
-    # FIRST IN LINE for the r11 prefix
-    "simhash_pairs",           # r3+r4+r5 rows
-    "skew_salted_agg",         # r3+r4+r5 rows
-    "asof_latest_order",       # r3+r4+r5 rows
-    "ngram_jaccard_pairs",     # prefix-filtered primary; r3+r4+r5 rows
-    # entries rotated out in r9 (each holds r6+r7+r8 driver triples)
+    # r11 rotation (VERDICT r10 #2, the standing freshness policy):
+    # promote (a) the 4 entries whose newest driver row is still r5
+    # (simhash_pairs, skew_salted_agg, asof_latest_order,
+    # ngram_jaccard_pairs — the last of the r5 cohort, flagged by the
+    # last two verdicts), (b) the entire r9-rotation cohort whose
+    # newest row is r8 (21 entries), and (c) 25 of the 50 entries whose
+    # newest row is r9, prioritizing the ones whose CODE moved since
+    # that row: pagerank_parts (the r11 guard rework in
+    # operators/graph.py), and the digest-fenced sketch family from
+    # r10 commit 399cb9c (bloom_prune_stats, countmin_token_freq,
+    # distinct_sketch_users, streaming_countmin — the driver has never
+    # hashed the fenced form). Slots freed by rotating out the whole
+    # r10 prefix (each holds a fresh r10 driver row). The 25 r9-row
+    # entries that didn't fit are first in line for r12; after this
+    # rotation no entry's newest driver row is older than r8, and from
+    # r12 on the policy is pure 3-round maintenance.
+    # the 4 entries whose newest driver row was r5
+    "simhash_pairs",           # 4x15-bit pigeonhole near-dup; r3+r4+r5
+    "skew_salted_agg",         # salted skewed aggregate; r3+r4+r5
+    "asof_latest_order",       # as-of join; r3+r4+r5
+    "ngram_jaccard_pairs",     # prefix-filtered primary; r3+r4+r5
+    # the 21 entries whose newest driver row was r8 (rotated out in r9)
     "array_metrics",           # J2 J4 J5 A12 A13 A6; r5..r8 rows
     "fuzzy_customer_pairs",    # PassJoin edit-distance ER; r6+r7+r8
     "interpolate_daily_revenue",  # gap-fill + linear interp; r6+r7+r8
@@ -1500,6 +1392,117 @@ _GATE_REST = [
     "neardup_clusters",        # CC + keep-one retention; r5..r8 rows
     "pivot_lang_counts",       # groupBy().pivot(); r6+r7+r8
     "streaming_neardup_admission",  # stream-static LSH; r5..r8 rows
+    # 25 of the 50 entries whose newest driver row was r9 — the five
+    # whose code moved since that row lead
+    "pagerank_parts",          # guard moved off hot path THIS round
+    "bloom_prune_stats",       # digest fence 399cb9c landed after r9 row
+    "countmin_token_freq",     # digest-fence family; r9 row
+    "distinct_sketch_users",   # digest-fence family; r9 row
+    "streaming_countmin",      # digest-fence family; r9 row
+    "region_revenue",          # J3 J13; r9 row
+    "tumbling_hits",           # batch T3/T4 twin; r9 row
+    "host_activity_reduced",   # J2 J12; r9 row
+    "top_supplier_per_nation",  # J13 A15 W9; r9 row
+    "embedding_neardup_allpairs",  # exact baseline twin; r9 row
+    "acctbal_tiers",           # P6; r9 row
+    "ann_cosine_topk",         # brute-force ANN baseline; r9 row
+    "bulk_rename_summary",     # P2; r9 row
+    "csv_roundtrip_rollup",    # S2; r9 row
+    "dedup_keep_first",        # W3 W4; r9 row
+    "distinct_users",          # A4 A5; r9 row
+    "doc_quality",             # text quality score; r9 row
+    "doc_token_stats",         # token counting; r9 row
+    "doc_winnow_neardup_pairs",  # winnow primary; r9 row
+    "filter_by_top1",          # P8 O6; r9 row
+    "growth_accounting",       # J1; r9 row
+    "json_props",              # JSON family; r9 row
+    "part_type_tiers",         # P5; r9 row
+    "scd_incremental",         # J6 W1 U1; r9 row
+    "sorted_layout_rollup",    # O4 O5; r9 row
+]
+
+_GATE_REST = [
+    # the 25 r9-row entries that didn't fit this round's 50 slots;
+    # FIRST IN LINE for the r12 prefix (they'll be exactly 3 rounds
+    # old then — the standing maintenance cadence)
+    "pipeline_replay_31d",     # 31-day growth replay; r9 row
+    "rolling_time_revenue",    # RANGE frame; r9 row
+    "zscore_anomaly_days",     # integer-exact z-score; r9 row
+    "unpivot_region_metrics",  # unpivot wide->long; r9 row
+    "chunk_dedup_rebuild",     # sub-document dedup; r9 row
+    "corpus_mix_plan",         # mixing quotas; r9 row
+    "quantile_band_filter",    # percentile trimming; r9 row
+    "embedding_quantize_error",  # int8 SQ error; r9 row
+    "ann_q8_rerank",           # SQ8 + rerank; r9 row
+    "bpe_merge_candidates",    # BPE pair stats; r9 row
+    "dup_span_extract",        # duplicate-span extraction; r9 row
+    "dup_span_removal",        # cleaned-corpus rebuild; r9 row
+    "tfidf_top_terms",         # tf-idf keywords; r9 row
+    "histogram_quantiles",     # bin-histogram quantiles; r9 row
+    "hard_negative_mining",    # contrastive ANN; r9 row
+    "zorder_locality_stats",   # Morton clustering; r9 row
+    "incremental_agg_merge",   # partial-agg maintenance; r9 row
+    "last_touch_attribution",  # last_value window; r9 row
+    "orc_roundtrip_rollup",    # ORC round-trip; r9 row
+    "top_event_paths",         # trigram path mining; r9 row
+    "snapshot_cdc_diff",       # change-data-feed; r9 row
+    "compaction_rollup",       # OPTIMIZE round-trip; r9 row
+    "streaming_sliding_hits",  # hopping-window twin; r9 row
+    "streaming_interval_join",  # stream-stream interval join; r9 row
+    "streaming_upsert_sink",   # streaming merge sink; r9 row
+    # rotated out r11: the entire r10 prefix (each entry holds a fresh
+    # r10 driver row; operator ids stay covered by the gate_check
+    # full-registry run at HEAD each round)
+    "scd_replay_31d",          # 31-day SCD incremental replay; r10 row
+    "users_cumulated_replay_31d",  # 31-day datelist replay; r10 row
+    "pricing_summary",         # P3 A3 A17; r10 row
+    "customer_order_spine",    # J10 J11 J15; r10 row
+    "top_customers",           # J3 J13 A15 O1-O3; r10 row
+    "grouping_sets",           # A9 S3; r10 row
+    "funnel_conversion",       # P7 J8 A16; r10 row
+    "scd_streaks",             # W1 W2 A1; r10 row
+    "users_cumulated",         # P4 A7 J1; r10 row
+    "datelist_int",            # A10 A11; r10 row
+    "sessionization",          # W2 P4; r10 row
+    "doc_ttr_repetition",      # TTR/repetition stats; r10 row
+    "vocab_top_tokens",        # corpus vocabulary df table; r10 row
+    "neardup_clusters_star",   # large/small-star CC twin; r10 row
+    "ngram_jaccard_allpairs",  # exact baseline twin; r10 row
+    "rolling_revenue",         # W5-W8 W11; r10 row
+    "order_history",           # A6 W10; r10 row
+    "best_stretch",            # W9 W12; r10 row
+    "semi_anti_customers",     # J6 J7; r10 row
+    "merge_upsert",            # S11 J1; r10 row
+    "bucketed_join_rollup",    # S4 S5 J14; r10 row
+    "partitioned_prune_rollup",  # S6 S7; r10 row
+    "streaming_tumbling_hits",  # T1 T3 T4; r10 row
+    "streaming_kafka_mirror",  # S12 S14; r10 row
+    "streaming_session_windows",  # T5; r10 row
+    "streaming_foreachbatch_sink",  # T7 T8 S13; r10 row
+    "streaming_stateful_sessions",  # stateful op; r10 row
+    "corpus_curation_pipeline",  # flagship composed pipeline; r10 row
+    "streaming_dedup",         # dropDuplicatesWithinWatermark; r10 row
+    "doc_dedup_exact",         # A14; r10 row
+    "doc_lang_id",             # P9; r10 row
+    "doc_decontaminate",       # leakage scrub; r10 row
+    "pack_token_stream",       # sequence packing; r10 row
+    "doc_chunks",              # chunking primary; r10 row
+    "table_profile",           # one-pass profiling; r10 row
+    "udf_enrich_broadcast",    # T6 / SURVEY 2.10; r10 row
+    "metadata_scan",           # S8 layouts; r10 row
+    "insert_select_rollup",    # S9 S10; r10 row
+    "longest_streak",          # W12 streak half; r10 row
+    "union_order_tiers",       # U1 U2 P6; r10 row
+    "retention_curve",         # A16 + channel LIKE; r10 row
+    "exact_percentiles",       # exact distributed percentiles; r10 row
+    "minhash_lsh_pairs",       # banded LSH primary; r10 row
+    "ann_cosine_ivf",          # IVF cell-blocked ANN; r10 row
+    "ann_cosine_lsh",          # LSH-bucketed ANN; r10 row
+    "embedding_neardup",       # blocked embedding near-dup; r10 row
+    "media_features",          # multimodal feature extraction; r10 row
+    "media_frame_sample",      # frame sampling; r10 row
+    "hash_sample_split",       # deterministic hash split; r10 row
+    "stratified_sample",       # per-stratum exact quotas; r10 row
 ]
 
 assert len(_GATE_FIRST) == GATE_CAP, (
