@@ -146,6 +146,18 @@ HEADLINE = [
 ]
 
 
+def _cpu_marker_mean(samples: int = 3) -> float:
+    """Mean wall time of a fixed single-thread workload over N runs."""
+    acc = 0.0
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(10_000_000):
+            x += i
+        acc += time.perf_counter() - t0
+    return round(acc / samples, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -157,12 +169,13 @@ def main() -> None:
     # Round-over-round per-query drift with IDENTICAL code (r6: 92.9 s
     # idle total, r9: 133.2 s idle total, zero steal, zero plan change)
     # was unfalsifiable because no artifact recorded how fast the box
-    # itself was that day; this pins it (observed 0.3-0.7 s).
-    _t0 = time.perf_counter()
-    _x = 0
-    for _i in range(10_000_000):
-        _x += _i
-    cpu_marker = round(time.perf_counter() - _t0, 3)
+    # itself was that day; this pins it (observed 0.3-0.7 s). MEAN of
+    # 3 samples (not best-of): the marker's job here is to estimate the
+    # average contention the queries actually ran under, and a lucky
+    # quiet slice would read as an idle box while the queries were
+    # contended. Sampled again AFTER the run (below) for the same
+    # reason — the combined mean brackets the whole window.
+    cpu_marker = _cpu_marker_mean()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -237,13 +250,46 @@ def main() -> None:
         if per_rep:
             # median: the robust location for 3 reps on a noisy host —
             # one contended rep can no longer dominate the artifact.
-            # LOWER-middle for even counts: when the guardrail buys a
-            # 4th rep because spread was >2x, the upper-middle of
-            # [a, b, HIGH, HIGH] would hand the headline to a contended
-            # sample — the exact outcome the extra rep exists to avoid
-            timings[name] = sorted(per_rep)[(len(per_rep) - 1) // 2]
+            # LOWER-middle for even counts ONLY when the noise
+            # guardrail bought the extra rep (ADVICE r10): there the
+            # upper-middle of [a, b, HIGH, HIGH] would hand the
+            # headline to a contended sample — the exact outcome the
+            # extra rep exists to avoid. For a plainly-configured even
+            # rep count (SPARK_GRAFT_BENCH_REPS=2) that rule would
+            # silently report the MINIMUM, an optimistic bias, so the
+            # true median (mean of the two middles) applies instead.
+            srt = sorted(per_rep)
+            n = len(srt)
+            if n % 2 == 1:
+                timings[name] = srt[n // 2]
+            elif name in noisy:
+                timings[name] = srt[(n - 1) // 2]
+            else:
+                timings[name] = round((srt[n // 2 - 1] + srt[n // 2]) / 2, 3)
             reps_out[name] = per_rep
             mins[name] = min(per_rep)
+
+    # second marker batch AFTER the run; the combined mean estimates
+    # the average host speed across the whole bench window
+    cpu_marker = round((cpu_marker + _cpu_marker_mean()) / 2, 3)
+    # host-factor normalization (VERDICT r10 #3): BENCH_r10 on a
+    # contended box read as a 16% regression that the idle twin showed
+    # was really a 5% improvement. The committed idle-host marker
+    # baseline (GATECHECK_times.json, written by --update-times on an
+    # idle host) pins how fast the box SHOULD be; the ratio of today's
+    # marker to it scales the headline back to idle-host terms. No
+    # floor at 1.0 on purpose — a faster-than-baseline box must deflate
+    # the normalized number symmetrically or round-over-round
+    # comparisons would still drift one-sided.
+    host_factor = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "GATECHECK_times.json")) as fh:
+            _base_marker = json.load(fh).get("cpu_marker")
+        if _base_marker:
+            host_factor = round(cpu_marker / _base_marker, 3)
+    except Exception:
+        pass
 
     total = round(sum(timings.values()), 3)
     # hard error = a query with ZERO successful reps (missing from the
@@ -273,6 +319,22 @@ def main() -> None:
         "queries_min": mins,
         "min_total_sec": (
             round(sum(mins.values()), 3) if not hard_errors else None
+        ),
+        # idle-host-normalized twins of "value"/"min_total_sec"
+        # (VERDICT r10 #3): wall / host_factor. On an idle box
+        # host_factor ~= 1 and these equal the raw numbers; on a
+        # contended box they are the comparable figure. Null when the
+        # run is partial or no committed marker baseline exists.
+        "host_factor": host_factor,
+        "value_host_normalized": (
+            round(total / host_factor, 3)
+            if host_factor and not hard_errors
+            else None
+        ),
+        "min_total_host_normalized": (
+            round(sum(mins.values()) / host_factor, 3)
+            if host_factor and not hard_errors
+            else None
         ),
         "noisy_entries": noisy,
         "bench_reps": reps,
@@ -320,6 +382,8 @@ def main() -> None:
         "full_artifact": "BENCH_full.json" if full_path else None,
         "cpu_marker_sec": cpu_marker,
         "min_total_sec": out["min_total_sec"],
+        "host_factor": host_factor,
+        "value_host_normalized": out["value_host_normalized"],
         "queries": {},
     }
     if noisy:
