@@ -7,7 +7,22 @@ bucket-join assertions (tests/test_writers.py) and the scale bench
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# An Exchange NODE line in the plan tree: tree-prefix glyphs, then the
+# operator name at the start of the node label. Matches
+# "Exchange hashpartitioning(...)", "Exchange rangepartitioning(...)",
+# "Exchange SinglePartition", "BroadcastExchange HashedRelation..." —
+# and deliberately NOT "ReusedExchange [...]" (a pointer to an already
+# counted node, not a new shuffle) nor incidental occurrences of the
+# word inside argument lists or comments (ADVICE r10: the raw
+# substring count broke exact-count assertions on any Spark/conf
+# change that introduced such a line).
+_EXCHANGE_NODE = re.compile(
+    r"^[\s+\-*:(\d)]*(?:Exchange|BroadcastExchange)\b", re.MULTILINE
+)
 
 
 def count_exchanges(df: DataFrame) -> int:
@@ -17,11 +32,11 @@ def count_exchanges(df: DataFrame) -> int:
     so counts are stable and don't depend on runtime re-planning);
     includes both shuffle and broadcast exchanges — callers asserting
     "shuffle elided" should hold broadcast structure constant between
-    the plans they compare.
+    the plans they compare. ReusedExchange nodes are excluded: they
+    reference an Exchange counted elsewhere in the same tree.
     """
-    return df._jdf.queryExecution().executedPlan().toString().count(
-        "Exchange"
-    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(_EXCHANGE_NODE.findall(plan))
 
 
 def formatted_plan(df: DataFrame) -> str:

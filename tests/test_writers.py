@@ -5,6 +5,7 @@ repartition + sortWithinPartitions layout."""
 import glob
 import os
 import re
+import uuid
 
 import pytest
 from pyspark.sql import functions as F
@@ -49,7 +50,7 @@ def test_bucket_join_elides_shuffle(spark, orders, tmp_path):
     spark.sql("DROP TABLE t_bucket_r")
 
 
-def test_bucketed_layout_feeds_heavy_selfjoin_paths(spark, sf_small):
+def test_bucketed_layout_feeds_heavy_selfjoin_paths(spark, sf_small, tmp_path):
     """VERDICT r9 #7 — the reference's M3 bucket-join lesson
     (bucket-joins-in-iceberg.ipynb) end-to-end on the engine's own
     heavy queries: a lineitem table bucketed on l_orderkey removes the
@@ -85,13 +86,25 @@ def test_bucketed_layout_feeds_heavy_selfjoin_paths(spark, sf_small):
     ev = load_table(spark, sf_small, "events").where(
         F.col("user_id").isNotNull()
     )
+    # uuid-tagged names + external paths under tmp_path (ADVICE r10):
+    # fixed names in the shared warehouse collide with a parallel run
+    # and inherit stale data from an aborted one — the scale_bench twin
+    # already uses this cleanup-safe pattern
+    tag = uuid.uuid4().hex[:8]
+    t_li, t_ev = f"t_li_bkt_{tag}", f"t_ev_bkt_{tag}"
     try:
-        write_bucketed(li, "t_li_bkt", "l_orderkey", num_buckets=8)
-        write_bucketed(ev, "t_ev_bkt", "user_id", num_buckets=8)
+        write_bucketed(
+            li, t_li, "l_orderkey", num_buckets=8,
+            path=str(tmp_path / t_li),
+        )
+        write_bucketed(
+            ev, t_ev, "user_id", num_buckets=8,
+            path=str(tmp_path / t_ev),
+        )
 
         raw_pairs = build_edges_pairs_grouped(li, "l_orderkey", "l_partkey")
         bkt_pairs = build_edges_pairs_grouped(
-            spark.table("t_li_bkt"), "l_orderkey", "l_partkey"
+            spark.table(t_li), "l_orderkey", "l_partkey"
         )
         assert n_exchanges(raw_pairs) == 2
         assert n_exchanges(bkt_pairs) == 1
@@ -101,7 +114,7 @@ def test_bucketed_layout_feeds_heavy_selfjoin_paths(spark, sf_small):
 
         raw_funnel = funnel_conversion(ev, "view", "purchase")
         bkt_funnel = funnel_conversion(
-            spark.table("t_ev_bkt"), "view", "purchase"
+            spark.table(t_ev), "view", "purchase"
         )
         assert n_exchanges(raw_funnel) == 5
         assert n_exchanges(bkt_funnel) == 2
@@ -109,8 +122,8 @@ def test_bucketed_layout_feeds_heavy_selfjoin_paths(spark, sf_small):
             map(tuple, raw_funnel.collect())
         )
     finally:
-        spark.sql("DROP TABLE IF EXISTS t_li_bkt")
-        spark.sql("DROP TABLE IF EXISTS t_ev_bkt")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_ev}")
 
 
 def test_partitioned_write_prunes(spark, orders, tmp_path):
