@@ -280,7 +280,12 @@ def main() -> None:
     # marker to it scales the headline back to idle-host terms. No
     # floor at 1.0 on purpose — a faster-than-baseline box must deflate
     # the normalized number symmetrically or round-over-round
-    # comparisons would still drift one-sided.
+    # comparisons would still drift one-sided. Estimator note: the
+    # committed baseline is gate_check's BEST-of-3 (an idle-floor
+    # figure) while this marker is a MEAN (it must track average
+    # contention), so even an idle run reads host_factor ~1.05 — a
+    # constant bias that cancels in round-over-round comparisons of
+    # the normalized twins, which is the only use these fields have.
     host_factor = None
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
