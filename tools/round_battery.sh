@@ -16,6 +16,10 @@
 #   7. single-partition shuffle layout (spark.sql.shuffle.partitions=1)
 #   8. legacy Arrow batch size 7 -- FULL registry since r11 (r10 ran
 #      only the 19 Arrow-dependent entries; VERDICT r10 #6)
+#   9. row-shuffled input (new r11): every table rewritten in
+#      deterministic pseudo-random row order (tools/make_shuffled_sf.py)
+#      -- proves no entry depends on input row order (window
+#      tie-breaks, collect_list assumptions, arrival-order argmax)
 set -u
 R="${1:?usage: round_battery.sh rNN}"
 cd "$(dirname "$0")/.."
@@ -54,6 +58,10 @@ run "GATECHECK_p1_${R}.log"     --conf=spark.sql.shuffle.partitions=1 \
 run "GATECHECK_arrow7_${R}.log" \
     --conf=spark.sql.execution.arrow.maxRecordsPerBatch=7 \
     /root/testdata/sf0.01
+
+echo "=== GATECHECK_shuffled_${R}.log: row-order invariance"
+python tools/make_shuffled_sf.py /root/testdata/sf0.01 .scratch/sf0.01_shuffled
+run "GATECHECK_shuffled_${R}.log" .scratch/sf0.01_shuffled --no-perf-gate
 
 echo "=== PYTEST_${R}.log: full suite"
 python -m pytest tests/ -q >"PYTEST_${R}.log" 2>&1
