@@ -1,0 +1,134 @@
+"""100 TB plan-posture regression tests over the WHOLE catalog.
+
+PLANS.md is a point-in-time audit; these assertions make its two
+load-bearing invariants permanent:
+
+1. **Zero row-at-a-time Python anywhere** (`BatchEvalPython`): every
+   Python stage must be Arrow-batched (`ArrowEvalPython` /
+   `MapInPandas` / `FlatMapGroupsInPandas`). A single row-at-a-time
+   UDF in a hot path is a 10-100x regression at scale.
+2. **No unbounded nested-loop joins**: `BroadcastNestedLoopJoin` is
+   allowed only where one side is a bounded (sketch/bound-row)
+   relation or the entry is an explicitly-labeled all-pairs baseline
+   twin, and `CartesianProduct` (the non-broadcast cross) never.
+
+The check explains, it does not execute — entries whose plan-build
+itself executes jobs (streaming seams, write-path round-trips,
+iterative checkpointed loops, the 31-day replays) are skipped with the
+same justifications as tools/plan_audit.py's SKIP set; their posture
+is covered by dedicated tests (streaming suite, writer exchange-count
+asserts, the scale bench sections).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from data_engineering_bootcamp_spark.plans.catalog import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# mirrors tools/plan_audit.py SKIP (kept in sync by the count assert in
+# test_skip_set_is_current): plan-build executes jobs for these
+SKIP = {
+    "streaming_tumbling_hits",
+    "streaming_sliding_hits",
+    "streaming_session_windows",
+    "streaming_foreachbatch_sink",
+    "streaming_stateful_sessions",
+    "streaming_kafka_mirror",
+    "streaming_dedup",
+    "streaming_neardup_admission",
+    "streaming_interval_join",
+    "streaming_upsert_sink",
+    "streaming_countmin",
+    "bucketed_join_rollup",
+    "partitioned_prune_rollup",
+    "sorted_layout_rollup",
+    "csv_roundtrip_rollup",
+    "orc_roundtrip_rollup",
+    "insert_select_rollup",
+    "metadata_scan",
+    "compaction_rollup",
+    "pagerank_parts",
+    "pipeline_replay_31d",
+    "scd_replay_31d",
+    "users_cumulated_replay_31d",
+}
+
+# BNLJ allowance (plan-node PAIRS, AQE prints initial+final): every
+# entry here joins a BOUNDED side by construction — scalar bound rows
+# (quantile/histogram thresholds, sketch unions of k<=256 rows) or is
+# the labeled exact-baseline twin whose all-pairs form IS the point.
+BNLJ_ALLOWED = {
+    "hll_user_cardinality": 1,      # 1-row global-union register bound
+    "kmv_set_ops": 2,               # k=256-row sketch set algebra bounds
+    "bloom_prune_stats": 1,         # 1-row bloom-bitmap bound relation
+    "distinct_sketch_users": 1,     # 1-row register union
+    "quantile_band_filter": 1,      # 1-row percentile-bounds relation
+    "histogram_quantiles": 1,       # 1-row bin-edge bound relation
+    "ngram_jaccard_allpairs": 1,    # labeled exact all-pairs baseline
+    "embedding_neardup_allpairs": 1,  # labeled exact all-pairs baseline
+    "ann_cosine_topk": 1,           # labeled brute-force ANN baseline
+}
+
+
+def _pairs(pat: str, plan: str) -> int:
+    return -(-len(re.findall(pat, plan)) // 2)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """Formatted plan per non-skipped entry, built once for the module."""
+    out = {}
+    for name, fn in QUERIES.items():
+        if name in SKIP:
+            continue
+        df = fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out[name] = buf.getvalue()
+    # dedup-family signature caches persist during plan builds; drop
+    # them so this module leaves the session flat
+    from data_engineering_bootcamp_spark.operators.dedup import (
+        release_caches,
+    )
+
+    release_caches()
+    return out
+
+
+def test_no_row_at_a_time_python_anywhere(plans):
+    bad = {n: p.count("BatchEvalPython") for n, p in plans.items()
+           if "BatchEvalPython" in p}
+    assert not bad, (
+        f"row-at-a-time Python UDF stages found (Arrow-batch them): {bad}"
+    )
+
+
+def test_no_cartesian_product_anywhere(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, f"non-broadcast cross joins found: {bad}"
+
+
+def test_bnlj_only_on_bounded_or_baseline_entries(plans):
+    over = {}
+    for name, plan in plans.items():
+        n = _pairs(r"BroadcastNestedLoopJoin", plan)
+        if n > BNLJ_ALLOWED.get(name, 0):
+            over[name] = (n, BNLJ_ALLOWED.get(name, 0))
+    assert not over, (
+        "BroadcastNestedLoopJoin beyond the bounded/baseline allowance "
+        f"(got vs allowed): {over}"
+    )
+
+
+def test_skip_set_is_current():
+    """Every skipped name must still exist (catches silent rot)."""
+    stale = SKIP - set(QUERIES)
+    assert not stale, f"SKIP names no longer in the registry: {stale}"
