@@ -128,6 +128,48 @@ def test_bnlj_only_on_bounded_or_baseline_entries(plans):
     )
 
 
+def test_filters_reach_the_scan(plans):
+    """Predicate pushdown on the three load-bearing shapes PLANS.md
+    verifies by hand: the date filter (P3), the NOT NULL entity filter
+    (P4), and the per-branch event_type equality (P7) must all appear
+    in the parquet scan's PushedFilters — a filter evaluated above the
+    scan reads 100 TB to keep 1 TB."""
+    cases = {
+        "pricing_summary": r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate",
+        "users_cumulated": r"PushedFilters: \[[^\]]*IsNotNull\(user_id\)",
+        "funnel_conversion": r"PushedFilters: \[[^\]]*EqualTo\(event_type,view\)",
+    }
+    missing = {
+        n: pat for n, pat in cases.items()
+        if not re.search(pat, plans[n])
+    }
+    assert not missing, f"filters not pushed to scan: {missing}"
+
+
+def test_scans_are_column_pruned(plans):
+    """Column pruning on wide-table consumers: a scan that reads every
+    column for a narrow projection ships the whole corpus. Bounds are
+    the audited PLANS.md widths (small slack for optimizer drift —
+    the failure mode guarded is reading ~ALL columns)."""
+    # (entry, max allowed width of its WIDEST scan)
+    caps = {
+        "pricing_summary": 8,    # 7 of lineitem's 16 columns
+        "users_cumulated": 3,    # 2 of events' 6
+        "funnel_conversion": 4,  # 3 of events' 6, both branches
+        "top_customers": 5,      # narrow slices of customer/orders
+        "doc_dedup_exact": 4,    # doc_id/text(+source) of documents' 7
+    }
+    wide = {}
+    for name, cap in caps.items():
+        widths = [
+            len(s.split(","))
+            for s in re.findall(r"ReadSchema: struct<([^>]*)>", plans[name])
+        ]
+        if widths and max(widths) > cap:
+            wide[name] = (max(widths), cap)
+    assert not wide, f"scan wider than audited cap (got, cap): {wide}"
+
+
 def test_skip_set_is_current():
     """Every skipped name must still exist (catches silent rot)."""
     stale = SKIP - set(QUERIES)
