@@ -82,12 +82,31 @@ def scd_incremental(
     """
     sp, ep = f"start_{period}", f"end_{period}"
     prev_period = new_period - 1
-    historical = history.where(F.col(ep) < prev_period)
-    current = history.where(F.col(ep) == prev_period)
-
-    c = current.alias("c")
+    # ONE reference to `history` (r11): the previous form split it into
+    # historical (ep < prev) / current (ep == prev) and UNIONed the
+    # sealed rows back around the join — referencing the input subtree
+    # TWICE, so a composed replay's plan DOUBLED per advance inside a
+    # checkpoint window (2^n analysis blow-up; the 31-day replay's
+    # checkpoint cadence existed to contain exactly this). Folding the
+    # currency test into the full-outer join as a residual condition
+    # scans history once and grows the composed plan LINEARLY:
+    #   - sealed row (residual false, matches nothing): emits (c, null)
+    #     -> the keep-sealed branch, the old union pass-through;
+    #   - current row: pairs with its snapshot row (extend/seal+open)
+    #     or emits (c, null) when the entity vanished -> retire, which
+    #     for ep == prev_period IS the sealed range;
+    #   - snapshot row matching no current row (brand-new, or a retired
+    #     entity reappearing): emits (null, s) -> new range. SMJ
+    #     supports full-outer with residual conditions, so the physical
+    #     shape is unchanged: one shuffle per side, one merge.
+    c = history.alias("c")
     s = latest_snapshot.alias("s")
-    joined = c.join(s, F.col(f"c.{key}") == F.col(f"s.{key}"), "full_outer")
+    joined = c.join(
+        s,
+        (F.col(f"c.{key}") == F.col(f"s.{key}"))
+        & (F.col(f"c.{ep}") == F.lit(prev_period)),
+        "full_outer",
+    )
 
     same = F.lit(True)
     for t in tracked:
@@ -121,11 +140,11 @@ def scd_incremental(
                 _row("s", np_lit, np_lit),
             ),
         )
-        # brand-new entity (left-anti shape J6: c side NULL)
+        # brand-new entity, or a retired one reappearing (c side NULL)
         .when(~in_c, F.array(_row("s", np_lit, np_lit)))
-        # retired entity keeps its sealed range (s side NULL)
+        # s side NULL: a sealed row passing through (residual false) or
+        # a vanished current row being retired — both keep (start, end)
         .otherwise(F.array(_row("c", F.col(f"c.{sp}"), F.col(f"c.{ep}"))))
     )
     advanced = joined.select(F.explode(branches).alias("_r")).select("_r.*")
-    cols = [key, *tracked, sp, ep]
-    return historical.select(*cols).unionByName(advanced.select(*cols))
+    return advanced.select(key, *tracked, sp, ep)

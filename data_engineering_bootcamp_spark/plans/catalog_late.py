@@ -893,7 +893,7 @@ def q_scd_replay_31d(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pushed day predicate; each advance is ONE full-outer join keyed
     on user_id over O(users) state rows plus a single explode (never a
     per-branch UNION re-scan — see scd.py:104). Plan depth is bounded
-    by one lazy checkpoint every 8 advances; in production each advance
+    by one lazy checkpoint every 16 advances; in production each advance
     is its own run writing a snapshot table, so depth is 1 there — the
     composed form exists to PROVE day-composition ≡ batch.
     """
@@ -931,14 +931,17 @@ def q_scd_replay_31d(spark: SparkSession, sf_dir: str) -> DataFrame:
         history = scd_incremental(
             history, snap, "user_id", "d", ["dominant"], day
         )
-        if day % 4 == 0:
-            # cadence 4, tighter than the other replays' 16: each
-            # advance references `history` TWICE (the historical/
-            # current filter split), so plan size doubles per advance
-            # within a checkpoint window. Measured at gate scale:
-            # cadence 8 → 54.7 s (2^8 subtree copies of pure Catalyst
-            # analysis), 4 → 24.7 s, 2 → 29.6 s (checkpoint overhead
-            # takes over) — 4 is the knee
+        if day % 16 == 0:
+            # cadence 16, matching the other replays, since the r11
+            # single-reference scd_incremental rewrite: each advance
+            # now references `history` ONCE (the currency test rides
+            # the full-outer join as a residual condition instead of a
+            # filter-split + union), so plan size grows LINEARLY per
+            # advance. Under the old two-reference form plan size
+            # DOUBLED per advance and the knee was cadence 4 (8 →
+            # 54.7 s of 2^8-subtree Catalyst analysis, 4 → 24.7 s, 2 →
+            # 29.6 s). Re-swept after the rewrite at gate scale:
+            # 4 → 16.6 s, 8 → 13.4 s, 16 → 12.4 s, 32 → 13.4 s.
             history = history.localCheckpoint(eager=False)
     return history.select(
         "user_id",
