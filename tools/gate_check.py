@@ -134,7 +134,10 @@ def main() -> int:
                 print("ERROR: --conf and --update-times are mutually "
                       "exclusive (axis runs are not perf baselines)")
                 return 3
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    # abspath: Spark streaming sources resolve relative paths against
+    # the Hadoop FS working dir, not the process cwd — a relative
+    # sf_dir silently breaks every streaming entry
+    sf_dir = os.path.abspath(args[0]) if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     prev: dict = {}
     base_marker = None

@@ -59,9 +59,13 @@ run "GATECHECK_arrow7_${R}.log" \
     --conf=spark.sql.execution.arrow.maxRecordsPerBatch=7 \
     /root/testdata/sf0.01
 
+# ABSOLUTE path: Spark streaming sources resolve relative paths against
+# the Hadoop FS working dir, not the process cwd — a relative sf_dir
+# fails all 8 streaming entries with UNABLE_TO_INFER_SCHEMA
 echo "=== GATECHECK_shuffled_${R}.log: row-order invariance"
-python tools/make_shuffled_sf.py /root/testdata/sf0.01 .scratch/sf0.01_shuffled
-run "GATECHECK_shuffled_${R}.log" .scratch/sf0.01_shuffled --no-perf-gate
+SHUF_DIR="$PWD/.scratch/sf0.01_shuffled"
+python tools/make_shuffled_sf.py /root/testdata/sf0.01 "$SHUF_DIR"
+run "GATECHECK_shuffled_${R}.log" "$SHUF_DIR" --no-perf-gate
 
 echo "=== PYTEST_${R}.log: full suite"
 python -m pytest tests/ -q >"PYTEST_${R}.log" 2>&1
