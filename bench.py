@@ -280,17 +280,19 @@ def main() -> None:
     # marker to it scales the headline back to idle-host terms. No
     # floor at 1.0 on purpose — a faster-than-baseline box must deflate
     # the normalized number symmetrically or round-over-round
-    # comparisons would still drift one-sided. Estimator note: the
-    # committed baseline is gate_check's BEST-of-3 (an idle-floor
-    # figure) while this marker is a MEAN (it must track average
-    # contention), so even an idle run reads host_factor ~1.05 — a
-    # constant bias that cancels in round-over-round comparisons of
-    # the normalized twins, which is the only use these fields have.
+    # comparisons would still drift one-sided. Estimator (ADVICE r11):
+    # this marker is a MEAN (it must track average contention), so it
+    # divides by the baseline's mean-based twin `cpu_marker_mean` —
+    # dividing a mean by gate_check's best-of-3 floor baked a constant
+    # ~5% inflation into host_factor and made value_host_normalized
+    # read below the raw value even on an idle box. Fallback to the
+    # best-of figure only for a pre-r12 baseline file.
     host_factor = None
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "GATECHECK_times.json")) as fh:
-            _base_marker = json.load(fh).get("cpu_marker")
+            _doc = json.load(fh)
+        _base_marker = _doc.get("cpu_marker_mean") or _doc.get("cpu_marker")
         if _base_marker:
             host_factor = round(cpu_marker / _base_marker, 3)
     except Exception:

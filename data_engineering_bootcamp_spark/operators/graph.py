@@ -122,6 +122,14 @@ def pagerank(
     """
     if not (0 < damping_pct < 100):
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    if int(iterations) < 1:
+        # ADVICE r11: with iterations=0 the seed ranks project only `s`,
+        # column pruning drops the guarded `deg` expression, and the
+        # canonical-contract raise_error would never fire — violating
+        # input would return uniform ranks silently. Zero iterations is
+        # also just the uniform seed, never a meaningful ask; fail fast
+        # rather than weaken the guard's "always enforced" claim.
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     if assume_canonical:
         # caller guarantees unique (src < dst) loop-free pairs —
         # `build_edges_pairs_grouped` emits exactly that (sorted-array

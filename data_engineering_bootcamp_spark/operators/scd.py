@@ -129,6 +129,24 @@ def scd_incremental(
     in_c = F.col(f"c.{key}").isNotNull()
     in_s = F.col(f"s.{key}").isNotNull()
     np_lit = F.lit(new_period)
+    # Double-advance guard (ADVICE r11): the residual-condition rewrite
+    # routes a malformed history row (end_<period> >= new_period, e.g.
+    # an accidentally re-run advance) into the pass-through branch —
+    # where the old historical/current split would have DROPPED it —
+    # yielding silently overlapping ranges. Such a row can only land in
+    # the `otherwise` branch (the join residual requires ep == prev),
+    # so the guard rides only that branch's start field: one integer
+    # compare per pass-through row, raise_error on violation, so a
+    # double-advance fails the job loudly at first materialization.
+    guarded_start = F.when(F.col(f"c.{ep}") < np_lit, F.col(f"c.{sp}")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"scd_incremental: history row with {ep} >= new_period "
+                f"({new_period}) — input was already advanced past this "
+                "period (double-advance?)"
+            )
+        ).cast(history.schema[sp].dataType)
+    )
     branches = (
         # unchanged: extend the current range into the new period
         F.when(in_c & in_s & same, F.array(_row("c", F.col(f"c.{sp}"), np_lit)))
@@ -144,7 +162,7 @@ def scd_incremental(
         .when(~in_c, F.array(_row("s", np_lit, np_lit)))
         # s side NULL: a sealed row passing through (residual false) or
         # a vanished current row being retired — both keep (start, end)
-        .otherwise(F.array(_row("c", F.col(f"c.{sp}"), F.col(f"c.{ep}"))))
+        .otherwise(F.array(_row("c", guarded_start, F.col(f"c.{ep}"))))
     )
     advanced = joined.select(F.explode(branches).alias("_r")).select("_r.*")
     return advanced.select(key, *tracked, sp, ep)

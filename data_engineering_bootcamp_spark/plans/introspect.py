@@ -19,9 +19,13 @@ from pyspark.sql import DataFrame
 # counted node, not a new shuffle) nor incidental occurrences of the
 # word inside argument lists or comments (ADVICE r10: the raw
 # substring count broke exact-count assertions on any Spark/conf
-# change that introduced such a line).
+# change that introduced such a line). The prefix class must not
+# include newlines (ADVICE r11): \s would let a MULTILINE-anchored
+# match bleed across line boundaries, so the anchor would no longer
+# mean "node line" — [^\S\r\n] is whitespace-minus-newlines.
 _EXCHANGE_NODE = re.compile(
-    r"^[\s+\-*:(\d)]*(?:Exchange|BroadcastExchange)\b", re.MULTILINE
+    r"^(?:[^\S\r\n]|[+\-*:()\d])*(?:Exchange|BroadcastExchange)\b",
+    re.MULTILINE,
 )
 
 

@@ -950,6 +950,11 @@ def test_pagerank_rejects_bad_damping(spark):
         pagerank(edges, damping_pct=0)
     with pytest.raises(ValueError, match="damping_pct"):
         pagerank(edges, damping_pct=100)
+    # ADVICE r11: iterations=0 returns the uniform seed without ever
+    # materializing `deg`, so the canonical-contract guard would be
+    # pruned away — rejected up front instead
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(edges, iterations=0)
 
 
 def test_histogram_quantiles_known_bins(spark):

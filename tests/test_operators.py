@@ -98,6 +98,22 @@ def test_scd_incremental_all_branches(spark):
     }
 
 
+def test_scd_incremental_double_advance_raises(spark):
+    # ADVICE r11: a history row with end_d >= new_period (an advance
+    # accidentally re-run) must fail loudly, not pass through as a
+    # sealed row overlapping the ranges this advance emits.
+    history = spark.createDataFrame(
+        [
+            History(1, "Gold", 1, 10),   # already advanced INTO p10
+            History(2, "Gold", 3, 9),    # legitimately current
+        ]
+    )
+    latest = spark.createDataFrame([Latest(1, "Gold"), Latest(2, "Gold")])
+    out = scd_incremental(history, latest, "user_id", "d", ["tier"], 10)
+    with pytest.raises(Exception, match="double-advance"):
+        out.collect()
+
+
 def test_vertex_dedup_and_properties(spark):
     # mirrors test_team_vertex_job: duplicate team rows → one vertex with
     # map properties

@@ -60,7 +60,7 @@ SKIP = {
     "users_cumulated_replay_31d",
 }
 
-# BNLJ allowance (plan-node PAIRS, AQE prints initial+final): every
+# BNLJ allowance (distinct plan nodes): every
 # entry here joins a BOUNDED side by construction — scalar bound rows
 # (quantile/histogram thresholds, sketch unions of k<=256 rows) or is
 # the labeled exact-baseline twin whose all-pairs form IS the point.
@@ -77,8 +77,16 @@ BNLJ_ALLOWED = {
 }
 
 
-def _pairs(pat: str, plan: str) -> int:
-    return -(-len(re.findall(pat, plan)) // 2)
+def _node_count(op: str, plan: str) -> int:
+    """Distinct plan NODES named `op` in a formatted explain.
+
+    Structural count (ADVICE r11): formatted mode prints every node as
+    "(<id>) <OpName>" — once in the tree and once in the details
+    section, and under AQE possibly in both initial and final plans —
+    but always with its node id, so distinct ids count distinct nodes.
+    The old ceil-halved findall assumed exactly two prints per node and
+    under-counted two genuinely distinct nodes printed once each."""
+    return len(set(re.findall(rf"\((\d+)\)\s+{op}\b", plan)))
 
 
 @pytest.fixture(scope="module")
@@ -119,7 +127,7 @@ def test_no_cartesian_product_anywhere(plans):
 def test_bnlj_only_on_bounded_or_baseline_entries(plans):
     over = {}
     for name, plan in plans.items():
-        n = _pairs(r"BroadcastNestedLoopJoin", plan)
+        n = _node_count("BroadcastNestedLoopJoin", plan)
         if n > BNLJ_ALLOWED.get(name, 0):
             over[name] = (n, BNLJ_ALLOWED.get(name, 0))
     assert not over, (

@@ -82,22 +82,27 @@ PERF_ABS_SEC = 5.0    # sub-floor entries still flag above this time
 HOST_FACTOR_CAP = 2.0  # loosen the perf threshold at most this much
 
 
-def _cpu_marker(samples: int = 3) -> float:
+def _cpu_marker(samples: int = 3) -> tuple[float, float]:
     """Fixed-work single-thread marker (bench.py's cpu_marker_sec).
 
-    Best-of-N (ADVICE r9): the marker feeds host_factor, which
-    MULTIPLIES the perf-gate threshold — one transiently contended
-    sample (GC, cold interpreter, noisy neighbor) would silently loosen
-    the regression gate for the whole run. The minimum of 3 samples is
-    the least contended estimate of the box's true speed."""
-    best = float("inf")
+    Returns (best, mean) of N samples. Best-of-N (ADVICE r9) feeds THIS
+    tool's host_factor: the marker MULTIPLIES the perf-gate threshold —
+    one transiently contended sample (GC, cold interpreter, noisy
+    neighbor) would silently loosen the regression gate for the whole
+    run, so the minimum is the least contended estimate of the box's
+    true speed. The MEAN is recorded alongside it in the baseline file
+    (ADVICE r11): bench.py's marker is a mean (it must track average
+    contention across the bench window), and dividing a mean by a
+    best-of floor baked a constant ~5% inflation into host_factor —
+    the like-for-like estimator removes it."""
+    times = []
     for _ in range(samples):
         t0 = time.perf_counter()
         x = 0
         for i in range(10_000_000):
             x += i
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 3), round(sum(times) / len(times), 3)
 
 
 def main() -> int:
@@ -150,7 +155,7 @@ def main() -> int:
                 base_marker = doc.get("cpu_marker")
         except Exception:
             prev = {}
-    cur_marker = _cpu_marker()
+    cur_marker, cur_marker_mean = _cpu_marker()
     host_factor = 1.0
     if base_marker:
         host_factor = max(1.0, cur_marker / base_marker)
@@ -394,6 +399,11 @@ def main() -> int:
                 {
                     "sf_dir": sf_dir,
                     "cpu_marker": cur_marker,
+                    # mean-of-samples twin for bench.py's host_factor
+                    # (ADVICE r11): bench normalizes a MEAN marker, so
+                    # it must divide by a mean-based baseline, not this
+                    # tool's best-of floor
+                    "cpu_marker_mean": cur_marker_mean,
                     "times": {
                         k: v["sec"] for k, v in results.items() if v["ok"]
                     },
