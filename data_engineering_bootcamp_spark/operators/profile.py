@@ -53,6 +53,70 @@ def profile_table(
     )
 
 
+def profile_table_approx_check(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    rsd: float = 0.02,
+    tol_sigmas: float = 5.0,
+) -> DataFrame:
+    """Approx-distinct profile with a SELF-CHECKING error envelope.
+
+    The 100 TB twin of `profile_table(exact_distinct=True)`: exact
+    COUNT(DISTINCT) per column plans as one Expand (N× row
+    multiplication), while `approx_count_distinct` (HyperLogLog++) is
+    one pass with constant per-column state that merges across
+    partitions — the profile every warehouse actually runs at scale.
+    A sketch estimate is not oracle-hashable, so this emits the
+    VERDICT the oracle can hash instead (VERDICT r11 #6, the KMV
+    error-envelope pattern): both the exact and the approx distinct
+    ride ONE aggregate over one scan, and `approx_ok` asserts
+    ``|approx - exact| <= max(tol_sigmas * rsd * exact, 2)`` — HLL's
+    standard error is `rsd`, so a correct implementation sits within
+    5σ with ~1-1e-6 probability (the +2 absolute floor covers tiny
+    cardinalities where the relative band rounds below one). The
+    estimate is deterministic for a given input set (hash-based
+    registers, order-insensitive max-merge), so the boolean is stable
+    across partitioning, row order, and engines.
+
+    Returns (column, n_rows, n_nonnull, n_distinct, approx_ok) —
+    n_distinct is the EXACT count, so downstream consumers get real
+    numbers and the envelope check rides along for free.
+    """
+    if not (0 < rsd < 1):
+        raise ValueError(f"rsd must be in (0, 1), got {rsd}")
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+        aggs.append(
+            F.approx_count_distinct(F.col(c), rsd).alias(f"__ad_{c}")
+        )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __ad_{c}" for c in cols
+    )
+    long = one.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {stack_args}) "
+        "AS (column, n_nonnull, n_distinct, n_approx)",
+    )
+    tol = F.greatest(
+        F.lit(float(tol_sigmas) * float(rsd)) * F.col("n_distinct"),
+        F.lit(2.0),
+    )
+    return long.select(
+        "column",
+        F.col("__n").alias("n_rows"),
+        "n_nonnull",
+        "n_distinct",
+        (
+            F.abs(F.col("n_approx") - F.col("n_distinct"))
+            <= tol
+        ).alias("approx_ok"),
+    )
+
+
 def histogram_quantiles(
     df: DataFrame,
     value_col: str,

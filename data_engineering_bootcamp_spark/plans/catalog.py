@@ -1349,82 +1349,19 @@ GATE_CAP = 50  # the driver gates exactly this many leading entries
 
 _GATE_FIRST = [
     # -----------------------------------------------------------------
-    # r11 rotation (VERDICT r10 #2, the standing freshness policy):
-    # promote (a) the 4 entries whose newest driver row is still r5
-    # (simhash_pairs, skew_salted_agg, asof_latest_order,
-    # ngram_jaccard_pairs — the last of the r5 cohort, flagged by the
-    # last two verdicts), (b) the entire r9-rotation cohort whose
-    # newest row is r8 (21 entries), and (c) 25 of the 50 entries whose
-    # newest row is r9, prioritizing the ones whose CODE moved since
-    # that row: pagerank_parts (the r11 guard rework in
-    # operators/graph.py), and the digest-fenced sketch family from
-    # r10 commit 399cb9c (bloom_prune_stats, countmin_token_freq,
-    # distinct_sketch_users, streaming_countmin — the driver has never
-    # hashed the fenced form). Slots freed by rotating out the whole
-    # r10 prefix (each holds a fresh r10 driver row). The 25 r9-row
-    # entries that didn't fit are first in line for r12; after this
-    # rotation no entry's newest driver row is older than r8, and from
-    # r12 on the policy is pure 3-round maintenance.
-    # the 4 entries whose newest driver row was r5
-    "simhash_pairs",           # 4x15-bit pigeonhole near-dup; r3+r4+r5
-    "skew_salted_agg",         # salted skewed aggregate; r3+r4+r5
-    "asof_latest_order",       # as-of join; r3+r4+r5
-    "ngram_jaccard_pairs",     # prefix-filtered primary; r3+r4+r5
-    # the 21 entries whose newest driver row was r8 (rotated out in r9)
-    "array_metrics",           # J2 J4 J5 A12 A13 A6; r5..r8 rows
-    "fuzzy_customer_pairs",    # PassJoin edit-distance ER; r6+r7+r8
-    "interpolate_daily_revenue",  # gap-fill + linear interp; r6+r7+r8
-    "hll_user_cardinality",    # HyperLogLog registers; r6+r7+r8
-    "session_concurrency_daily",  # sweep-line concurrency; r6+r7+r8
-    "media_ahash_neardup",     # perceptual-hash image dedup; r6+r7+r8
-    "media_curation_pipeline",  # composed image-dedup pass; r6+r7+r8
-    "user_vertices",           # W3 + map-typed vertex props; r6+r7+r8
-    "part_pair_edges",         # J9 pair self-join; r6+r7+r8
-    "media_real_decode",       # stdlib PNG round-trip; r5..r8 rows
-    "skew_salted_join",        # salted join twin; r5..r8 rows
-    "semantic_dedup",          # SemDeDup cluster-then-dedup; r6+r7+r8
-    "media_resize",            # NN resize + re-encode; r6+r7+r8
-    "doc_bigram_lm_score",     # bigram-LM quality score; r6+r7+r8
-    "line_dedup_rebuild",      # C4/RefinedWeb segment removal; r6..r8
-    "kmv_set_ops",             # bottom-k sketch set algebra; r6+r7+r8
-    "doc_winnow_fingerprint",  # set-stats winnow twin; r5..r8 rows
-    "doc_pii_redact",          # regex PII counting + masking; r5..r8
-    "neardup_clusters",        # CC + keep-one retention; r5..r8 rows
-    "pivot_lang_counts",       # groupBy().pivot(); r6+r7+r8
-    "streaming_neardup_admission",  # stream-static LSH; r5..r8 rows
-    # 25 of the 50 entries whose newest driver row was r9 — the five
-    # whose code moved since that row lead
-    "pagerank_parts",          # guard moved off hot path THIS round
-    "bloom_prune_stats",       # digest fence 399cb9c landed after r9 row
-    "countmin_token_freq",     # digest-fence family; r9 row
-    "distinct_sketch_users",   # digest-fence family; r9 row
-    "streaming_countmin",      # digest-fence family; r9 row
-    "region_revenue",          # J3 J13; r9 row
-    "tumbling_hits",           # batch T3/T4 twin; r9 row
-    "host_activity_reduced",   # J2 J12; r9 row
-    "top_supplier_per_nation",  # J13 A15 W9; r9 row
-    "embedding_neardup_allpairs",  # exact baseline twin; r9 row
-    "acctbal_tiers",           # P6; r9 row
-    "ann_cosine_topk",         # brute-force ANN baseline; r9 row
-    "bulk_rename_summary",     # P2; r9 row
-    "csv_roundtrip_rollup",    # S2; r9 row
-    "dedup_keep_first",        # W3 W4; r9 row
-    "distinct_users",          # A4 A5; r9 row
-    "doc_quality",             # text quality score; r9 row
-    "doc_token_stats",         # token counting; r9 row
-    "doc_winnow_neardup_pairs",  # winnow primary; r9 row
-    "filter_by_top1",          # P8 O6; r9 row
-    "growth_accounting",       # J1; r9 row
-    "json_props",              # JSON family; r9 row
-    "part_type_tiers",         # P5; r9 row
-    "scd_incremental",         # J6 W1 U1; r9 row
-    "sorted_layout_rollup",    # O4 O5; r9 row
-]
-
-_GATE_REST = [
-    # the 25 r9-row entries that didn't fit this round's 50 slots;
-    # FIRST IN LINE for the r12 prefix (they'll be exactly 3 rounds
-    # old then — the standing maintenance cadence)
+    # r12 rotation (VERDICT r11 #3, the standing 3-round freshness
+    # policy, now pure maintenance): promote (a) the 25 entries whose
+    # newest driver row is r9 — exactly the "first in line" cohort the
+    # r11 rotation queued, (b) the NEW table_profile_approx entry
+    # (VERDICT r11 #6: the approx-distinct scale twin, gated
+    # immediately so it never sits without a driver row), (c)
+    # scd_incremental — its r11 row predates this round's
+    # double-advance guard (operators/scd.py), so the driver has never
+    # hashed the guarded form — and (d) the first 23 of the 50 entries
+    # whose newest row is r10 (list order; the remaining 27 lead the
+    # r13 prefix). After this rotation no entry's newest driver row is
+    # older than r10.
+    # the 25 entries whose newest driver row was r9
     "pipeline_replay_31d",     # 31-day growth replay; r9 row
     "rolling_time_revenue",    # RANGE frame; r9 row
     "zscore_anomaly_days",     # integer-exact z-score; r9 row
@@ -1450,9 +1387,11 @@ _GATE_REST = [
     "streaming_sliding_hits",  # hopping-window twin; r9 row
     "streaming_interval_join",  # stream-stream interval join; r9 row
     "streaming_upsert_sink",   # streaming merge sink; r9 row
-    # rotated out r11: the entire r10 prefix (each entry holds a fresh
-    # r10 driver row; operator ids stay covered by the gate_check
-    # full-registry run at HEAD each round)
+    # new this round: gate immediately
+    "table_profile_approx",    # HLL profile w/ 5-sigma envelope; NEW r12
+    # code moved after its newest row
+    "scd_incremental",         # r12 double-advance guard; r11 row
+    # the first 23 of the 50 entries whose newest driver row was r10
     "scd_replay_31d",          # 31-day SCD incremental replay; r10 row
     "users_cumulated_replay_31d",  # 31-day datelist replay; r10 row
     "pricing_summary",         # P3 A3 A17; r10 row
@@ -1476,6 +1415,12 @@ _GATE_REST = [
     "bucketed_join_rollup",    # S4 S5 J14; r10 row
     "partitioned_prune_rollup",  # S6 S7; r10 row
     "streaming_tumbling_hits",  # T1 T3 T4; r10 row
+]
+
+_GATE_REST = [
+    # the 27 r10-row entries that didn't fit this round's 50 slots;
+    # FIRST IN LINE for the r13 prefix (they'll be exactly 3 rounds
+    # old then — the standing maintenance cadence)
     "streaming_kafka_mirror",  # S12 S14; r10 row
     "streaming_session_windows",  # T5; r10 row
     "streaming_foreachbatch_sink",  # T7 T8 S13; r10 row
@@ -1503,6 +1448,58 @@ _GATE_REST = [
     "media_frame_sample",      # frame sampling; r10 row
     "hash_sample_split",       # deterministic hash split; r10 row
     "stratified_sample",       # per-stratum exact quotas; r10 row
+    # rotated out r12: the r11 prefix minus scd_incremental (each entry
+    # holds a fresh r11 driver row; operator ids stay covered by the
+    # gate_check full-registry run at HEAD each round)
+    "simhash_pairs",           # 4x15-bit pigeonhole near-dup; r11 row
+    "skew_salted_agg",         # salted skewed aggregate; r11 row
+    "asof_latest_order",       # as-of join; r11 row
+    "ngram_jaccard_pairs",     # prefix-filtered primary; r11 row
+    "array_metrics",           # J2 J4 J5 A12 A13 A6; r11 row
+    "fuzzy_customer_pairs",    # PassJoin edit-distance ER; r11 row
+    "interpolate_daily_revenue",  # gap-fill + linear interp; r11 row
+    "hll_user_cardinality",    # HyperLogLog registers; r11 row
+    "session_concurrency_daily",  # sweep-line concurrency; r11 row
+    "media_ahash_neardup",     # perceptual-hash image dedup; r11 row
+    "media_curation_pipeline",  # composed image-dedup pass; r11 row
+    "user_vertices",           # W3 + map-typed vertex props; r11 row
+    "part_pair_edges",         # J9 pair self-join; r11 row
+    "media_real_decode",       # stdlib PNG round-trip; r11 row
+    "skew_salted_join",        # salted join twin; r11 row
+    "semantic_dedup",          # SemDeDup cluster-then-dedup; r11 row
+    "media_resize",            # NN resize + re-encode; r11 row
+    "doc_bigram_lm_score",     # bigram-LM quality score; r11 row
+    "line_dedup_rebuild",      # C4/RefinedWeb segment removal; r11 row
+    "kmv_set_ops",             # bottom-k sketch set algebra; r11 row
+    "doc_winnow_fingerprint",  # set-stats winnow twin; r11 row
+    "doc_pii_redact",          # regex PII counting + masking; r11 row
+    "neardup_clusters",        # CC + keep-one retention; r11 row
+    "pivot_lang_counts",       # groupBy().pivot(); r11 row
+    "streaming_neardup_admission",  # stream-static LSH; r11 row
+    "pagerank_parts",          # guard off hot path; r11 row
+    "bloom_prune_stats",       # digest-fence family; r11 row
+    "countmin_token_freq",     # digest-fence family; r11 row
+    "distinct_sketch_users",   # digest-fence family; r11 row
+    "streaming_countmin",      # digest-fence family; r11 row
+    "region_revenue",          # J3 J13; r11 row
+    "tumbling_hits",           # batch T3/T4 twin; r11 row
+    "host_activity_reduced",   # J2 J12; r11 row
+    "top_supplier_per_nation",  # J13 A15 W9; r11 row
+    "embedding_neardup_allpairs",  # exact baseline twin; r11 row
+    "acctbal_tiers",           # P6; r11 row
+    "ann_cosine_topk",         # brute-force ANN baseline; r11 row
+    "bulk_rename_summary",     # P2; r11 row
+    "csv_roundtrip_rollup",    # S2; r11 row
+    "dedup_keep_first",        # W3 W4; r11 row
+    "distinct_users",          # A4 A5; r11 row
+    "doc_quality",             # text quality score; r11 row
+    "doc_token_stats",         # token counting; r11 row
+    "doc_winnow_neardup_pairs",  # winnow primary; r11 row
+    "filter_by_top1",          # P8 O6; r11 row
+    "growth_accounting",       # J1; r11 row
+    "json_props",              # JSON family; r11 row
+    "part_type_tiers",         # P5; r11 row
+    "sorted_layout_rollup",    # O4 O5; r11 row
 ]
 
 assert len(_GATE_FIRST) == GATE_CAP, (

@@ -707,6 +707,58 @@ FROM {table}"""
     )
 
 
+def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx-distinct scale twin of `table_profile`, gated
+    (VERDICT r11 #6): at 100 TB every exact COUNT(DISTINCT) site swaps
+    to `approx_count_distinct`, and PLANS.md claimed the swap without a
+    driver-gated entry exercising it. The operator emits exact counts
+    PLUS an `approx_ok` 5σ-envelope verdict on the HLL estimate, so
+    the DuckDB oracle (which has no compatible sketch) hash-checks the
+    estimate's accuracy via the boolean: any estimate drifting beyond
+    5·rsd of exact flips the column's row to false and fails the gate."""
+    from ..operators.profile import profile_table_approx_check
+
+    orders = profile_table_approx_check(
+        _t(spark, sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+                 "o_orderpriority"],
+        rsd=0.02,
+    ).withColumn("table_name", F.lit("orders"))
+    events = profile_table_approx_check(
+        _t(spark, sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type"],
+        rsd=0.02,
+    ).withColumn("table_name", F.lit("events"))
+    return orders.unionByName(events).select(
+        "table_name", "column", "n_rows", "n_nonnull", "n_distinct",
+        "approx_ok",
+    )
+
+
+def _profile_approx_oracle() -> str:
+    # the oracle asserts the envelope HOLDS: exact counts (DuckDB can
+    # compute those) + approx_ok literally TRUE — the hash compare then
+    # fails iff Spark's HLL estimate leaves the 5σ band on any column
+    def per_table(table: str, cols: list[str]) -> str:
+        parts = [
+            f"""SELECT '{table}' AS table_name, '{c}' AS "column",
+       COUNT(*) AS n_rows,
+       COUNT({c}) AS n_nonnull,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       TRUE AS approx_ok
+FROM {table}"""
+            for c in cols
+        ]
+        return "\nUNION ALL\n".join(parts)
+
+    return (
+        per_table("orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                             "o_orderdate", "o_orderpriority"])
+        + "\nUNION ALL\n"
+        + per_table("events", ["event_id", "user_id", "event_type"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup cluster resolution (connected components + retention)
 # ---------------------------------------------------------------------------
@@ -963,6 +1015,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "pack_token_stream": q_pack_token_stream,
     "table_profile": q_table_profile,
+    "table_profile_approx": q_table_profile_approx,
     "neardup_clusters": q_neardup_clusters,
     "neardup_clusters_star": q_neardup_clusters_star,
     "doc_pii_redact": q_doc_pii_redact,
@@ -982,6 +1035,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "pack_token_stream": ORACLE_PACK_TOKEN_STREAM,
     "table_profile": _profile_oracle(),
+    "table_profile_approx": _profile_approx_oracle(),
     "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "neardup_clusters_star": ORACLE_NEARDUP_CLUSTERS_STAR,
     "doc_pii_redact": ORACLE_DOC_PII_REDACT,
