@@ -182,6 +182,14 @@ def main() -> None:
     # warm the JVM + parquet footers with the cheapest query so per-query
     # numbers measure execution, not session startup
     QUERIES["pricing_summary"](spark, sf_dir).count()
+    # ... and the session's FIRST local-relation build (VERDICT r11 #1):
+    # the first createDataFrame pays ~1.9 s of Py4J/serializer init
+    # ONCE per session, and that cost lands on whichever headline query
+    # first builds a bound-relation (r11: histogram_quantiles rep 1
+    # read 3.7 s — isolated it runs 0.95 s; r10's countmin-family
+    # neighbors had absorbed it). Session startup, not execution —
+    # pre-pay it here.
+    spark.createDataFrame([(1,)], "warm int").count()
 
     from data_engineering_bootcamp_spark.operators.dedup import release_caches
 
