@@ -138,15 +138,21 @@ def scd_incremental(
     # so the guard rides only that branch's start field: one integer
     # compare per pass-through row, raise_error on violation, so a
     # double-advance fails the job loudly at first materialization.
-    guarded_start = F.when(F.col(f"c.{ep}") < np_lit, F.col(f"c.{sp}")).otherwise(
+    # The raise branch leads the CASE so its NullType coerces to the
+    # start column's type — touching history.schema here instead would
+    # force a full Catalyst analysis PER ADVANCE in composed replays
+    # (measured by tools/replay_depth.py: the schema probe moved the
+    # whole composed-analysis cost into the build loop).
+    guarded_start = F.when(
+        F.col(f"c.{ep}") >= np_lit,
         F.raise_error(
             F.lit(
                 f"scd_incremental: history row with {ep} >= new_period "
                 f"({new_period}) — input was already advanced past this "
                 "period (double-advance?)"
             )
-        ).cast(history.schema[sp].dataType)
-    )
+        ),
+    ).otherwise(F.col(f"c.{sp}"))
     branches = (
         # unchanged: extend the current range into the new period
         F.when(in_c & in_s & same, F.array(_row("c", F.col(f"c.{sp}"), np_lit)))
