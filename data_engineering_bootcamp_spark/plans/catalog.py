@@ -1352,13 +1352,13 @@ _GATE_FIRST = [
     # r12 rotation (VERDICT r11 #3, the standing 3-round freshness
     # policy, now pure maintenance): promote (a) the 25 entries whose
     # newest driver row is r9 — exactly the "first in line" cohort the
-    # r11 rotation queued, (b) the NEW table_profile_approx entry
-    # (VERDICT r11 #6: the approx-distinct scale twin, gated
-    # immediately so it never sits without a driver row), (c)
-    # scd_incremental — its r11 row predates this round's
+    # r11 rotation queued, (b) the two NEW approx-envelope entries
+    # (VERDICT r11 #6: the approx-distinct and approx-percentile scale
+    # twins, gated immediately so they never sit without a driver
+    # row), (c) scd_incremental — its r11 row predates this round's
     # double-advance guard (operators/scd.py), so the driver has never
-    # hashed the guarded form — and (d) the first 23 of the 50 entries
-    # whose newest row is r10 (list order; the remaining 27 lead the
+    # hashed the guarded form — and (d) the first 22 of the 50 entries
+    # whose newest row is r10 (list order; the remaining 28 lead the
     # r13 prefix). After this rotation no entry's newest driver row is
     # older than r10.
     # the 25 entries whose newest driver row was r9
@@ -1389,9 +1389,10 @@ _GATE_FIRST = [
     "streaming_upsert_sink",   # streaming merge sink; r9 row
     # new this round: gate immediately
     "table_profile_approx",    # HLL profile w/ 5-sigma envelope; NEW r12
+    "percentiles_approx",      # GK-sketch rank-error envelope; NEW r12
     # code moved after its newest row
     "scd_incremental",         # r12 double-advance guard; r11 row
-    # the first 23 of the 50 entries whose newest driver row was r10
+    # the first 22 of the 50 entries whose newest driver row was r10
     "scd_replay_31d",          # 31-day SCD incremental replay; r10 row
     "users_cumulated_replay_31d",  # 31-day datelist replay; r10 row
     "pricing_summary",         # P3 A3 A17; r10 row
@@ -1414,13 +1415,14 @@ _GATE_FIRST = [
     "merge_upsert",            # S11 J1; r10 row
     "bucketed_join_rollup",    # S4 S5 J14; r10 row
     "partitioned_prune_rollup",  # S6 S7; r10 row
-    "streaming_tumbling_hits",  # T1 T3 T4; r10 row
 ]
 
 _GATE_REST = [
-    # the 27 r10-row entries that didn't fit this round's 50 slots;
+    # the 28 r10-row entries that didn't fit this round's 50 slots
+    # (streaming_tumbling_hits ceded its slot to percentiles_approx);
     # FIRST IN LINE for the r13 prefix (they'll be exactly 3 rounds
     # old then — the standing maintenance cadence)
+    "streaming_tumbling_hits",  # T1 T3 T4; r10 row
     "streaming_kafka_mirror",  # S12 S14; r10 row
     "streaming_session_windows",  # T5; r10 row
     "streaming_foreachbatch_sink",  # T7 T8 S13; r10 row

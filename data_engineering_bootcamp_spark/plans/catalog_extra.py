@@ -137,6 +137,68 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `percentile_approx` scale twin of `exact_percentiles`, gated
+    through the error-envelope verdict pattern (like
+    `table_profile_approx`): per return flag, ONE aggregate computes
+    the exact p25/p50/p75 (reported) plus the Greenwald-Khanna sketch
+    estimates, and each `okNN` boolean asserts the sketch's published
+    guarantee — rank error <= 1/accuracy — with a 5x safety margin:
+    ``exact(q - 5/acc) <= approx(q) <= exact(q + 5/acc)``. The sketch's
+    returned value DEPENDS on partitioning/merge order (unlike HLL), so
+    this entry is exactly what the row-shuffled and single-partition
+    gate axes exist to stress: the estimate may move between runs, the
+    guarantee — and therefore the hash — may not."""
+    acc = 1000
+    eps = 5.0 / acc
+    li = _t(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.75]
+    lo = [q - eps for q in qs]
+    hi = [q + eps for q in qs]
+    p = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"percentile(l_extendedprice, array({qs[0]}, {qs[1]}, {qs[2]}))"
+        ).alias("p"),
+        F.expr(
+            f"percentile(l_extendedprice, array({lo[0]}, {lo[1]}, {lo[2]}))"
+        ).alias("plo"),
+        F.expr(
+            f"percentile(l_extendedprice, array({hi[0]}, {hi[1]}, {hi[2]}))"
+        ).alias("phi"),
+        F.expr(
+            f"percentile_approx(l_extendedprice, "
+            f"array({qs[0]}, {qs[1]}, {qs[2]}), {acc})"
+        ).alias("pa"),
+        F.count("*").alias("n_rows"),
+    )
+    def _ok(i: int):
+        return (
+            (F.element_at("pa", i) >= F.element_at("plo", i))
+            & (F.element_at("pa", i) <= F.element_at("phi", i))
+        )
+    return p.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(F.element_at("p", 1), 4).alias("p25"),
+        F.round(F.element_at("p", 2), 4).alias("p50"),
+        F.round(F.element_at("p", 3), 4).alias("p75"),
+        _ok(1).alias("ok25"),
+        _ok(2).alias("ok50"),
+        _ok(3).alias("ok75"),
+    )
+
+
+ORACLE_PERCENTILES_APPROX = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Repetition / lexical-diversity quality signals (LLM corpus filters)
 # ---------------------------------------------------------------------------
@@ -1005,6 +1067,7 @@ LIMIT 50
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_latest_order": q_asof_latest_order,
     "exact_percentiles": q_exact_percentiles,
+    "percentiles_approx": q_percentiles_approx,
     "doc_ttr_repetition": q_doc_ttr_repetition,
     "udf_enrich_broadcast": q_udf_enrich_broadcast,
     "bulk_rename_summary": q_bulk_rename_summary,
@@ -1025,6 +1088,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXTRA_ORACLES: dict[str, str] = {
     "asof_latest_order": ORACLE_ASOF_LATEST_ORDER,
     "exact_percentiles": ORACLE_EXACT_PERCENTILES,
+    "percentiles_approx": ORACLE_PERCENTILES_APPROX,
     "doc_ttr_repetition": ORACLE_DOC_TTR_REPETITION,
     "udf_enrich_broadcast": ORACLE_UDF_ENRICH_BROADCAST,
     "bulk_rename_summary": ORACLE_BULK_RENAME_SUMMARY,

@@ -828,6 +828,30 @@ def test_profile_table_exact_and_approx(spark):
     assert abs(approx["id"] - 30) <= 3 and abs(approx["v"] - 5) <= 2
 
 
+def test_profile_approx_check_envelope(spark):
+    # the self-checking twin (VERDICT r11 #6): exact counts reported,
+    # approx_ok true when the HLL estimate sits in the 5-sigma band
+    from data_engineering_bootcamp_spark.operators.profile import (
+        profile_table_approx_check,
+    )
+
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else f"v{i % 5}") for i in range(3000)],
+        "id long, v string",
+    )
+    got = {r["column"]: r for r in profile_table_approx_check(df).collect()}
+    assert got["id"].asDict() == {
+        "column": "id", "n_rows": 3000, "n_nonnull": 3000,
+        "n_distinct": 3000, "approx_ok": True,
+    }
+    assert got["v"].asDict() == {
+        "column": "v", "n_rows": 3000, "n_nonnull": 2000,
+        "n_distinct": 5, "approx_ok": True,
+    }
+    with pytest.raises(ValueError, match="rsd"):
+        profile_table_approx_check(df, rsd=1.5)
+
+
 def test_pipeline_replay_31d_final_states(spark, tmp_path):
     """31-day replay (catalog_late.q_pipeline_replay_31d) must land
     every user in the correct day-31 growth state: the state machine
