@@ -102,6 +102,57 @@ def stratified_sample(
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sample of exactly `k` rows — priority sampling
+    (Duffield–Lund–Thorup; Ohlsson's "sequential Poisson sampling"):
+    each row draws a uniform `u` and gets priority ``q = u / w``; the
+    `k` smallest priorities are the sample, giving inclusion
+    probability ≈ proportional to weight with the scheme's
+    near-optimal variance guarantees. The importance sampler a
+    training pipeline uses to oversample high-quality documents.
+
+    Deterministic and ORACLE-EXACT by construction, unlike textbook
+    implementations that draw `rand()`:
+      - `u` is the md5_hash60 integer of (key || salt) — uniform on
+        [0, 2^60), reproducible in any engine
+        (`CAST('0x' || substr(md5(s),1,15) AS BIGINT)` in DuckDB);
+      - the priority is ONE IEEE-double division of that integer by
+        the weight — division is a correctly-rounded IEEE 754 op, so
+        every engine computes the bit-identical double (this is why
+        the classic Efraimidis–Spirakis key ``u^(1/w)`` is NOT used:
+        pow/ln are not correctly rounded and may differ in the last
+        ulp across libm implementations);
+      - ties (same rounded priority) break on the key.
+
+    Scale shape: the priority is a narrow map-side expression; the
+    top-k runs as TakeOrderedAndProject (per-partition heaps of k,
+    single reduce) — no global sort, no shuffle of the full input.
+    Weights must be >= 1 (integer); enforce upstream with
+    ``greatest(w, 1)`` — a zero weight divides to Infinity and can
+    never be sampled, which is usually not what "weight 0" means.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .dedup import md5_hash60
+
+    u = md5_hash60(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    )
+    pri = (u.cast("double") / weight.cast("double")).alias("_pri")
+    return (
+        df.withColumn("_w", weight.cast("long"))
+        .withColumn("_pri", pri)
+        .orderBy(F.col("_pri").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def weighted_mix(
     df: DataFrame,
     group_cols: list[str],

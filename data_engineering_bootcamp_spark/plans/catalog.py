@@ -1352,13 +1352,13 @@ _GATE_FIRST = [
     # r12 rotation (VERDICT r11 #3, the standing 3-round freshness
     # policy, now pure maintenance): promote (a) the 25 entries whose
     # newest driver row is r9 — exactly the "first in line" cohort the
-    # r11 rotation queued, (b) the two NEW approx-envelope entries
-    # (VERDICT r11 #6: the approx-distinct and approx-percentile scale
-    # twins, gated immediately so they never sit without a driver
-    # row), (c) scd_incremental — its r11 row predates this round's
+    # r11 rotation queued, (b) the three NEW entries
+    # (the approx-distinct and approx-percentile scale twins per
+    # VERDICT r11 #6, plus the weighted priority sampler — gated
+    # immediately so they never sit without a driver row), (c) scd_incremental — its r11 row predates this round's
     # double-advance guard (operators/scd.py), so the driver has never
-    # hashed the guarded form — and (d) the first 22 of the 50 entries
-    # whose newest row is r10 (list order; the remaining 28 lead the
+    # hashed the guarded form — and (d) the first 21 of the 50 entries
+    # whose newest row is r10 (list order; the remaining 29 lead the
     # r13 prefix). After this rotation no entry's newest driver row is
     # older than r10.
     # the 25 entries whose newest driver row was r9
@@ -1390,9 +1390,10 @@ _GATE_FIRST = [
     # new this round: gate immediately
     "table_profile_approx",    # HLL profile w/ 5-sigma envelope; NEW r12
     "percentiles_approx",      # GK-sketch rank-error envelope; NEW r12
+    "doc_priority_sample",     # weighted priority sampling; NEW r12
     # code moved after its newest row
     "scd_incremental",         # r12 double-advance guard; r11 row
-    # the first 22 of the 50 entries whose newest driver row was r10
+    # the first 21 of the 50 entries whose newest driver row was r10
     "scd_replay_31d",          # 31-day SCD incremental replay; r10 row
     "users_cumulated_replay_31d",  # 31-day datelist replay; r10 row
     "pricing_summary",         # P3 A3 A17; r10 row
@@ -1414,14 +1415,15 @@ _GATE_FIRST = [
     "semi_anti_customers",     # J6 J7; r10 row
     "merge_upsert",            # S11 J1; r10 row
     "bucketed_join_rollup",    # S4 S5 J14; r10 row
-    "partitioned_prune_rollup",  # S6 S7; r10 row
 ]
 
 _GATE_REST = [
-    # the 28 r10-row entries that didn't fit this round's 50 slots
-    # (streaming_tumbling_hits ceded its slot to percentiles_approx);
-    # FIRST IN LINE for the r13 prefix (they'll be exactly 3 rounds
-    # old then — the standing maintenance cadence)
+    # the 29 r10-row entries that didn't fit this round's 50 slots
+    # (streaming_tumbling_hits and partitioned_prune_rollup ceded
+    # their slots to the new r12 entries); FIRST IN LINE for the r13
+    # prefix (they'll be exactly 3 rounds old then — the standing
+    # maintenance cadence)
+    "partitioned_prune_rollup",  # S6 S7; r10 row
     "streaming_tumbling_hits",  # T1 T3 T4; r10 row
     "streaming_kafka_mirror",  # S12 S14; r10 row
     "streaming_session_windows",  # T5; r10 row

@@ -608,6 +608,51 @@ SELECT source, doc_id, n_chars FROM ranked WHERE rk <= 5
 """
 
 
+def q_doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted importance sample: 200 documents drawn with inclusion
+    probability ≈ proportional to length (priority sampling — the
+    deterministic md5-uniform, correctly-rounded-divide form; see
+    `operators/sampling.priority_sample` for why Efraimidis–Spirakis'
+    pow-key is NOT oracle-safe). The oracle replays the identical
+    integer hash and double divide, so the sampled row SET — not just
+    its statistics — hash-matches across engines. Top-k plans as
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    from ..operators.sampling import priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return priority_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        key_col="doc_id",
+        weight=F.greatest(F.col("n_chars"), F.lit(1)),
+        k=200,
+        salt="ps1",
+    ).select(
+        "doc_id",
+        "source",
+        F.col("_w").alias("weight"),
+        # FLOOR, not ROUND(…, 6): priorities are ~1e15, where a
+        # 6-decimal rounding is below one ulp and the engines' ROUND
+        # implementations disagree on the last bit; the raw divide is
+        # bit-identical (correctly rounded IEEE op) and floor of an
+        # identical double is identical
+        F.floor(F.col("_pri")).cast("long").alias("priority_floor"),
+    )
+
+
+ORACLE_DOC_PRIORITY_SAMPLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ps1'),
+                                  1, 15) AS BIGINT) AS DOUBLE)
+           / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS pri
+  FROM documents)
+SELECT doc_id, source, weight,
+       CAST(FLOOR(pri) AS BIGINT) AS priority_floor
+FROM t ORDER BY pri, doc_id LIMIT 200
+"""
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (training-data hygiene)
 # ---------------------------------------------------------------------------
@@ -1074,6 +1119,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample_split": q_hash_sample_split,
     "corpus_curation_pipeline": q_corpus_curation,
     "stratified_sample": q_stratified_sample,
+    "doc_priority_sample": q_doc_priority_sample,
     "doc_decontaminate": q_decontaminate,
     "doc_chunks": q_doc_chunks,
     "pack_token_stream": q_pack_token_stream,
@@ -1095,6 +1141,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "hash_sample_split": ORACLE_HASH_SAMPLE_SPLIT,
     "corpus_curation_pipeline": _corpus_curation_oracle(),
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "doc_priority_sample": ORACLE_DOC_PRIORITY_SAMPLE,
     "doc_decontaminate": ORACLE_DECONTAMINATE,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "pack_token_stream": ORACLE_PACK_TOKEN_STREAM,

@@ -710,6 +710,43 @@ def test_hash_sample_split_properties(spark, sf_small):
     assert other_ids != test_ids
 
 
+def test_priority_sample_matches_python_replay(spark):
+    """priority_sample (weighted, deterministic): the selected set must
+    equal an independent Python replay of the same scheme — md5-hex
+    60-bit uniform divided by the weight, k smallest — and be invariant
+    to partitioning. Heavier rows must dominate the sample."""
+    import hashlib
+
+    from data_engineering_bootcamp_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    rows = [(i, 1000 if i % 10 == 0 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w int")
+
+    def replay(k):
+        pris = []
+        for i, w in rows:
+            u = int(hashlib.md5(f"{i}s".encode()).hexdigest()[:15], 16)
+            pris.append((u / w, i))
+        return [i for _, i in sorted(pris)[:k]]
+
+    for n_parts in (1, 7):
+        got = [
+            r.id
+            for r in priority_sample(
+                df.repartition(n_parts), "id", F.col("w"), k=50, salt="s"
+            ).collect()
+        ]
+        assert got == replay(50)
+    # weight dominance: the 100 heavy rows (w=1000) should fill most of
+    # a k=50 sample drawn over 1000 rows
+    heavy = sum(1 for i in replay(50) if i % 10 == 0)
+    assert heavy >= 45
+    with pytest.raises(ValueError, match="k must be"):
+        priority_sample(df, "id", F.col("w"), k=0)
+
+
 def test_chunk_docs_boundaries(spark):
     """Chunk math edge cases: doc shorter than one chunk -> one window;
     exact multiple -> no empty trailing window; stride overlap holds."""
