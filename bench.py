@@ -135,6 +135,11 @@ HEADLINE = [
     "session_concurrency_daily",
     "media_ahash_neardup",
     "media_curation_pipeline",
+    # round-12 additions: the approx-envelope twins and the weighted
+    # priority sampler
+    "table_profile_approx",
+    "percentiles_approx",
+    "doc_priority_sample",
     # The three replay entries (pipeline_replay_31d, scd_replay_31d,
     # users_cumulated_replay_31d) are deliberately NOT headlines: their
     # wall time is ~90% driver-side plan composition of 31 sequential

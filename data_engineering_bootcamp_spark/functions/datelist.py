@@ -154,6 +154,34 @@ def utc_date(df, col_name: str) -> Column:
     return utc_date_of_ts(col_name)
 
 
+def utc_ts_lit(wall: str) -> Column:
+    """Session-TZ-free TIMESTAMP literal: the instant whose UTC wall
+    clock is `wall` ('yyyy-MM-dd' or 'yyyy-MM-dd HH:mm:ss').
+
+    ``F.lit(s).cast("timestamp")`` parses the string in
+    spark.sql.session.timeZone, so a date cutoff literal silently moves
+    with the session: under Asia/Kolkata (+05:30) a midnight cutoff
+    lands 5h30 EARLIER in UTC and drops every midnight-valued boundary
+    row. The r12 half-hour-offset gate probe caught `pricing_summary`
+    doing exactly this (26 rows at the cutoff instant excluded; the
+    America/New_York axis had passed only because the shift direction
+    landed in a rowless gap — see GATECHECK_tzhalf_r12.log). The epoch
+    is computed driver-side in UTC and emitted as
+    ``timestamp_micros(<long literal>)`` — a foldable expression, so
+    Catalyst still pushes comparisons against it into the parquet scan
+    as a plain timestamp bound."""
+    from datetime import datetime, timezone
+
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in wall else "%Y-%m-%d"
+    us = int(
+        datetime.strptime(wall, fmt)
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    return F.timestamp_micros(F.lit(us))
+
+
 def utc_ts_str(ts: Column | str) -> Column:
     """Session-TZ-free 'yyyy-MM-dd HH:mm:ss' rendering of a TIMESTAMP
     instant (UTC wall clock). `F.date_format` renders in the session

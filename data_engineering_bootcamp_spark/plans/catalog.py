@@ -67,11 +67,17 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     TPC-H Q1 shape over lineitem: pushdown-able date filter, partial+
     final hash aggregation (A17) on low-cardinality keys.
     """
+    from ..functions.datelist import utc_ts_lit
+
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2001-06-30").cast("timestamp"))
+        # utc_ts_lit, NOT lit(...).cast("timestamp"): the string cast
+        # parses in session TZ, and the r12 Kolkata probe showed it
+        # dropping the 26 rows AT the cutoff instant under a +05:30
+        # session (midnight-valued shipdates sit exactly on the bound)
+        li.where(F.col("l_shipdate") <= utc_ts_lit("2001-06-30"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),

@@ -381,9 +381,17 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Idempotent upsert as a full-outer merge: base state (orders before
     1999) merged with a delta batch (1999+); action column shows the
     MERGE branch each key took."""
+    from ..functions.datelist import utc_ts_lit
+
     orders = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    cut = F.lit("1999-01-01").cast("timestamp")
+    # utc_ts_lit, NOT lit(...).cast("timestamp") (session-TZ parse):
+    # under a western session the 9 orders dated exactly at the cut
+    # flip from delta to base — masked here because the output sums
+    # both sides and those custkeys straddle the cut anyway, but the
+    # latent flip would surface the moment an affected custkey's only
+    # delta order were a cut-date order (action 'update' -> 'keep')
+    cut = utc_ts_lit("1999-01-01")
     base = (
         orders.where(F.col("o_orderdate") < cut)
         .groupBy("o_custkey")

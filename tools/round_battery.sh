@@ -20,6 +20,12 @@
 #      deterministic pseudo-random row order (tools/make_shuffled_sf.py)
 #      -- proves no entry depends on input row order (window
 #      tie-breaks, collect_list assumptions, arrival-order argmax)
+#  10. half-hour-offset TZ (new r12): Asia/Kolkata (+05:30). A
+#      whole-hour western axis (New_York) can miss session-TZ literal
+#      parses whose shift direction lands in a rowless gap; the first
+#      Kolkata run caught exactly that (pricing_summary's cutoff
+#      literal excluded the 26 midnight-valued boundary rows; fixed
+#      with utc_ts_lit)
 set -u
 R="${1:?usage: round_battery.sh rNN}"
 cd "$(dirname "$0")/.."
@@ -46,6 +52,7 @@ run() { # run <logfile> <args...>
 
 run "GATECHECK_${R}.log"        /root/testdata/sf0.01
 run "GATECHECK_tz_${R}.log"     --tz=America/New_York /root/testdata/sf0.01
+run "GATECHECK_tzhalf_${R}.log" --tz=Asia/Kolkata /root/testdata/sf0.01
 # shellcheck disable=SC2086
 run "GATECHECK_sf01_${R}.log"   /root/testdata/sf0.1 $SF01_ONLY
 run "GATECHECK_sf0001_${R}.log" /root/testdata/sf0.001
