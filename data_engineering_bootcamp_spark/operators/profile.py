@@ -68,8 +68,10 @@ def profile_table_approx_check(
     partitions — the profile every warehouse actually runs at scale.
     A sketch estimate is not oracle-hashable, so this emits the
     VERDICT the oracle can hash instead (VERDICT r11 #6, the KMV
-    error-envelope pattern): both the exact and the approx distinct
-    ride ONE aggregate over one scan, and `approx_ok` asserts
+    error-envelope pattern): the exact and approx sides run as two
+    single-row aggregates over the same input, recombined by a
+    trivial cross join (see the split note below), and `approx_ok`
+    asserts
     ``|approx - exact| <= max(tol_sigmas * rsd * exact, 2)`` — HLL's
     standard error is `rsd`, so a correct implementation sits within
     5σ with ~1-1e-6 probability (the +2 absolute floor covers tiny
@@ -85,14 +87,25 @@ def profile_table_approx_check(
     if not (0 < rsd < 1):
         raise ValueError(f"rsd must be in (0, 1), got {rsd}")
     cols = columns or df.columns
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    # TWO aggregates, not one (measured 7x at sf0.1: 12.1 s combined vs
+    # 1.65 s split): Spark plans N countDistincts via Expand (~(2N+1)x
+    # row multiplication), and a non-distinct aggregate sharing that
+    # Aggregate — each HLL sketch here — is then fed the EXPANDED
+    # stream, turning 1.5M rows into ~25M HLL updates. Splitting gives
+    # the exact side its Expand over plain count/first aggregates
+    # (cheap) and the approx side ONE un-expanded pass; the two 1-row
+    # results recombine with a trivial cross join. Two scans of the
+    # input, but at scale two columnar scans are far cheaper than
+    # (2N+1)x sketch-update work.
+    ex_aggs = [F.count(F.lit(1)).alias("__n")]
+    ap_aggs = []
     for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
-        aggs.append(
+        ex_aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        ex_aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+        ap_aggs.append(
             F.approx_count_distinct(F.col(c), rsd).alias(f"__ad_{c}")
         )
-    one = df.agg(*aggs)
+    one = df.agg(*ex_aggs).crossJoin(df.agg(*ap_aggs))
     stack_args = ", ".join(
         f"'{c}', __nn_{c}, __nd_{c}, __ad_{c}" for c in cols
     )
