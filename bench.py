@@ -301,6 +301,7 @@ def main() -> None:
     # read below the raw value even on an idle box. Fallback to the
     # best-of figure only for a pre-r12 baseline file.
     host_factor = None
+    _base_marker = None
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "GATECHECK_times.json")) as fh:
@@ -346,6 +347,12 @@ def main() -> None:
         # contended box they are the comparable figure. Null when the
         # run is partial or no committed marker baseline exists.
         "host_factor": host_factor,
+        # the baseline marker host_factor divided by — recorded so a
+        # cross-round reader can tell a true slowdown from a
+        # REBASELINED normalization basis (r12 moved to a 1.37x-slower
+        # host and rebaselined; without this field the normalized
+        # twins would silently stop being comparable across the break)
+        "host_marker_baseline": _base_marker,
         "value_host_normalized": (
             round(total / host_factor, 3)
             if host_factor and not hard_errors
