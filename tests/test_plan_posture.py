@@ -71,6 +71,11 @@ BNLJ_ALLOWED = {
     "distinct_sketch_users": 1,     # 1-row register union
     "quantile_band_filter": 1,      # 1-row percentile-bounds relation
     "histogram_quantiles": 1,       # 1-row bin-edge bound relation
+    "table_profile_approx": 2,      # 1-row exact-agg x 1-row approx-agg
+                                    # recombination (the r12 Expand/HLL
+                                    # split), one per profiled table
+                                    # (orders + events) — all sides
+                                    # single rows by construction
     "ngram_jaccard_allpairs": 1,    # labeled exact all-pairs baseline
     "embedding_neardup_allpairs": 1,  # labeled exact all-pairs baseline
     "ann_cosine_topk": 1,           # labeled brute-force ANN baseline
