@@ -190,3 +190,39 @@ def test_day_helpers_reject_non_temporal_dtypes(spark):
             assert (row.a, row.c) == (19723, "2024-01-01"), tz
     finally:
         spark.conf.set(key, old)
+
+
+def test_utc_ts_lit_session_tz_free(spark, restore_tz):
+    """utc_ts_lit pins the instant to the UTC wall clock under every
+    session TZ — the construct lit(s).cast('timestamp') gets WRONG
+    (the r12 Kolkata gate probe: a +05:30 session moved a midnight
+    cutoff 5h30 earlier and dropped the 26 boundary rows)."""
+    from data_engineering_bootcamp_spark.functions.datelist import (
+        utc_ts_lit,
+    )
+
+    expect_us = 993859200000000  # 2001-06-30 00:00:00 UTC
+    got, cast_got = {}, {}
+    for tz in ZONES:
+        _with_tz(spark, tz)
+        row = spark.range(1).select(
+            F.unix_micros(utc_ts_lit("2001-06-30")).alias("a"),
+            F.unix_micros(
+                F.lit("2001-06-30").cast("timestamp")
+            ).alias("b"),
+        ).first()
+        got[tz] = row.a
+        cast_got[tz] = row.b
+    assert all(v == expect_us for v in got.values()), got
+    # and the cast form really is session-dependent — the reason the
+    # helper exists; if Spark ever makes the cast TZ-free this reminds
+    # us the helper can retire
+    assert len(set(cast_got.values())) > 1, cast_got
+    # datetime form too
+    _with_tz(spark, "Asia/Kolkata")
+    assert (
+        spark.range(1)
+        .select(F.unix_micros(utc_ts_lit("2001-06-30 12:30:45")))
+        .first()[0]
+        == expect_us + (12 * 3600 + 30 * 60 + 45) * 1_000_000
+    )
