@@ -21,6 +21,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _name_lit(c: str) -> str:
+    """Render a column NAME as a Spark SQL string literal, safe for any
+    name (quotes, backslashes): backslash-escape both metacharacters —
+    the default parser (escapedStringLiterals=false) interprets them."""
+    return "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -28,18 +35,28 @@ def profile_table(
 ) -> DataFrame:
     """Profile `columns` (default: all) → one row per column with
     (column, n_rows, n_nonnull, n_nulls, n_distinct). n_distinct
-    ignores NULLs (COUNT(DISTINCT col) semantics on both engines)."""
-    cols = columns or df.columns
+    ignores NULLs (COUNT(DISTINCT col) semantics on both engines).
+
+    Aliases are INDEX-based (``__nn_0``), not name-based (ADVICE r12):
+    a column name that is not a bare SQL identifier (spaces, hyphens,
+    quotes) would otherwise produce parse errors or wrong expressions
+    inside the selectExpr stack() string; the emitted `column` value is
+    the real name via an escaped literal."""
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        # stack(0, ...) is a parse error a hundred plan nodes deep;
+        # fail at the call site with the actual mistake
+        raise ValueError("profile_table: columns must be non-empty")
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
         if exact_distinct:
-            aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+            aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{i}"))
         else:
-            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__nd_{c}"))
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__nd_{i}"))
     one = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}" for c in cols
+        f"{_name_lit(c)}, __nn_{i}, __nd_{i}" for i, c in enumerate(cols)
     )
     return one.selectExpr(
         "__n",
@@ -86,7 +103,9 @@ def profile_table_approx_check(
     """
     if not (0 < rsd < 1):
         raise ValueError(f"rsd must be in (0, 1), got {rsd}")
-    cols = columns or df.columns
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        raise ValueError("profile_table_approx_check: columns must be non-empty")
     # TWO aggregates, not one (measured 7x at sf0.1: 12.1 s combined vs
     # 1.65 s split): Spark plans N countDistincts via Expand (~(2N+1)x
     # row multiplication), and a non-distinct aggregate sharing that
@@ -97,17 +116,20 @@ def profile_table_approx_check(
     # results recombine with a trivial cross join. Two scans of the
     # input, but at scale two columnar scans are far cheaper than
     # (2N+1)x sketch-update work.
+    # index-based aliases + escaped name literals, same rationale as
+    # profile_table (ADVICE r12: non-identifier column names)
     ex_aggs = [F.count(F.lit(1)).alias("__n")]
     ap_aggs = []
-    for c in cols:
-        ex_aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-        ex_aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+    for i, c in enumerate(cols):
+        ex_aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
+        ex_aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{i}"))
         ap_aggs.append(
-            F.approx_count_distinct(F.col(c), rsd).alias(f"__ad_{c}")
+            F.approx_count_distinct(F.col(c), rsd).alias(f"__ad_{i}")
         )
     one = df.agg(*ex_aggs).crossJoin(df.agg(*ap_aggs))
     stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __ad_{c}" for c in cols
+        f"{_name_lit(c)}, __nn_{i}, __nd_{i}, __ad_{i}"
+        for i, c in enumerate(cols)
     )
     long = one.selectExpr(
         "__n",

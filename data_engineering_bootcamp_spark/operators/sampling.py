@@ -136,6 +136,14 @@ def priority_sample(
     Weights must be >= 1 (integer); enforce upstream with
     ``greatest(w, 1)`` — a zero weight divides to Infinity and can
     never be sampled, which is usually not what "weight 0" means.
+
+    The weight is long-cast ONCE and that single value feeds both the
+    emitted ``_w`` column and the priority divisor (ADVICE r12: the
+    earlier form divided by the RAW double weight while reporting the
+    truncated long as ``_w``, so a fractional weight silently broke
+    the oracle-replay contract for any caller that reports ``_w`` —
+    now a fractional weight truncates consistently in both places,
+    and the documented integer contract is what actually executes).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -144,9 +152,10 @@ def priority_sample(
     u = md5_hash60(
         F.concat(F.col(key_col).cast("string"), F.lit(salt))
     )
-    pri = (u.cast("double") / weight.cast("double")).alias("_pri")
+    wl = weight.cast("long")
+    pri = (u.cast("double") / wl.cast("double")).alias("_pri")
     return (
-        df.withColumn("_w", weight.cast("long"))
+        df.withColumn("_w", wl)
         .withColumn("_pri", pri)
         .orderBy(F.col("_pri").asc(), F.col(key_col).asc())
         .limit(k)

@@ -995,3 +995,83 @@ def test_scd_replay_composition_equals_batch_generation(spark):
     assert (2, "B", 2, 2) in got_replay and (2, "C", 3, 4) in got_replay
     assert (3, "A", 1, 1) in got_replay and (3, "none", 2, 5) in got_replay
     assert (4, "D", 5, 5) in got_replay
+
+
+def test_real_decode_dispatches_to_stdlib_kernel():
+    """VERDICT r12 #8: `real_decode` is no longer a NotImplementedError
+    stub — it must dispatch to the stdlib kernel for every payload
+    class (PNG, WAV, unrecognized), ignoring the legacy `kind` tag."""
+    from data_engineering_bootcamp_spark.operators.multimodal import (
+        deterministic_fake_decode,
+        real_decode,
+        stdlib_decode_kernel,
+        synth_png,
+        synth_wav,
+    )
+
+    png = synth_png(4, 4, (9, 18, 27))
+    wav = synth_wav(100, framerate=8000, amplitude=1000)
+    assert real_decode(png) == stdlib_decode_kernel(png)
+    assert real_decode(png)[0] == 1.0  # PNG marker
+    assert real_decode(wav, kind="wrong-tag-ignored") == stdlib_decode_kernel(wav)
+    assert real_decode(wav)[0] == 2.0  # WAV marker
+    assert real_decode(b"plain bytes") == deterministic_fake_decode(b"plain bytes")
+
+
+def test_priority_sample_fractional_weight_truncates_consistently(spark):
+    """ADVICE r12: a fractional weight must truncate ONCE (long cast)
+    and that same value must feed both the emitted `_w` and the
+    priority divisor — the sample over double weights {2.9, 1.0} must
+    equal the sample over integer weights {2, 1}, and `_w` must report
+    the truncated value."""
+    import hashlib
+
+    from data_engineering_bootcamp_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    rows = [(i, 2.9 if i % 2 == 0 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = priority_sample(df, "id", F.col("w"), k=30, salt="s").collect()
+    assert all(r["_w"] == (2 if r.id % 2 == 0 else 1) for r in got)
+
+    pris = []
+    for i, w in rows:
+        u = int(hashlib.md5(f"{i}s".encode()).hexdigest()[:15], 16)
+        pris.append((u / int(w), i))  # divisor = truncated weight
+    assert [r.id for r in got] == [i for _, i in sorted(pris)[:30]]
+
+
+def test_profile_table_non_identifier_columns(spark):
+    """ADVICE r12: column names that are not bare SQL identifiers
+    (spaces, hyphens, quotes) must profile correctly, and an empty
+    column list must raise at the call site, in both variants."""
+    import pytest as _pytest
+
+    from data_engineering_bootcamp_spark.operators.profile import (
+        profile_table,
+        profile_table_approx_check,
+    )
+
+    df = (
+        spark.range(20)
+        .selectExpr(
+            "id AS `user id`",
+            "CAST(id % 4 AS STRING) AS `e-mail`",
+            "id % 2 AS `it's`",
+        )
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"user id", "e-mail", "it's"}
+    assert got["user id"]["n_distinct"] == 20
+    assert got["e-mail"]["n_distinct"] == 4
+    assert got["it's"]["n_distinct"] == 2
+    gotc = {
+        r["column"]: r for r in profile_table_approx_check(df).collect()
+    }
+    assert set(gotc) == {"user id", "e-mail", "it's"}
+    assert all(r["approx_ok"] for r in gotc.values())
+    with _pytest.raises(ValueError, match="non-empty"):
+        profile_table(df, columns=[])
+    with _pytest.raises(ValueError, match="non-empty"):
+        profile_table_approx_check(df, columns=[])

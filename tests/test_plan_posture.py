@@ -87,11 +87,22 @@ def _node_count(op: str, plan: str) -> int:
 
     Structural count (ADVICE r11): formatted mode prints every node as
     "(<id>) <OpName>" — once in the tree and once in the details
-    section, and under AQE possibly in both initial and final plans —
-    but always with its node id, so distinct ids count distinct nodes.
-    The old ceil-halved findall assumed exactly two prints per node and
-    under-counted two genuinely distinct nodes printed once each."""
-    return len(set(re.findall(rf"\((\d+)\)\s+{op}\b", plan)))
+    section — always with its node id, so distinct ids count distinct
+    nodes. The old ceil-halved findall assumed exactly two prints per
+    node and under-counted two genuinely distinct nodes printed once
+    each.
+
+    Section-aware (ADVICE r12): when an executed AQE query prints BOTH
+    "== Initial Plan ==" and "== Final Plan ==", the two sections are
+    numbered INDEPENDENTLY, so two genuinely distinct nodes can share
+    an id across sections and a flat distinct-id count would collapse
+    them. Count distinct ids WITHIN each section and take the max —
+    the final plan (what actually executes) dominates, and an
+    unexecuted single-section explain degenerates to the old count."""
+    sections = re.split(r"== (?:Initial|Final) Plan ==", plan)
+    return max(
+        len(set(re.findall(rf"\((\d+)\)\s+{op}\b", s))) for s in sections
+    )
 
 
 @pytest.fixture(scope="module")
