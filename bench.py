@@ -140,6 +140,10 @@ HEADLINE = [
     "table_profile_approx",
     "percentiles_approx",
     "doc_priority_sample",
+    # round-13 additions: iterative BPE vocab training and BM25
+    # retrieval scoring
+    "bpe_train_merges",
+    "bm25_top_docs",
     # The three replay entries (pipeline_replay_31d, scd_replay_31d,
     # users_cumulated_replay_31d) are deliberately NOT headlines: their
     # wall time is ~90% driver-side plan composition of 31 sequential

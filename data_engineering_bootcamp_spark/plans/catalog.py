@@ -1319,6 +1319,13 @@ from .catalog_late import LATE_ORACLES, LATE_QUERIES  # noqa: E402
 QUERIES.update(LATE_QUERIES)
 ORACLES.update(LATE_ORACLES)
 
+# round-13 additions (VERDICT r12 #5/#6): iterative BPE merge training
+# and BM25 retrieval scoring
+from .catalog_rank import RANK_ORACLES, RANK_QUERIES  # noqa: E402
+
+QUERIES.update(RANK_QUERIES)
+ORACLES.update(RANK_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Gate ordering. The round driver gates exactly the FIRST `GATE_CAP`
 # entries of queries(), so registry order is a correctness-visibility
@@ -1355,80 +1362,16 @@ GATE_CAP = 50  # the driver gates exactly this many leading entries
 
 _GATE_FIRST = [
     # -----------------------------------------------------------------
-    # r12 rotation (VERDICT r11 #3, the standing 3-round freshness
-    # policy, now pure maintenance): promote (a) the 25 entries whose
-    # newest driver row is r9 — exactly the "first in line" cohort the
-    # r11 rotation queued, (b) the three NEW entries
-    # (the approx-distinct and approx-percentile scale twins per
-    # VERDICT r11 #6, plus the weighted priority sampler — gated
-    # immediately so they never sit without a driver row), (c) scd_incremental — its r11 row predates this round's
-    # double-advance guard (operators/scd.py), so the driver has never
-    # hashed the guarded form — and (d) the first 21 of the 50 entries
-    # whose newest row is r10 (list order; the remaining 29 lead the
-    # r13 prefix). After this rotation no entry's newest driver row is
-    # older than r10.
-    # the 25 entries whose newest driver row was r9
-    "pipeline_replay_31d",     # 31-day growth replay; r9 row
-    "rolling_time_revenue",    # RANGE frame; r9 row
-    "zscore_anomaly_days",     # integer-exact z-score; r9 row
-    "unpivot_region_metrics",  # unpivot wide->long; r9 row
-    "chunk_dedup_rebuild",     # sub-document dedup; r9 row
-    "corpus_mix_plan",         # mixing quotas; r9 row
-    "quantile_band_filter",    # percentile trimming; r9 row
-    "embedding_quantize_error",  # int8 SQ error; r9 row
-    "ann_q8_rerank",           # SQ8 + rerank; r9 row
-    "bpe_merge_candidates",    # BPE pair stats; r9 row
-    "dup_span_extract",        # duplicate-span extraction; r9 row
-    "dup_span_removal",        # cleaned-corpus rebuild; r9 row
-    "tfidf_top_terms",         # tf-idf keywords; r9 row
-    "histogram_quantiles",     # bin-histogram quantiles; r9 row
-    "hard_negative_mining",    # contrastive ANN; r9 row
-    "zorder_locality_stats",   # Morton clustering; r9 row
-    "incremental_agg_merge",   # partial-agg maintenance; r9 row
-    "last_touch_attribution",  # last_value window; r9 row
-    "orc_roundtrip_rollup",    # ORC round-trip; r9 row
-    "top_event_paths",         # trigram path mining; r9 row
-    "snapshot_cdc_diff",       # change-data-feed; r9 row
-    "compaction_rollup",       # OPTIMIZE round-trip; r9 row
-    "streaming_sliding_hits",  # hopping-window twin; r9 row
-    "streaming_interval_join",  # stream-stream interval join; r9 row
-    "streaming_upsert_sink",   # streaming merge sink; r9 row
-    # new this round: gate immediately
-    "table_profile_approx",    # HLL profile w/ 5-sigma envelope; NEW r12
-    "percentiles_approx",      # GK-sketch rank-error envelope; NEW r12
-    "doc_priority_sample",     # weighted priority sampling; NEW r12
-    # code moved after its newest row
-    "scd_incremental",         # r12 double-advance guard; r11 row
-    # the first 21 of the 50 entries whose newest driver row was r10
-    "scd_replay_31d",          # 31-day SCD incremental replay; r10 row
-    "users_cumulated_replay_31d",  # 31-day datelist replay; r10 row
-    "pricing_summary",         # P3 A3 A17; r10 row
-    "customer_order_spine",    # J10 J11 J15; r10 row
-    "top_customers",           # J3 J13 A15 O1-O3; r10 row
-    "grouping_sets",           # A9 S3; r10 row
-    "funnel_conversion",       # P7 J8 A16; r10 row
-    "scd_streaks",             # W1 W2 A1; r10 row
-    "users_cumulated",         # P4 A7 J1; r10 row
-    "datelist_int",            # A10 A11; r10 row
-    "sessionization",          # W2 P4; r10 row
-    "doc_ttr_repetition",      # TTR/repetition stats; r10 row
-    "vocab_top_tokens",        # corpus vocabulary df table; r10 row
-    "neardup_clusters_star",   # large/small-star CC twin; r10 row
-    "ngram_jaccard_allpairs",  # exact baseline twin; r10 row
-    "rolling_revenue",         # W5-W8 W11; r10 row
-    "order_history",           # A6 W10; r10 row
-    "best_stretch",            # W9 W12; r10 row
-    "semi_anti_customers",     # J6 J7; r10 row
-    "merge_upsert",            # S11 J1; r10 row
-    "bucketed_join_rollup",    # S4 S5 J14; r10 row
-]
-
-_GATE_REST = [
-    # the 29 r10-row entries that didn't fit this round's 50 slots
-    # (streaming_tumbling_hits and partitioned_prune_rollup ceded
-    # their slots to the new r12 entries); FIRST IN LINE for the r13
-    # prefix (they'll be exactly 3 rounds old then — the standing
-    # maintenance cadence)
+    # r13 rotation (VERDICT r12 #1, the standing 3-round freshness
+    # policy): promote (a) the 29 entries whose newest driver row is
+    # r10 — exactly the "first in line" cohort the r12 rotation queued,
+    # (b) the two NEW entries (BPE merge training and BM25 scoring per
+    # VERDICT r12 #5/#6 — gated immediately so they never sit without
+    # a driver row), and (c) the first 19 of the 49 entries whose
+    # newest row is r11 (list order; the remaining 30 lead the r14
+    # prefix). After this rotation no entry's newest driver row is
+    # older than r11 and the cadence is self-sustaining.
+    # the 29 entries whose newest driver row was r10
     "partitioned_prune_rollup",  # S6 S7; r10 row
     "streaming_tumbling_hits",  # T1 T3 T4; r10 row
     "streaming_kafka_mirror",  # S12 S14; r10 row
@@ -1458,9 +1401,10 @@ _GATE_REST = [
     "media_frame_sample",      # frame sampling; r10 row
     "hash_sample_split",       # deterministic hash split; r10 row
     "stratified_sample",       # per-stratum exact quotas; r10 row
-    # rotated out r12: the r11 prefix minus scd_incremental (each entry
-    # holds a fresh r11 driver row; operator ids stay covered by the
-    # gate_check full-registry run at HEAD each round)
+    # new this round: gate immediately
+    "bpe_train_merges",        # iterative BPE vocab training; NEW r13
+    "bm25_top_docs",           # BM25 retrieval scoring; NEW r13
+    # the first 19 of the 49 entries whose newest driver row was r11
     "simhash_pairs",           # 4x15-bit pigeonhole near-dup; r11 row
     "skew_salted_agg",         # salted skewed aggregate; r11 row
     "asof_latest_order",       # as-of join; r11 row
@@ -1480,6 +1424,12 @@ _GATE_REST = [
     "media_resize",            # NN resize + re-encode; r11 row
     "doc_bigram_lm_score",     # bigram-LM quality score; r11 row
     "line_dedup_rebuild",      # C4/RefinedWeb segment removal; r11 row
+]
+
+_GATE_REST = [
+    # the 30 r11-row entries that didn't fit this round's 50 slots;
+    # FIRST IN LINE for the r14 prefix (they'll be exactly 3 rounds
+    # old then — the standing maintenance cadence)
     "kmv_set_ops",             # bottom-k sketch set algebra; r11 row
     "doc_winnow_fingerprint",  # set-stats winnow twin; r11 row
     "doc_pii_redact",          # regex PII counting + masking; r11 row
@@ -1510,6 +1460,59 @@ _GATE_REST = [
     "json_props",              # JSON family; r11 row
     "part_type_tiers",         # P5; r11 row
     "sorted_layout_rollup",    # O4 O5; r11 row
+    # rotated out r13: the r12 prefix (each entry holds a fresh r12
+    # driver row; operator ids stay covered by the gate_check
+    # full-registry run at HEAD each round)
+    "pipeline_replay_31d",     # 31-day growth replay; r12 row
+    "rolling_time_revenue",    # RANGE frame; r12 row
+    "zscore_anomaly_days",     # integer-exact z-score; r12 row
+    "unpivot_region_metrics",  # unpivot wide->long; r12 row
+    "chunk_dedup_rebuild",     # sub-document dedup; r12 row
+    "corpus_mix_plan",         # mixing quotas; r12 row
+    "quantile_band_filter",    # percentile trimming; r12 row
+    "embedding_quantize_error",  # int8 SQ error; r12 row
+    "ann_q8_rerank",           # SQ8 + rerank; r12 row
+    "bpe_merge_candidates",    # BPE pair stats; r12 row
+    "dup_span_extract",        # duplicate-span extraction; r12 row
+    "dup_span_removal",        # cleaned-corpus rebuild; r12 row
+    "tfidf_top_terms",         # tf-idf keywords; r12 row
+    "histogram_quantiles",     # bin-histogram quantiles; r12 row
+    "hard_negative_mining",    # contrastive ANN; r12 row
+    "zorder_locality_stats",   # Morton clustering; r12 row
+    "incremental_agg_merge",   # partial-agg maintenance; r12 row
+    "last_touch_attribution",  # last_value window; r12 row
+    "orc_roundtrip_rollup",    # ORC round-trip; r12 row
+    "top_event_paths",         # trigram path mining; r12 row
+    "snapshot_cdc_diff",       # change-data-feed; r12 row
+    "compaction_rollup",       # OPTIMIZE round-trip; r12 row
+    "streaming_sliding_hits",  # hopping-window twin; r12 row
+    "streaming_interval_join",  # stream-stream interval join; r12 row
+    "streaming_upsert_sink",   # streaming merge sink; r12 row
+    "table_profile_approx",    # HLL profile w/ 5-sigma envelope; r12 row
+    "percentiles_approx",      # GK-sketch rank-error envelope; r12 row
+    "doc_priority_sample",     # weighted priority sampling; r12 row
+    "scd_incremental",         # double-advance guard; r12 row
+    "scd_replay_31d",          # 31-day SCD incremental replay; r12 row
+    "users_cumulated_replay_31d",  # 31-day datelist replay; r12 row
+    "pricing_summary",         # P3 A3 A17; r12 row
+    "customer_order_spine",    # J10 J11 J15; r12 row
+    "top_customers",           # J3 J13 A15 O1-O3; r12 row
+    "grouping_sets",           # A9 S3; r12 row
+    "funnel_conversion",       # P7 J8 A16; r12 row
+    "scd_streaks",             # W1 W2 A1; r12 row
+    "users_cumulated",         # P4 A7 J1; r12 row
+    "datelist_int",            # A10 A11; r12 row
+    "sessionization",          # W2 P4; r12 row
+    "doc_ttr_repetition",      # TTR/repetition stats; r12 row
+    "vocab_top_tokens",        # corpus vocabulary df table; r12 row
+    "neardup_clusters_star",   # large/small-star CC twin; r12 row
+    "ngram_jaccard_allpairs",  # exact baseline twin; r12 row
+    "rolling_revenue",         # W5-W8 W11; r12 row
+    "order_history",           # A6 W10; r12 row
+    "best_stretch",            # W9 W12; r12 row
+    "semi_anti_customers",     # J6 J7; r12 row
+    "merge_upsert",            # S11 J1; r12 row
+    "bucketed_join_rollup",    # S4 S5 J14; r12 row
 ]
 
 assert len(_GATE_FIRST) == GATE_CAP, (

@@ -1,0 +1,309 @@
+"""Round-13 catalog additions: the two retrieval/tokenizer kernels the
+LLM-pipeline surface still lacked (VERDICT r12 #5 and #6).
+
+- ``bpe_train_merges`` — closes the tokenizer loop: where
+  ``bpe_merge_candidates`` stops at pass-2 pair statistics, this runs
+  the actual iterative BPE vocab training (pick top pair, merge it
+  everywhere, recount) for a fixed number of rounds, under the same
+  exact-arithmetic replay discipline as ``pagerank`` — every step is
+  integer sums + deterministic argmax + pure string surgery, so the
+  DuckDB oracle unrolls the identical recurrence as chained CTEs and
+  hashes bit-identically.
+- ``bm25_top_docs`` — the retrieval scorer curation/eval pipelines
+  actually rank with (tf-idf exists as ``tfidf_top_terms``, but BM25's
+  saturation + length normalization is what production retrieval
+  uses). Integer-ppm discipline: everything except the two log calls
+  is EXACT integer/rational arithmetic (the tf part is cleared to an
+  integer fraction, the document score is a SUM of per-term integer
+  micro-scores — associative, partition-order-free), and the one
+  transcendental (ln of exact small integers) is rounded into
+  micro-units where a cross-engine last-ulp difference flips the hash
+  only with probability ~1e-9 per row (documented envelope; same
+  exposure class as ``exact_percentiles``'s ROUND, but on integers).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.bpe import bpe_train_merges
+from ..sources.readers import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _tokens(docs: DataFrame, with_doc: bool = False) -> DataFrame:
+    """The catalog's standard corpus tokenization (matches
+    vocab_top_tokens / bpe_merge_candidates / tfidf_top_terms):
+    lower, collapse whitespace, split, drop empties."""
+    tok = F.explode(
+        F.filter(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                " ",
+            ),
+            lambda t: t != F.lit(""),
+        )
+    ).alias("term")
+    return docs.select("doc_id", tok) if with_doc else docs.select(tok)
+
+
+_TOKS_SQL = r"""
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                        ' '),
+           t -> t <> '')) AS term
+  FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (iterative vocab learning)
+# ---------------------------------------------------------------------------
+
+BPE_STEPS = 8
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 BPE merge rules from the corpus.
+
+    The word table uses the catalog's standard normalization, then
+    restricts to ``^[a-z]+$`` words of length >= 2 — the ASCII-letter
+    subset both engines segment into characters identically (Spark's
+    Java-regex ``split('')`` and DuckDB's RE2 would disagree only on
+    multi-code-unit text, and character segmentation IS the base-vocab
+    contract, so the entry pins the unambiguous subset; real multi-
+    lingual training would pre-segment to bytes). Iteration mechanics,
+    determinism, and the greedy-merge string trick are documented on
+    ``operators/bpe.bpe_train_merges``; the oracle below unrolls the
+    same 8 rounds as chained CTEs."""
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        _tokens(docs)
+        .groupBy(F.col("term").alias("token"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(
+            (F.length("token") >= 2) & F.col("token").rlike("^[a-z]+$")
+        )
+    )
+    # checkpoint_every=0: a BOUNDED 8-step loop composes the narrow
+    # merge maps lazily (each winner job re-runs <= 8 trivial
+    # |vocab|-row string maps from the checkpointed base instead of
+    # paying a full word-table materialization job per step — the
+    # pagerank cadence tradeoff, measured ~2x wall here)
+    return bpe_train_merges(
+        wf, iterations=BPE_STEPS, checkpoint_every=0
+    ).orderBy("step")
+
+
+def _bpe_oracle(iterations: int) -> str:
+    """Unrolled-CTE DuckDB replay of `bpe_train_merges`: per round, a
+    pair-count CTE, a 1-row argmax CTE, and a merged word table built
+    with the identical double-space greedy-replace (operators/bpe.py
+    module doc). Chained CTEs are MATERIALIZED: w_k references w_{k-1}
+    twice (via p_k and directly), so inlining re-evaluates the corpus
+    tokenization 2^steps times (measured 1.4 s -> 0.07 s at sf0.01
+    with 8 steps)."""
+    parts = [
+        "WITH toks AS MATERIALIZED (" + _TOKS_SQL + "),",
+        """wf AS MATERIALIZED (
+  SELECT term AS token, COUNT(*) AS freq
+  FROM toks
+  WHERE len(term) >= 2 AND regexp_matches(term, '^[a-z]+$')
+  GROUP BY term),""",
+        r"""w0 AS MATERIALIZED (
+  SELECT trim(regexp_replace(token, '(.)', '\1 ', 'g')) AS w, freq
+  FROM wf),""",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(f"""p{k} AS MATERIALIZED (
+  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, SUM(freq)::BIGINT AS total
+  FROM (SELECT string_split(w, ' ') AS syms, freq FROM w{p}) s,
+       UNNEST(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2),
+m{k} AS (
+  SELECT lhs, rhs, total FROM p{k}
+  ORDER BY total DESC, lhs ASC, rhs ASC LIMIT 1),""")
+        if k < iterations:
+            parts.append(f"""w{k} AS MATERIALIZED (
+  SELECT trim(replace(
+           replace(' ' || replace(w, ' ', '  ') || ' ',
+                   ' ' || m.lhs || '  ' || m.rhs || ' ',
+                   ' ' || m.lhs || m.rhs || ' '),
+           '  ', ' ')) AS w, freq
+  FROM w{p}, m{k} m),""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, lhs, rhs, lhs || rhs AS merged, total FROM m{k}"
+        for k in range(1, iterations + 1)
+    )
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + unions + "\nORDER BY step"
+
+
+ORACLE_BPE_TRAIN_MERGES = _bpe_oracle(BPE_STEPS)
+
+
+# ---------------------------------------------------------------------------
+# BM25 document ranking for a fixed query
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "window", "vector"]
+BM25_TOP_K = 15
+
+
+def _bm25_micro(
+    tf: Column, df: Column, dl: Column, n_docs: Column, t_tokens: Column
+) -> Column:
+    """Per-term BM25 partial score in integer MICRO units.
+
+    BM25 (k1 = 1.2, b = 0.75; Robertson & Zaragoza 2009) with the
+    Lucene non-negative idf ``ln(1 + (N - df + .5)/(df + .5))`` =
+    ``ln(2N + 2) - ln(2df + 1)``. The tf part is cleared to an exact
+    integer fraction (multiply num and den by 20·T, with avgdl = T/N):
+
+        tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+          = 44·tf·T / (20·tf·T + 6·T + 18·N·dl)
+
+    so the ONLY inexact steps are the two ln calls on exact small
+    integers and the final double multiply/divide (all IEEE correctly
+    rounded); rounding into micro-units makes a cross-engine ulp flip
+    ~1e-9-probable per row. Numerator bound: 44·tf·T < 2^63 while
+    tf·T < 2e17 — at corpus sizes beyond ~1e13 tokens divide T's ppm
+    out first (documented scale seam)."""
+    idf = F.log(2 * n_docs + F.lit(2).cast("double")) - F.log(
+        (2 * df + F.lit(1)).cast("double")
+    )
+    num = F.lit(44) * tf * t_tokens
+    den = F.lit(20) * tf * t_tokens + F.lit(6) * t_tokens + F.lit(18) * n_docs * dl
+    return F.round(
+        F.lit(1000000.0) * idf * (num / den.cast("double"))
+    ).cast("long")
+
+
+def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 documents by BM25 for the fixed query
+    ``spark window vector``.
+
+    Scale shape — ONE corpus pass: a single groupBy(doc_id) computes
+    document length AND the per-query-term tfs (conditional sums: the
+    query is a pinned 3-term list, so the per-term structure unrolls
+    into columns — no token-level join, no second scan); the global
+    constants (total tokens T, per-term dfs) reduce that |docs|-row
+    table to ONE row, recombined by a broadcast-trivial cross join;
+    scoring is then row-local integer arithmetic and the top-15 runs
+    as TakeOrderedAndProject on (score DESC, doc_id). N comes from a
+    parquet metadata count (no data read). Document score = SUM of
+    per-term integer micro-scores, so it is associative and exact —
+    no float-sum order dependence (see _bm25_micro for the envelope
+    on the two ln calls)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = F.lit(docs.count())
+    per_doc = (
+        _tokens(docs, with_doc=True)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(
+                    F.when(F.col("term") == t, 1).otherwise(0)
+                ).cast("long").alias(f"tf_{t}")
+                for t in BM25_TERMS
+            ],
+        )
+    )
+    glob = per_doc.agg(
+        F.sum("dl").alias("t_tokens"),
+        *[
+            F.sum(
+                F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)
+            ).cast("long").alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(glob))
+    parts = [
+        F.when(
+            F.col(f"tf_{t}") > 0,
+            _bm25_micro(
+                F.col(f"tf_{t}"),
+                F.col(f"df_{t}"),
+                F.col("dl"),
+                n_docs,
+                F.col("t_tokens"),
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        for t in BM25_TERMS
+    ]
+    n_terms = sum(
+        (F.col(f"tf_{t}") > 0).cast("int") for t in BM25_TERMS
+    ).alias("n_terms")
+    score = sum(parts).alias("score_micro")
+    return (
+        scored.select(
+            "doc_id",
+            "dl",
+            *[F.col(f"tf_{t}") for t in BM25_TERMS],
+            n_terms,
+            score,
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
+def _bm25_term_sql(t: str) -> str:
+    return (
+        f"(CASE WHEN tf_{t} > 0 THEN CAST(ROUND(1000000.0 * "
+        f"(ln(CAST(2 * n_docs + 2 AS DOUBLE)) - "
+        f"ln(CAST(2 * df_{t} + 1 AS DOUBLE))) * "
+        f"((44 * tf_{t} * t_tokens) / "
+        f"CAST(20 * tf_{t} * t_tokens + 6 * t_tokens + 18 * n_docs * dl "
+        f"AS DOUBLE))) AS BIGINT) ELSE 0 END)"
+    )
+
+
+ORACLE_BM25_TOP_DOCS = (
+    "WITH toks AS (" + _TOKS_SQL + "),\n"
+    "pd AS (\n"
+    "  SELECT doc_id, COUNT(*)::BIGINT AS dl,\n"
+    + ",\n".join(
+        f"    SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END)::BIGINT AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    + "\n  FROM toks GROUP BY doc_id),\n"
+    "g AS (\n"
+    "  SELECT SUM(dl)::BIGINT AS t_tokens,\n"
+    + ",\n".join(
+        f"    SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{t}"
+        for t in BM25_TERMS
+    )
+    + "\n  FROM pd),\n"
+    "n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents)\n"
+    "SELECT doc_id, dl, "
+    + ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    + ",\n       ("
+    + " + ".join(f"CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END" for t in BM25_TERMS)
+    + ")::INT AS n_terms,\n       ("
+    + "\n        + ".join(_bm25_term_sql(t) for t in BM25_TERMS)
+    + ") AS score_micro\n"
+    "FROM pd CROSS JOIN g CROSS JOIN n\n"
+    f"ORDER BY score_micro DESC, doc_id ASC LIMIT {BM25_TOP_K}"
+)
+
+
+RANK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bpe_train_merges": q_bpe_train_merges,
+    "bm25_top_docs": q_bm25_top_docs,
+}
+
+RANK_ORACLES: dict[str, str] = {
+    "bpe_train_merges": ORACLE_BPE_TRAIN_MERGES,
+    "bm25_top_docs": ORACLE_BM25_TOP_DOCS,
+}

@@ -1,0 +1,154 @@
+"""BPE merge training and BM25 scoring (round-13 additions): every
+numeric claim checked against an INDEPENDENT pure-Python replay, not
+against the Spark code's own arithmetic."""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _python_bpe(words, iters):
+    """Reference BPE trainer: dict-of-symbol-tuples, greedy
+    non-overlapping left-to-right merge, argmax on
+    (total DESC, lhs ASC, rhs ASC)."""
+    w = {}
+    for t, f in words:
+        w[tuple(t)] = w.get(tuple(t), 0) + f
+    out = []
+    for step in range(1, iters + 1):
+        counts = {}
+        for syms, f in w.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not counts:
+            break
+        (l, r), tot = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((step, l, r, l + r, tot))
+        new = {}
+        for syms, f in w.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new[tuple(res)] = new.get(tuple(res), 0) + f
+        w = new
+    return out
+
+
+def test_merge_pair_greedy_semantics(spark):
+    """The double-space replace trick must implement exactly greedy
+    non-overlapping left-to-right merging — including the overlap
+    ('a a a') and repeat ('a b a b') cases where naive padded replace
+    gets it wrong."""
+    from data_engineering_bootcamp_spark.operators.bpe import merge_pair
+
+    cases = [
+        ("a a a", "a", "a", "aa a"),
+        ("a a a a", "a", "a", "aa aa"),
+        ("x a b a b x", "a", "b", "x ab ab x"),
+        ("a b", "a", "b", "ab"),
+        ("b a b a", "a", "b", "b ab a"),
+        ("q w e", "a", "b", "q w e"),
+    ]
+    df = spark.createDataFrame(cases, "w string, l string, r string, want string")
+    got = df.select(
+        "want", merge_pair(F.col("w"), F.col("l"), F.col("r")).alias("got")
+    ).collect()
+    assert all(r.got == r.want for r in got), [
+        (r.want, r.got) for r in got if r.got != r.want
+    ]
+
+
+def test_bpe_train_merges_matches_python_replay(spark):
+    from data_engineering_bootcamp_spark.operators.bpe import bpe_train_merges
+
+    words = [("lower", 3), ("lowest", 2), ("newer", 5), ("wider", 1), ("low", 4)]
+    df = spark.createDataFrame(words, "token string, freq long")
+    got = [tuple(r) for r in bpe_train_merges(df, 6).orderBy("step").collect()]
+    assert got == _python_bpe(words, 6)
+    # lazy composition (checkpoint_every=0) must be result-identical
+    lazy = [
+        tuple(r)
+        for r in bpe_train_merges(df, 6, checkpoint_every=0)
+        .orderBy("step")
+        .collect()
+    ]
+    assert lazy == got
+
+
+def test_bpe_early_stop_and_guards(spark):
+    from data_engineering_bootcamp_spark.operators.bpe import bpe_train_merges
+
+    # vocabulary exhausts after one merge: later steps emit nothing and
+    # must not corrupt the run (the empty-winner crossJoin hazard)
+    df = spark.createDataFrame([("ab", 7)], "token string, freq long")
+    got = [tuple(r) for r in bpe_train_merges(df, 5).collect()]
+    assert got == [(1, "a", "b", "ab", 7)]
+    # no pairs at all -> schema-stable empty result
+    df1 = spark.createDataFrame([("a", 1)], "token string, freq long")
+    empty = bpe_train_merges(df1, 3)
+    assert empty.count() == 0
+    assert empty.columns == ["step", "lhs", "rhs", "merged", "total"]
+    with pytest.raises(ValueError, match="iterations"):
+        bpe_train_merges(df, 0)
+
+
+def test_bm25_top_docs_matches_python_replay(spark, sf_small):
+    """The full catalog entry replayed in pure Python from the parquet
+    bytes: tokenization, tf/dl/df/T, the integer-fraction tf part, the
+    ln-based idf, micro rounding (half-away-from-zero, matching both
+    engines' ROUND), integer score sum, and top-k ordering."""
+    import pyarrow.parquet as pq
+
+    from data_engineering_bootcamp_spark.plans.catalog_rank import (
+        BM25_TERMS,
+        BM25_TOP_K,
+        q_bm25_top_docs,
+    )
+
+    tbl = pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    n_docs = len(docs)
+    per_doc = {}
+    for doc_id, text in docs:
+        toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if t]
+        if not toks:
+            continue
+        tf = {t: sum(1 for x in toks if x == t) for t in BM25_TERMS}
+        per_doc[doc_id] = (len(toks), tf)
+    t_tokens = sum(dl for dl, _ in per_doc.values())
+    df_t = {
+        t: sum(1 for _, tf in per_doc.values() if tf[t] > 0) for t in BM25_TERMS
+    }
+    rows = []
+    for doc_id, (dl, tf) in per_doc.items():
+        score = 0
+        for t in BM25_TERMS:
+            if tf[t] == 0:
+                continue
+            idf = math.log(2 * n_docs + 2) - math.log(2 * df_t[t] + 1)
+            num = 44 * tf[t] * t_tokens
+            den = 20 * tf[t] * t_tokens + 6 * t_tokens + 18 * n_docs * dl
+            score += int(math.floor(1000000.0 * idf * (num / den) + 0.5))
+        n_terms = sum(1 for t in BM25_TERMS if tf[t] > 0)
+        rows.append(
+            (doc_id, dl, *(tf[t] for t in BM25_TERMS), n_terms, score)
+        )
+    rows.sort(key=lambda r: (-r[-1], r[0]))
+    expected = rows[:BM25_TOP_K]
+
+    got = [tuple(r) for r in q_bm25_top_docs(spark, sf_small).collect()]
+    assert got == expected
+    # sanity on the fixture: scores vary and every top doc matched >= 1 term
+    assert len({r[-1] for r in got}) > 1
+    assert all(r[-2] >= 1 for r in got)
