@@ -77,6 +77,33 @@ def build_edges_pairs_grouped(
     )
 
 
+def _pagerank_step(
+    adj: DataFrame, ranks: DataFrame, damping_pct: int, base: int
+) -> DataFrame:
+    """ONE PageRank iteration — the hot path `pagerank` loops over,
+    extracted so the plan-posture suite can pin its physical shape
+    (tests/test_plan_posture.py::test_pagerank_iteration_plan_shape):
+    per iteration exactly TWO Exchanges — the persisted adjacency
+    re-partitioned on the join key `s`, and the destination groupBy —
+    because the incoming `ranks` (the previous step's groupBy output,
+    hash-partitioned on `v`) reaches the join already partitioned via
+    alias propagation (`v` AS `s`), and the sum is map-side partial
+    before its Exchange."""
+    contribs = adj.join(
+        ranks.select(F.col("v").alias("s"), "r"), "s"
+    ).select(F.col("d").alias("v"), F.expr("r DIV deg").alias("c"))
+    return (
+        contribs.groupBy("v")
+        .agg(F.sum("c").alias("csum"))
+        .select(
+            "v",
+            (
+                F.lit(base) + F.expr(f"({damping_pct} * csum) DIV 100")
+            ).cast("long").alias("r"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "id_a",
@@ -111,7 +138,10 @@ def pagerank(
     where launch overhead dominates; the win shrinks as the
     per-iteration shuffle grows to dominate); the final ranks are
     still checkpointed once so the persisted adjacency can be
-    released safely. Nothing driver-sided at any vertex count.
+    released safely. A NEGATIVE value returns the fully-lazy composed
+    plan with no checkpoint anywhere — introspection/posture-test
+    cadence only (executing it recomputes the unpersisted adjacency
+    per iteration). Nothing driver-sided at any vertex count.
     `scale` bounds: per-vertex sums stay far below 2^63
     for any realistic graph (a vertex's rank is bounded by its
     neighborhood's mass, not corpus mass); shrink `scale` if modeling
@@ -230,26 +260,19 @@ def pagerank(
     base = ((100 - damping_pct) * scale) // 100
     try:
         for it in range(int(iterations)):
-            contribs = adj.join(
-                ranks.select(F.col("v").alias("s"), "r"), "s"
-            ).select(F.col("d").alias("v"), F.expr("r DIV deg").alias("c"))
-            ranks = (
-                contribs.groupBy("v")
-                .agg(F.sum("c").alias("csum"))
-                .select(
-                    "v",
-                    (
-                        F.lit(base)
-                        + F.expr(f"({damping_pct} * csum) DIV 100")
-                    ).cast("long").alias("r"),
-                )
-            )
+            ranks = _pagerank_step(adj, ranks, damping_pct, base)
             if every > 0 and (it + 1) % every == 0:
                 ranks = ranks.localCheckpoint(eager=True)
-        if every <= 0 or int(iterations) % max(every, 1) != 0:
+        if every == 0 or (every > 0 and int(iterations) % every != 0):
             # one eager materialization before adj.unpersist(): the
             # lazily-composed plan references the persisted adjacency,
-            # which must not be released while the plan is unexecuted
+            # which must not be released while the plan is unexecuted.
+            # every < 0 is the INTROSPECTION cadence (VERDICT r12 #3):
+            # return the fully-lazy composed plan with NO checkpoint at
+            # all, so posture tests can count Exchanges per iteration;
+            # the unpersist below means executing that plan recomputes
+            # the adjacency per reference — introspection/benchmarking
+            # only, never the production path.
             ranks = ranks.localCheckpoint(eager=True)
     finally:
         adj.unpersist()
