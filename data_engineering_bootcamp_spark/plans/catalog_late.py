@@ -754,6 +754,29 @@ FROM win
 """
 
 
+# Mid-window checkpoint cadence for the three 31-day composed replays —
+# DERIVED FROM MEASUREMENT, not folklore (VERDICT r12 #4; the full
+# sweep lives in REPLAY_DEPTH_r13.json "axes" and the COVERAGE.md r13
+# cadence table). Root cause of the superlinear no-checkpoint growth:
+# AQE re-runs its re-optimizer over the WHOLE remaining plan at every
+# shuffle-stage materialization, so one uncheckpointed n-advance job
+# pays O(n) re-plans x O(n) plan size = O(n^2) optimizer work —
+# disabling AQE alone makes depth-93 execution near-linear
+# (34.4 s -> 16.7 s; codegen-off only trims it to 27.6 s, and analysis
+# was already linear), which pins the quadratic on adaptive
+# re-planning, not scheduling or codegen. A localCheckpoint(lazy)
+# truncates what that re-optimizer can see — but under AQE it is NOT
+# free: .rdd finalizes the adaptive plan by EXECUTING the upstream
+# stages, so each checkpoint moves segment cost from exec-time to
+# build-time and the total has a shallow knee. Measured totals
+# (build+exec, sf0.01): depth 31 — c4 23.6 s, c8 22.9, c16 26.5,
+# c32 39.8, none 26.5; the r12 gate-scale sweep of the same loop had
+# c8 13.4 / c16 12.4 / c32 13.4 / c4 16.6. Cadence 8 minimizes the
+# worst-case regret across both sweeps (never >8%% off the best seen;
+# 16 is up to 16%% off, 4 up to 34%% off), so 8 is the default.
+REPLAY_CHECKPOINT_CADENCE = 8
+
+
 def q_pipeline_replay_31d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """31-day incremental replay of the growth-accounting daily pipeline
     (VERDICT r8 #6): drive `operators.growth.growth_accounting` —
@@ -812,7 +835,7 @@ def q_pipeline_replay_31d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("date_active") == F.lit(ds).cast("date")
         )
         state = growth_accounting(state, today, ds, date_col="date_active")
-        if (i + 1) % 16 == 0:
+        if (i + 1) % REPLAY_CHECKPOINT_CADENCE == 0:
             # ONE lazy mid-replay checkpoint: truncates the logical
             # plan so per-advance Catalyst re-analysis stays bounded,
             # without firing an intermediate job (the RDD chain
@@ -893,7 +916,7 @@ def q_scd_replay_31d(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pushed day predicate; each advance is ONE full-outer join keyed
     on user_id over O(users) state rows plus a single explode (never a
     per-branch UNION re-scan — see scd.py:104). Plan depth is bounded
-    by one lazy checkpoint every 16 advances; in production each advance
+    by one lazy checkpoint on the measured cadence (REPLAY_CHECKPOINT_CADENCE); in production each advance
     is its own run writing a snapshot table, so depth is 1 there — the
     composed form exists to PROVE day-composition ≡ batch.
     """
@@ -931,8 +954,8 @@ def q_scd_replay_31d(spark: SparkSession, sf_dir: str) -> DataFrame:
         history = scd_incremental(
             history, snap, "user_id", "d", ["dominant"], day
         )
-        if day % 16 == 0:
-            # cadence 16, matching the other replays, since the r11
+        if day % REPLAY_CHECKPOINT_CADENCE == 0:
+            # measured cadence (see REPLAY_CHECKPOINT_CADENCE), since the r11
             # single-reference scd_incremental rewrite: each advance
             # now references `history` ONCE (the currency test rides
             # the full-outer join as a residual condition instead of a
@@ -1031,7 +1054,7 @@ def q_users_cumulated_replay_31d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ds = (start + _dt.timedelta(days=i)).isoformat()
         today = daily.where(F.col("date_active") == F.lit(ds).cast("date"))
         state = cumulate_datelist(state, today, ds)
-        if (i + 1) % 16 == 0:
+        if (i + 1) % REPLAY_CHECKPOINT_CADENCE == 0:
             state = state.localCheckpoint(eager=False)
     return state.select(
         "user_id",

@@ -55,6 +55,13 @@ SKIP = {
     "metadata_scan",
     "compaction_rollup",
     "pagerank_parts",
+    # iterative BPE training: each step's argmax winner is eagerly
+    # localCheckpointed at plan-build (the merge decision feeds the
+    # next step), so the final plan is a union of checkpointed 1-row
+    # scans; the per-step shape (1 pair-count groupBy + TakeOrdered(1)
+    # + broadcast merge map) is pinned by operators/bpe.py's design
+    # notes and the gate
+    "bpe_train_merges",
     "pipeline_replay_31d",
     "scd_replay_31d",
     "users_cumulated_replay_31d",

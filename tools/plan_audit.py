@@ -47,6 +47,13 @@ SKIP = {
     # per-iteration shape (1 join + 1 groupBy) is audited by the
     # pagerank section of BENCH_scale_r06.json instead
     "pagerank_parts",
+    # iterative BPE training: each step's argmax winner is eagerly
+    # localCheckpointed at plan-build (the merge decision feeds the
+    # next step), so the final plan is a union of checkpointed 1-row
+    # scans; the per-step shape (1 pair-count groupBy + TakeOrdered(1)
+    # + broadcast merge map) is pinned by operators/bpe.py's design
+    # notes and the gate
+    "bpe_train_merges",
     # 31 composed daily advances behind a mid-window checkpoint: the
     # visible plan is the post-checkpoint tail, not the replay; the
     # per-advance shape (1 full-outer join + 1 groupBy, O(users) state)

@@ -42,10 +42,22 @@ entity snapshots as dominant='none' from day 32 on — the advance keeps
 extending ranges, which exercises plan growth without inventing data.
 
 Usage: python tools/replay_depth.py [sf_dir] [--out=PATH]
-Writes one JSON document (default REPLAY_DEPTH_r12.json at repo root).
+         [--cadence=N] [--depths=8,16,31] [--no-aqe] [--no-codegen]
+         [--skip-parity]
+Writes one JSON document (default REPLAY_DEPTH_r13.json at repo root).
 
 Linearity criterion printed per depth pair: t(2d)/t(d) for analysis —
 ~2 is linear; the pre-r11 form would be ~2^d (unrunnable past ~16).
+
+Root-cause axes (VERDICT r12 #4 — WHY does single-job execution of the
+uncheckpointed composition grow superlinearly while analysis is
+linear?): `--no-aqe` disables adaptive execution (each shuffle-stage
+materialization under AQE re-runs the cost-based re-optimizer over the
+WHOLE remaining plan — O(depth) re-plans x O(depth) plan size =
+O(depth^2) optimizer work in one job), `--no-codegen` disables
+whole-stage codegen (per-stage Janino compilation), and `--cadence=N`
+measures the wall-vs-cadence tradeoff the production replays encode.
+Run the tool once per axis and diff the t_exec columns.
 """
 
 from __future__ import annotations
@@ -122,23 +134,46 @@ def main() -> int:
     sf_dir = os.path.abspath(args[0]) if args else "/root/testdata/sf0.01"
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "REPLAY_DEPTH_r12.json",
+        "REPLAY_DEPTH_r13.json",
     )
+    cadence = 0
+    depths = DEPTHS
+    aqe = True
+    codegen = True
+    skip_parity = False
     for f in sys.argv[1:]:
         if f.startswith("--out="):
             out_path = f.split("=", 1)[1]
+        elif f.startswith("--cadence="):
+            cadence = int(f.split("=", 1)[1])
+        elif f.startswith("--depths="):
+            depths = [int(x) for x in f.split("=", 1)[1].split(",")]
+        elif f == "--no-aqe":
+            aqe = False
+        elif f == "--no-codegen":
+            codegen = False
+        elif f == "--skip-parity":
+            skip_parity = True
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("replay-depth")
         .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
+        .config("spark.sql.codegen.wholeStage", str(codegen).lower())
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    doc: dict = {"sf_dir": sf_dir, "cadence": 0, "depths": {}}
-    for days in DEPTHS:
+    doc: dict = {
+        "sf_dir": sf_dir,
+        "cadence": cadence,
+        "aqe": aqe,
+        "codegen": codegen,
+        "depths": {},
+    }
+    for days in depths:
         t0 = time.perf_counter()
-        df = build_replay(spark, sf_dir, days, cadence=0)
+        df = build_replay(spark, sf_dir, days, cadence=cadence)
         t_build = time.perf_counter() - t0
         qe = df._jdf.queryExecution()
         t0 = time.perf_counter()
@@ -166,6 +201,8 @@ def main() -> int:
         )
     # linearity ratios on the doubling pairs
     for a, b in [(8, 16), (16, 31), (31, 62), (62, 93)]:
+        if str(a) not in doc["depths"] or str(b) not in doc["depths"]:
+            continue
         ta = doc["depths"][str(a)]["t_analyze_sec"]
         tb = doc["depths"][str(b)]["t_analyze_sec"]
         if ta > 0:
@@ -173,6 +210,11 @@ def main() -> int:
                 f"analyze t({b})/t({a}) = {tb / ta:.2f}  "
                 f"(depth ratio {b / a:.2f}; linear ⇒ ≈ depth ratio)"
             )
+    if skip_parity:
+        with open(out_path, "w") as fh:
+            json.dump(doc, fh, indent=1, sort_keys=True)
+        print(f"wrote {out_path} (parity check skipped)")
+        return 0
     # correctness: depth-31 no-checkpoint ≡ the gated checkpointed form
     from data_engineering_bootcamp_spark.plans.catalog import QUERIES
 
