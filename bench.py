@@ -143,6 +143,7 @@ HEADLINE = [
     # round-13 additions: iterative BPE vocab training and BM25
     # retrieval scoring
     "bpe_train_merges",
+    "bpe_encode_corpus",
     "bm25_top_docs",
     # The three replay entries (pipeline_replay_31d, scd_replay_31d,
     # users_cumulated_replay_31d) are deliberately NOT headlines: their

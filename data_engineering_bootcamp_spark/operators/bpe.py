@@ -161,3 +161,58 @@ def bpe_train_merges(
             [], "step int, lhs string, rhs string, merged string, total long"
         )
     return reduce(DataFrame.unionByName, rules)
+
+
+def bpe_apply_merges(
+    words: DataFrame,
+    merges: DataFrame,
+    steps: int,
+    word_col: str = "token",
+) -> DataFrame:
+    """ENCODE: apply a learned merge table to a word table — the
+    tokenizer-application pass a training pipeline runs over the whole
+    corpus once the vocab is trained. Adds two columns to `words`:
+    `encoded` (space-joined symbol sequence after all merges, applied
+    in step order with the same greedy non-overlapping semantics as
+    training) and `n_syms` (token count for the word).
+
+    `merges` is the (step, lhs, rhs, ...) output of
+    `bpe_train_merges`; rules are applied as a chain of `steps`
+    broadcast left joins on a constant key — a missing step (the
+    trainer stopped early) joins NULL and leaves words unchanged,
+    never empties the table (the crossJoin-with-empty hazard). Each
+    step is one narrow broadcast join + one string map: no shuffle of
+    the word table at any rule count in this form.
+
+    Scale seam: this exact-replay chain is right for the bounded rule
+    counts the oracle can unroll (each rule adds one projection). A
+    production tokenizer with ~50k merges would instead ship the whole
+    merge table into ONE Arrow-batched Pandas UDF (the rule table is
+    KB-scale; per-word application is the same greedy loop) — same
+    semantics, one stage, no 50k-deep expression tree.
+    """
+    if int(steps) < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    w = words.withColumn("encoded", spaced_symbols(F.col(word_col)))
+    for k in range(1, int(steps) + 1):
+        rk = (
+            merges.where(F.col("step") == k)
+            .select(
+                F.lit(1).alias("_j"),
+                F.col("lhs").alias("_l"),
+                F.col("rhs").alias("_r"),
+            )
+        )
+        w = (
+            w.withColumn("_j", F.lit(1))
+            .join(F.broadcast(rk), "_j", "left")
+            .withColumn(
+                "encoded",
+                F.when(
+                    F.col("_l").isNotNull(),
+                    merge_pair(F.col("encoded"), F.col("_l"), F.col("_r")),
+                ).otherwise(F.col("encoded")),
+            )
+            .drop("_j", "_l", "_r")
+        )
+    return w.withColumn("n_syms", F.size(F.split("encoded", " ")))

@@ -29,7 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.bpe import bpe_train_merges
+from ..operators.bpe import bpe_apply_merges, bpe_train_merges
 from ..sources.readers import load_table
 
 
@@ -148,6 +148,84 @@ m{k} AS (
 
 
 ORACLE_BPE_TRAIN_MERGES = _bpe_oracle(BPE_STEPS)
+
+
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 8 merges, then ENCODE the vocabulary with them — the
+    tokenizer-application pass (train -> encode closes the loop that
+    `bpe_merge_candidates` opened). Returns one row per vocabulary
+    word: (token, freq, encoded, n_syms), the per-word token sequence
+    and count a packing/length-bucketing stage consumes downstream.
+    Word table + normalization identical to `bpe_train_merges`; the
+    encode chain semantics live on `operators.bpe.bpe_apply_merges`
+    (including the early-stop-safe broadcast left joins and the
+    Pandas-UDF scale seam for production rule counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        _tokens(docs)
+        .groupBy(F.col("term").alias("token"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(
+            (F.length("token") >= 2) & F.col("token").rlike("^[a-z]+$")
+        )
+        # one corpus pass feeds BOTH consumers: without this, training
+        # materializes its own spaced copy AND the encode chain's final
+        # execution re-runs the scan+aggregate a second time
+        .localCheckpoint(eager=True)
+    )
+    rules = bpe_train_merges(wf, iterations=BPE_STEPS, checkpoint_every=0)
+    return bpe_apply_merges(wf, rules, BPE_STEPS).orderBy(
+        F.desc("freq"), F.asc("token")
+    )
+
+
+def _bpe_encode_oracle(iterations: int) -> str:
+    """Unrolled encode replay: the training CTE chain (threading the
+    original `token` through every w_k), then the final w_k IS the
+    encoded vocabulary. Steps join LEFT ... ON TRUE so an early-stopped
+    (empty) merge CTE leaves words unchanged, matching
+    `bpe_apply_merges`."""
+    parts = [
+        "WITH toks AS MATERIALIZED (" + _TOKS_SQL + "),",
+        """wf AS MATERIALIZED (
+  SELECT term AS token, COUNT(*) AS freq
+  FROM toks
+  WHERE len(term) >= 2 AND regexp_matches(term, '^[a-z]+$')
+  GROUP BY term),""",
+        r"""w0 AS MATERIALIZED (
+  SELECT token, trim(regexp_replace(token, '(.)', '\1 ', 'g')) AS w, freq
+  FROM wf),""",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(f"""p{k} AS MATERIALIZED (
+  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, SUM(freq)::BIGINT AS total
+  FROM (SELECT string_split(w, ' ') AS syms, freq FROM w{p}) s,
+       UNNEST(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2),
+m{k} AS (
+  SELECT lhs, rhs FROM p{k}
+  ORDER BY total DESC, lhs ASC, rhs ASC LIMIT 1),
+w{k} AS MATERIALIZED (
+  SELECT token,
+         CASE WHEN m.lhs IS NULL THEN w
+              ELSE trim(replace(
+                     replace(' ' || replace(w, ' ', '  ') || ' ',
+                             ' ' || m.lhs || '  ' || m.rhs || ' ',
+                             ' ' || m.lhs || m.rhs || ' '),
+                     '  ', ' '))
+         END AS w, freq
+  FROM w{p} LEFT JOIN m{k} m ON TRUE),""")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + (
+        f"SELECT token, freq, w AS encoded,\n"
+        f"       len(string_split(w, ' '))::INT AS n_syms\n"
+        f"FROM w{iterations}\n"
+        f"ORDER BY freq DESC, token ASC"
+    )
+
+
+ORACLE_BPE_ENCODE_CORPUS = _bpe_encode_oracle(BPE_STEPS)
 
 
 # ---------------------------------------------------------------------------
@@ -300,10 +378,12 @@ ORACLE_BM25_TOP_DOCS = (
 
 RANK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_merges": q_bpe_train_merges,
+    "bpe_encode_corpus": q_bpe_encode_corpus,
     "bm25_top_docs": q_bm25_top_docs,
 }
 
 RANK_ORACLES: dict[str, str] = {
     "bpe_train_merges": ORACLE_BPE_TRAIN_MERGES,
+    "bpe_encode_corpus": ORACLE_BPE_ENCODE_CORPUS,
     "bm25_top_docs": ORACLE_BM25_TOP_DOCS,
 }

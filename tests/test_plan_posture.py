@@ -62,6 +62,7 @@ SKIP = {
     # + broadcast merge map) is pinned by operators/bpe.py's design
     # notes and the gate
     "bpe_train_merges",
+    "bpe_encode_corpus",       # same: train jobs run at plan build
     "pipeline_replay_31d",
     "scd_replay_31d",
     "users_cumulated_replay_31d",

@@ -152,3 +152,52 @@ def test_bm25_top_docs_matches_python_replay(spark, sf_small):
     # sanity on the fixture: scores vary and every top doc matched >= 1 term
     assert len({r[-1] for r in got}) > 1
     assert all(r[-2] >= 1 for r in got)
+
+
+def test_bpe_apply_merges_matches_python_replay(spark):
+    """ENCODE replayed in pure Python: train 5 rules, apply them in
+    step order with the greedy non-overlapping loop, compare the full
+    encoded vocabulary — and prove the early-stop safety (a trainer
+    that stopped at 1 rule must leave words unchanged for the missing
+    steps, not empty the table)."""
+    from data_engineering_bootcamp_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_train_merges,
+    )
+
+    words = [("lower", 3), ("lowest", 2), ("newer", 5), ("wider", 1), ("low", 4)]
+    df = spark.createDataFrame(words, "token string, freq long")
+    rules = bpe_train_merges(df, 5)
+    got = {
+        r["token"]: (r["encoded"], r["n_syms"])
+        for r in bpe_apply_merges(df, rules, 5).collect()
+    }
+
+    merges = [(l, r) for _, l, r, _, _ in _python_bpe(words, 5)]
+
+    def encode(tok):
+        syms = list(tok)
+        for l, r in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return " ".join(syms), len(syms)
+
+    assert got == {t: encode(t) for t, _ in words}
+
+    # early stop: only 1 rule learnable, apply asked for 4 steps
+    df2 = spark.createDataFrame([("ab", 7), ("cd", 1)], "token string, freq long")
+    rules2 = bpe_train_merges(df2, 4)  # learns (a,b) then (c,d): 2 rules
+    enc2 = {
+        r["token"]: r["encoded"]
+        for r in bpe_apply_merges(df2, rules2, 4).collect()
+    }
+    assert enc2 == {"ab": "ab", "cd": "cd"}
+    with pytest.raises(ValueError, match="steps"):
+        bpe_apply_merges(df2, rules2, 0)

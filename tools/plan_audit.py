@@ -54,6 +54,7 @@ SKIP = {
     # + broadcast merge map) is pinned by operators/bpe.py's design
     # notes and the gate
     "bpe_train_merges",
+    "bpe_encode_corpus",       # same: train jobs run at plan build
     # 31 composed daily advances behind a mid-window checkpoint: the
     # visible plan is the post-checkpoint tail, not the replay; the
     # per-advance shape (1 full-outer join + 1 groupBy, O(users) state)
