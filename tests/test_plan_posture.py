@@ -84,6 +84,9 @@ BNLJ_ALLOWED = {
                                     # split), one per profiled table
                                     # (orders + events) — all sides
                                     # single rows by construction
+    "bm25_top_docs": 1,             # 1-row global constants (T, dfs)
+                                    # cross-joined back to per-doc rows
+                                    # — bounded by construction
     "ngram_jaccard_allpairs": 1,    # labeled exact all-pairs baseline
     "embedding_neardup_allpairs": 1,  # labeled exact all-pairs baseline
     "ann_cosine_topk": 1,           # labeled brute-force ANN baseline
