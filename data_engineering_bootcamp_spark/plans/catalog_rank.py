@@ -269,15 +269,20 @@ def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-15 documents by BM25 for the fixed query
     ``spark window vector``.
 
-    Scale shape — ONE corpus pass: a single groupBy(doc_id) computes
-    document length AND the per-query-term tfs (conditional sums: the
-    query is a pinned 3-term list, so the per-term structure unrolls
-    into columns — no token-level join, no second scan); the global
-    constants (total tokens T, per-term dfs) reduce that |docs|-row
-    table to ONE row, recombined by a broadcast-trivial cross join;
-    scoring is then row-local integer arithmetic and the top-15 runs
-    as TakeOrderedAndProject on (score DESC, doc_id). N comes from a
-    parquet metadata count (no data read). Document score = SUM of
+    Scale shape: a single groupBy(doc_id) computes document length AND
+    the per-query-term tfs (conditional sums: the query is a pinned
+    3-term list, so the per-term structure unrolls into columns — no
+    token-level join); the global constants (total tokens T, per-term
+    dfs) reduce that |docs|-row table to ONE row, recombined by a
+    broadcast-trivial cross join; scoring is then row-local integer
+    arithmetic and the top-15 runs as TakeOrderedAndProject on
+    (score DESC, doc_id). N comes from a parquet metadata count (no
+    data read). The per-doc aggregate is referenced TWICE (global
+    reduce + scoring join), so the lazy plan tokenizes the corpus
+    twice — kept lazy here so the posture suite audits the plan
+    (PLANS.md: 2-column pruned scans, one bounded 1-row BNLJ); at
+    production scale persist/localCheckpoint `per_doc` to make it one
+    corpus pass plus a |docs|-row rescan. Document score = SUM of
     per-term integer micro-scores, so it is associative and exact —
     no float-sum order dependence (see _bm25_micro for the envelope
     on the two ln calls)."""
