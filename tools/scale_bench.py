@@ -1250,6 +1250,51 @@ def bench_bucketed_selfjoin(spark):
     return out
 
 
+def bench_bpe_train(spark) -> dict:
+    """BPE merge training scale claim: per-step cost is a pair-count
+    shuffle over the |vocab|-row DISTINCT word table, so wall scales
+    with VOCABULARY size and is INVARIANT to corpus mass (word
+    frequencies are weights in the sum, not rows). Three synthetic
+    word tables built entirely in-Spark (base-36 id words, Zipf-ish
+    integer freqs): 50k vocab, 200k vocab (4x rows), and 50k vocab
+    with every freq x100 (100x corpus mass, same rows). 4 training
+    steps each, one warmup run absorbs JVM/codegen (the pagerank
+    section's protocol)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_bootcamp_spark.operators.bpe import (
+        bpe_train_merges,
+    )
+
+    def vocab(n: int, freq_mult: int = 1):
+        return spark.range(n).select(
+            F.conv(F.col("id").cast("string"), 10, 36).alias("token"),
+            (
+                F.lit(1_000_000 * freq_mult) / (F.col("id") + 1)
+            ).cast("long").alias("freq"),
+        ).where(F.length("token") >= 2)
+
+    out: dict = {}
+    bpe_train_merges(vocab(5_000), iterations=1).count()  # warmup
+    for key, n, mult in (
+        ("vocab50k", 50_000, 1),
+        ("vocab200k", 200_000, 1),
+        ("vocab50k_freq100x", 50_000, 100),
+    ):
+        t0 = time.perf_counter()
+        rules = bpe_train_merges(vocab(n, mult), iterations=4)
+        n_rules = rules.count()
+        out[f"{key}_sec"] = round(time.perf_counter() - t0, 3)
+        out[f"{key}_rules"] = n_rules
+    out["vocab_4x_wall_ratio"] = round(
+        out["vocab200k_sec"] / out["vocab50k_sec"], 2
+    )
+    out["corpus_100x_wall_ratio"] = round(
+        out["vocab50k_freq100x_sec"] / out["vocab50k_sec"], 2
+    )
+    return out
+
+
 SECTIONS = {
     "skew_join": bench_skew,
     "ngram_neardup": bench_ngram,
@@ -1265,6 +1310,7 @@ SECTIONS = {
     "interval_sweep": bench_interval_sweep,
     "kmv_overlap": bench_kmv,
     "bucketed_selfjoin": bench_bucketed_selfjoin,
+    "bpe_train": bench_bpe_train,
 }
 
 
