@@ -145,6 +145,7 @@ HEADLINE = [
     "bpe_train_merges",
     "bpe_encode_corpus",
     "bm25_top_docs",
+    "ann_pq_adc",
     # The three replay entries (pipeline_replay_31d, scd_replay_31d,
     # users_cumulated_replay_31d) are deliberately NOT headlines: their
     # wall time is ~90% driver-side plan composition of 31 sequential

@@ -522,6 +522,40 @@ def _ivf_assigner(spark, C_raw: np.ndarray):
     return assign
 
 
+def _md5_sample(src: DataFrame, need: int) -> list:
+    """The `need` rows of a (vid, v) relation with the smallest
+    md5(CAST(vid AS STRING)) — the deterministic pseudo-random sample
+    all quantizer training here runs on (extracted from ivf_centroids
+    so the PQ trainer shares it verbatim).
+
+    Hash-threshold pre-filter (VERDICT r3 #8): the smallest-md5 sample
+    is a TakeOrdered — linear with a bounded heap, but still a
+    full-corpus candidate stream at 100 TB. Pre-filtering to rows
+    whose 32-bit md5 prefix falls under ~4x the needed fraction keeps
+    the heap fed by a corpus-size-independent trickle; because the
+    filter is a prefix of the SAME ordering key, the surviving
+    smallest `need` rows are identical to the unfiltered result
+    whenever the filter passes >= `need` rows (deterministic fallback
+    below covers the vanishingly-rare undershoot). When the corpus
+    fits in the sample (all gate scales) no filter applies and the
+    sample covers the entire corpus, unchanged."""
+    n = src.count()
+    key = F.md5(F.col("vid").cast("string"))
+    cand = src
+    if n > need:
+        frac = min(1.0, 4.0 * need / n)
+        bound = int(frac * 16**8)
+        if bound < 16**8:
+            cand = src.where(
+                F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+                < F.lit(bound)
+            )
+    sample_rows = cand.orderBy(key, "vid").limit(need).collect()
+    if len(sample_rows) < min(need, n):
+        sample_rows = src.orderBy(key, "vid").limit(need).collect()
+    return sample_rows
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 32,
@@ -560,32 +594,7 @@ def ivf_centroids(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     )
-    need = max(sample_size, n_centroids)
-    # Hash-threshold pre-filter (VERDICT r3 #8): the smallest-md5 sample
-    # is a TakeOrdered — linear with a bounded heap, but still a
-    # full-corpus candidate stream at 100 TB. Pre-filtering to rows
-    # whose 32-bit md5 prefix falls under ~4x the needed fraction keeps
-    # the heap fed by a corpus-size-independent trickle; because the
-    # filter is a prefix of the SAME ordering key, the surviving
-    # smallest `need` rows are identical to the unfiltered result
-    # whenever the filter passes >= `need` rows (deterministic fallback
-    # below covers the vanishingly-rare undershoot). When the corpus
-    # fits in the sample (all gate scales) no filter applies and the
-    # sample covers the entire corpus, unchanged.
-    n = src.count()
-    key = F.md5(F.col("vid").cast("string"))
-    cand = src
-    if n > need:
-        frac = min(1.0, 4.0 * need / n)
-        bound = int(frac * 16**8)
-        if bound < 16**8:
-            cand = src.where(
-                F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
-                < F.lit(bound)
-            )
-    sample_rows = cand.orderBy(key, "vid").limit(need).collect()
-    if len(sample_rows) < min(need, n):
-        sample_rows = src.orderBy(key, "vid").limit(need).collect()
+    sample_rows = _md5_sample(src, max(sample_size, n_centroids))
     X = np.array([r.v for r in sample_rows], dtype=np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     C = X[:n_centroids].copy()
@@ -1158,6 +1167,222 @@ def cosine_topk_q8_rerank(
         .select(
             F.col("qid").alias("query_id"),
             F.col("nid").alias("neighbor_id"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ADC scan — the third ANN scale path
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    _src: DataFrame | None = None,
+    sample_size: int = 4096,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou, Douze & Schmid 2011),
+    deterministic and oracle-reproducible, trained DRIVER-SIDE on the
+    same bounded md5-ordered sample as `ivf_centroids`.
+
+    Vectors are L2-NORMALIZED first (cosine NN over unit vectors ==
+    Euclidean NN, the standard cosine-PQ reduction), then the dimension
+    axis splits into `m` equal subspaces and each subspace trains its
+    own k-means (k = `n_codes`) with the family's exact-replay rules:
+    seeds = the first `n_codes` sample subvectors in md5 order, Lloyd
+    assignment by squared L2 with lowest-code tie-break, means ROUNDed
+    to 6dp, empty cells keep their seed. Returns (m, n_codes, dim/m).
+    Training touches a FIXED-size sample regardless of corpus size (the
+    FAISS train() contract); at gate scales the sample covers the whole
+    corpus so the exhaustive SQL oracle is exact.
+    """
+    src = _src if _src is not None else fan_out(
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
+    sample_rows = _md5_sample(src, max(sample_size, n_codes))
+    X = np.array([r.v for r in sample_rows], dtype=np.float64)
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = U.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for j in range(m):
+        S = U[:, j * dsub:(j + 1) * dsub]
+        C = S[:n_codes].copy()
+        for _ in range(int(lloyd_iters)):
+            # squared-L2 argmin; ties to the lowest code id (argmin
+            # returns the first minimum) — the oracle's ORDER BY
+            # dist ASC, cid ASC
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cell = d2.argmin(axis=1)
+            newC = C.copy()  # empty cells keep their seed
+            for b in range(n_codes):
+                members = cell == b
+                if members.any():
+                    mu = S[members].mean(axis=0)
+                    # HALF_UP away from zero: matches F.round / DuckDB
+                    newC[b] = np.copysign(
+                        np.floor(np.abs(mu) * 1e6 + 0.5), mu
+                    ) / 1e6
+            C = newC
+        books[j] = C
+    return books
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 1,
+) -> DataFrame:
+    """PQ + asymmetric-distance (ADC) approximate cosine top-k — the
+    third ANN scale path beside `cosine_topk_lsh` (bucketed) and
+    `cosine_topk_ivf` (inverted file). Where IVF wins by SELECTIVITY
+    (probe a fraction of buckets), PQ wins by BANDWIDTH: the scan
+    relation carries `m` small integer codes per vector instead of the
+    raw floats (64 dims -> 4 bytes of codes at m=4, a ~64x scan-byte
+    reduction at 100 TB), and per-query work is a table lookup + `m`
+    additions per vector. The raw vectors are touched again only for
+    the `n_candidates`-row exact rerank (an equi join back on id).
+
+    Determinism contract (family rules): codebooks from
+    `pq_codebooks`; encode = squared-L2 argmin with lowest-code
+    tie-break; the query's distance table is ROUNDed to 6dp per cell
+    and the ADC distance sums the m cells IN SUBSPACE ORDER (fixed
+    association, so both engines add the same doubles in the same
+    order); candidates = `n_candidates` smallest (adc ASC, id ASC);
+    final = exact cosine ROUND 6 over the candidates, top-k by
+    (cosine DESC, id ASC). The DuckDB oracle replays every stage.
+    """
+    from .dedup import _persist
+
+    _require_integral_ids(corpus, id_col, "cosine_topk_pq")
+    _require_integral_ids(queries, id_col, "cosine_topk_pq")
+    src = _persist(
+        fan_out(
+            corpus.select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+        )
+    )
+    books = pq_codebooks(
+        corpus, m=m, n_codes=n_codes, lloyd_iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col, _src=src,
+    )
+    dsub = books.shape[2]
+    spark = corpus.sparkSession
+    bc_books = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        B = bc_books.value
+        mm, kk, dd = B.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _np.array(list(pdf["v"]), dtype=_np.float64)
+            U = X / _np.linalg.norm(X, axis=1, keepdims=True)
+            cs = []
+            for j in range(mm):
+                S = U[:, j * dd:(j + 1) * dd]
+                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                cs.append(d2.argmin(axis=1).astype("int32"))
+            yield _pd.DataFrame(
+                {"vid": pdf["vid"], "codes": list(_np.stack(cs, axis=1))}
+            )
+
+    codes = src.mapInPandas(encode, schema="vid bigint, codes array<int>")
+
+    def dtables(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        B = bc_books.value
+        mm, kk, dd = B.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = _np.array(list(pdf["qv"]), dtype=_np.float64)
+            Un = Q / _np.linalg.norm(Q, axis=1, keepdims=True)
+            flat = []
+            for r in range(Q.shape[0]):
+                row = []
+                for j in range(mm):
+                    s = Un[r, j * dd:(j + 1) * dd]
+                    d2 = ((B[j] - s[None, :]) ** 2).sum(axis=1)
+                    # HALF_UP 6dp per cell — the cross-engine contract
+                    row.extend(
+                        _np.floor(d2 * 1e6 + 0.5) / 1e6
+                    )
+                flat.append(row)
+            yield _pd.DataFrame(
+                {"query_id": pdf["qid"], "dt": flat, "qv": pdf["qv"]}
+            )
+
+    qrel = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).mapInPandas(
+        dtables, schema="query_id bigint, dt array<double>, qv array<double>"
+    )
+
+    # ADC scan: narrow codes relation x broadcast queries; adc adds the
+    # m looked-up cells in subspace order (fixed association)
+    adc = None
+    for j in range(m):
+        cell = F.element_at(
+            F.col("dt"),
+            (F.lit(j * n_codes) + F.element_at(F.col("codes"), j + 1) + 1)
+            .cast("int"),
+        )
+        adc = cell if adc is None else adc + cell
+    cand = (
+        codes.join(F.broadcast(qrel), F.col("query_id") != F.col("vid"))
+        .select("query_id", "vid", "qv", adc.alias("adc"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vid"))
+    top = (
+        cand.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= n_candidates)
+        .select("query_id", "vid", "qv")
+    )
+    # exact rerank: candidates join back to the raw vectors by id
+    rer = top.join(src, "vid").select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("v"))
+            / (_norm(F.col("qv")) * _norm(F.col("v"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
             "cosine",
             F.col("rank").cast("int").alias("rank"),
         )

@@ -1365,11 +1365,11 @@ _GATE_FIRST = [
     # r13 rotation (VERDICT r12 #1, the standing 3-round freshness
     # policy): promote (a) the 29 entries whose newest driver row is
     # r10 — exactly the "first in line" cohort the r12 rotation queued,
-    # (b) the three NEW entries (BPE merge training + encode and BM25
-    # scoring per VERDICT r12 #5/#6 — gated immediately so they never
-    # sit without a driver row), and (c) the first 18 of the 49
-    # entries whose newest row is r11 (list order; the remaining 31
-    # lead the r14 prefix). After this rotation no entry's newest driver row is
+    # (b) the four NEW entries (BPE merge training + encode, BM25
+    # scoring per VERDICT r12 #5/#6, and the PQ/ADC ANN path — gated
+    # immediately so they never sit without a driver row), and (c) the
+    # first 17 of the 49 entries whose newest row is r11 (list order;
+    # the remaining 32 lead the r14 prefix). After this rotation no entry's newest driver row is
     # older than r11 and the cadence is self-sustaining.
     # the 29 entries whose newest driver row was r10
     "partitioned_prune_rollup",  # S6 S7; r10 row
@@ -1405,7 +1405,8 @@ _GATE_FIRST = [
     "bpe_train_merges",        # iterative BPE vocab training; NEW r13
     "bpe_encode_corpus",       # merge-table tokenizer application; NEW r13
     "bm25_top_docs",           # BM25 retrieval scoring; NEW r13
-    # the first 18 of the 49 entries whose newest driver row was r11
+    "ann_pq_adc",              # PQ/ADC third ANN scale path; NEW r13
+    # the first 17 of the 49 entries whose newest driver row was r11
     "simhash_pairs",           # 4x15-bit pigeonhole near-dup; r11 row
     "skew_salted_agg",         # salted skewed aggregate; r11 row
     "asof_latest_order",       # as-of join; r11 row
@@ -1423,14 +1424,15 @@ _GATE_FIRST = [
     "skew_salted_join",        # salted join twin; r11 row
     "semantic_dedup",          # SemDeDup cluster-then-dedup; r11 row
     "media_resize",            # NN resize + re-encode; r11 row
-    "doc_bigram_lm_score",     # bigram-LM quality score; r11 row
 ]
 
 _GATE_REST = [
-    # the 31 r11-row entries that didn't fit this round's 50 slots
-    # (line_dedup_rebuild ceded its slot to the third new entry);
+    # the 32 r11-row entries that didn't fit this round's 50 slots
+    # (line_dedup_rebuild and doc_bigram_lm_score ceded their slots
+    # to the third and fourth new entries);
     # FIRST IN LINE for the r14 prefix (they'll be exactly 3 rounds
     # old then — the standing maintenance cadence)
+    "doc_bigram_lm_score",     # bigram-LM quality score; r11 row
     "line_dedup_rebuild",      # C4/RefinedWeb segment removal; r11 row
     "kmv_set_ops",             # bottom-k sketch set algebra; r11 row
     "doc_winnow_fingerprint",  # set-stats winnow twin; r11 row

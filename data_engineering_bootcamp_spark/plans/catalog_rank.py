@@ -1,5 +1,6 @@
-"""Round-13 catalog additions: the two retrieval/tokenizer kernels the
-LLM-pipeline surface still lacked (VERDICT r12 #5 and #6).
+"""Round-13 catalog additions: the retrieval/tokenizer kernels the
+LLM-pipeline surface still lacked (VERDICT r12 #5 and #6), plus the
+third ANN scale path (PQ/ADC) and the tokenizer-application pass.
 
 - ``bpe_train_merges`` — closes the tokenizer loop: where
   ``bpe_merge_candidates`` stops at pass-2 pair statistics, this runs
@@ -20,6 +21,12 @@ LLM-pipeline surface still lacked (VERDICT r12 #5 and #6).
   micro-units where a cross-engine last-ulp difference flips the hash
   only with probability ~1e-9 per row (documented envelope; same
   exposure class as ``exact_percentiles``'s ROUND, but on integers).
+- ``bpe_encode_corpus`` — the tokenizer-application pass: learned
+  merge rules applied in step order (operators/bpe.bpe_apply_merges).
+- ``ann_pq_adc`` — product-quantization ADC approximate top-k
+  (operators/similarity.cosine_topk_pq): the bandwidth-bound ANN scan
+  (narrow integer-code relation) beside LSH's bucketing and IVF's
+  selectivity, under the family's exact-replay determinism rules.
 """
 
 from __future__ import annotations
@@ -381,14 +388,143 @@ ORACLE_BM25_TOP_DOCS = (
 )
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ADC approximate nearest neighbors
+# ---------------------------------------------------------------------------
+
+PQ_M = 16          # subspaces (64 dims -> 4 dims each)
+PQ_CODES = 16      # codewords per subspace
+PQ_CANDS = 50      # ADC candidates fed to the exact rerank
+PQ_K = 5
+
+
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + asymmetric-distance (ADC) approximate cosine top-5 — the
+    third ANN scale path beside LSH (bucketed) and IVF (inverted
+    file): the scan relation carries 16 small integer codes per vector
+    instead of 64 doubles (~32x scan-byte reduction), per-query work is
+    a distance-table lookup + 16 additions per vector, and raw vectors
+    are touched again only for the 50-candidate exact rerank (equi
+    join back on id). Training/encode/ADC determinism contract on
+    `operators.similarity.cosine_topk_pq`; recall@5 vs brute force is
+    pinned >= 0.7 in tests (measured 0.88 at sf0.01). The oracle
+    replays the ENTIRE recipe — md5-ordered seeds, one Lloyd round per
+    subspace (squared-L2 zip-lambda, 6dp-rounded means), encode,
+    6dp-rounded distance tables summed in subspace order, candidate
+    cut, exact rerank."""
+    from ..operators.similarity import cosine_topk_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_pq(
+        emb, queries, k=PQ_K, m=PQ_M, n_codes=PQ_CODES,
+        n_candidates=PQ_CANDS, lloyd_iters=1,
+    )
+
+
+def _pq_oracle() -> str:
+    dsub = 64 // PQ_M
+    # squared L2 between two lists, exact zip-lambda form (NOT
+    # list_distance^2: squaring the sqrt differs in the last ulp from
+    # the direct sum of squares the Spark side computes)
+    def d2(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(list_zip({a}, {b}), "
+                f"x -> (x[1] - x[2]) ^ 2))")
+
+    adc_terms = " + ".join(
+        f"dts[{j * PQ_CODES} + cs[{j + 1}] + 1]" for j in range(PQ_M)
+    )
+    sub = f"u[cb.j*{dsub}+1 : cb.j*{dsub}+{dsub}]"
+    sub_s0 = f"u[s0.j*{dsub}+1 : s0.j*{dsub}+{dsub}]"
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+vn AS MATERIALIZED (
+  SELECT vec_id, e,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+  FROM v),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cid, u
+  FROM vn ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_CODES}),
+js AS (SELECT unnest(range(0, {PQ_M})) AS j),
+s0 AS MATERIALIZED (
+  SELECT js.j, s.cid, s.u[js.j*{dsub}+1 : js.j*{dsub}+{dsub}] AS c
+  FROM seeds s, js),
+a1 AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vn.vec_id, s0.j, s0.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY vn.vec_id, s0.j
+             ORDER BY {d2("vn." + sub_s0, "s0.c")} ASC, s0.cid ASC) AS rn
+    FROM vn, s0) WHERE rn = 1),
+mm AS (
+  SELECT a1.j, a1.cid, dd.d, ROUND(AVG(vn.u[a1.j*{dsub} + dd.d]), 6) AS mv
+  FROM a1 JOIN vn USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, {dsub + 1})) AS d) dd
+  GROUP BY 1, 2, 3),
+ml AS (SELECT j, cid, list(mv ORDER BY d) AS c FROM mm GROUP BY j, cid),
+cb AS MATERIALIZED (
+  SELECT s0.j, s0.cid, COALESCE(ml.c, s0.c) AS c
+  FROM s0 LEFT JOIN ml ON s0.j = ml.j AND s0.cid = ml.cid),
+codes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vn.vec_id, cb.j, cb.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY vn.vec_id, cb.j
+             ORDER BY {d2("vn." + sub, "cb.c")} ASC, cb.cid ASC) AS rn
+    FROM vn, cb) WHERE rn = 1),
+cl AS MATERIALIZED (
+  SELECT vec_id, list(cid ORDER BY j) AS cs FROM codes GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, u FROM vn WHERE vec_id < 10),
+dt AS (
+  SELECT q.query_id, cb.j, cb.cid,
+         ROUND({d2("q." + sub, "cb.c")}, 6) AS dd2
+  FROM q, cb),
+dtl AS MATERIALIZED (
+  SELECT query_id, list(dd2 ORDER BY j, cid) AS dts FROM dt GROUP BY query_id),
+adc AS (
+  SELECT dtl.query_id, cl.vec_id, ({adc_terms}) AS ad
+  FROM cl, dtl WHERE cl.vec_id <> dtl.query_id),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ad ASC, vec_id ASC) AS rn
+    FROM adc) WHERE rn <= {PQ_CANDS}),
+scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+  FROM cand c
+  JOIN v a ON a.vec_id = c.query_id
+  JOIN v b ON b.vec_id = c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank::INT AS rank
+FROM ranked WHERE rank <= {PQ_K}
+"""
+
+
+ORACLE_ANN_PQ_ADC = _pq_oracle()
+
+
 RANK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_encode_corpus": q_bpe_encode_corpus,
     "bm25_top_docs": q_bm25_top_docs,
+    "ann_pq_adc": q_ann_pq_adc,
 }
 
 RANK_ORACLES: dict[str, str] = {
     "bpe_train_merges": ORACLE_BPE_TRAIN_MERGES,
     "bpe_encode_corpus": ORACLE_BPE_ENCODE_CORPUS,
     "bm25_top_docs": ORACLE_BM25_TOP_DOCS,
+    "ann_pq_adc": ORACLE_ANN_PQ_ADC,
 }

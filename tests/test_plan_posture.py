@@ -84,6 +84,10 @@ BNLJ_ALLOWED = {
                                     # split), one per profiled table
                                     # (orders + events) — all sides
                                     # single rows by construction
+    "ann_pq_adc": 1,                # bounded query side by contract:
+                                    # the ADC scan joins the narrow
+                                    # codes relation to the broadcast
+                                    # (<=10-row) query distance tables
     "bm25_top_docs": 1,             # 1-row global constants (T, dfs)
                                     # cross-joined back to per-doc rows
                                     # — bounded by construction
