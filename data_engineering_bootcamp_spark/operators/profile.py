@@ -49,11 +49,13 @@ def profile_table(
         raise ValueError("profile_table: columns must be non-empty")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
-        aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
+        # df[c] resolves by EXACT name lookup; F.col(c) would parse
+        # dots as struct access and cannot express backticked names
+        aggs.append(F.count(df[c]).alias(f"__nn_{i}"))
         if exact_distinct:
-            aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{i}"))
+            aggs.append(F.countDistinct(df[c]).alias(f"__nd_{i}"))
         else:
-            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__nd_{i}"))
+            aggs.append(F.approx_count_distinct(df[c]).alias(f"__nd_{i}"))
     one = df.agg(*aggs)
     stack_args = ", ".join(
         f"{_name_lit(c)}, __nn_{i}, __nd_{i}" for i, c in enumerate(cols)
@@ -121,10 +123,10 @@ def profile_table_approx_check(
     ex_aggs = [F.count(F.lit(1)).alias("__n")]
     ap_aggs = []
     for i, c in enumerate(cols):
-        ex_aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
-        ex_aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{i}"))
+        ex_aggs.append(F.count(df[c]).alias(f"__nn_{i}"))
+        ex_aggs.append(F.countDistinct(df[c]).alias(f"__nd_{i}"))
         ap_aggs.append(
-            F.approx_count_distinct(F.col(c), rsd).alias(f"__ad_{i}")
+            F.approx_count_distinct(df[c], rsd).alias(f"__ad_{i}")
         )
     one = df.agg(*ex_aggs).crossJoin(df.agg(*ap_aggs))
     stack_args = ", ".join(

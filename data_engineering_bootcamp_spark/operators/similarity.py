@@ -1333,19 +1333,22 @@ def cosine_topk_pq(
                         _np.floor(d2 * 1e6 + 0.5) / 1e6
                     )
                 flat.append(row)
-            yield _pd.DataFrame(
-                {"query_id": pdf["qid"], "dt": flat, "qv": pdf["qv"]}
-            )
+            yield _pd.DataFrame({"query_id": pdf["qid"], "dt": flat})
 
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
     qrel = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).mapInPandas(
-        dtables, schema="query_id bigint, dt array<double>, qv array<double>"
-    )
+    ).mapInPandas(dtables, schema="query_id bigint, dt array<double>")
 
     # ADC scan: narrow codes relation x broadcast queries; adc adds the
-    # m looked-up cells in subspace order (fixed association)
+    # m looked-up cells in subspace order (fixed association). The scan
+    # and its row_number window carry ONLY (query_id, vid, adc) — the
+    # raw query vector would dominate the per-pair shuffle row (~512 B
+    # vs ~20 B) and joins back AFTER the n_candidates cut instead.
     adc = None
     for j in range(m):
         cell = F.element_at(
@@ -1356,16 +1359,17 @@ def cosine_topk_pq(
         adc = cell if adc is None else adc + cell
     cand = (
         codes.join(F.broadcast(qrel), F.col("query_id") != F.col("vid"))
-        .select("query_id", "vid", "qv", adc.alias("adc"))
+        .select("query_id", "vid", adc.alias("adc"))
     )
     wc = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vid"))
     top = (
         cand.withColumn("crank", F.row_number().over(wc))
         .where(F.col("crank") <= n_candidates)
-        .select("query_id", "vid", "qv")
+        .select("query_id", "vid")
     )
-    # exact rerank: candidates join back to the raw vectors by id
-    rer = top.join(src, "vid").select(
+    # exact rerank: candidates join back to the raw vectors by id and
+    # to the (broadcast-size) query vectors by query_id
+    rer = top.join(src, "vid").join(F.broadcast(qvec), "query_id").select(
         "query_id",
         F.col("vid").alias("neighbor_id"),
         F.round(

@@ -418,6 +418,18 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk_pq
 
     emb = _t(spark, sf_dir, "embeddings")
+    # Oracle-parity seam guard: pq_codebooks trains Lloyd on a bounded
+    # md5 sample (<=4096 rows) while the SQL oracle assigns/averages
+    # over the ENTIRE corpus; the two agree only while the sample
+    # covers the corpus. Fail loudly if a future fixture outgrows the
+    # sample instead of producing a silent hash mismatch.
+    n = emb.count()
+    if n > 4096:
+        raise AssertionError(
+            f"ann_pq_adc oracle parity requires corpus <= sample_size "
+            f"(4096); embeddings has {n} rows — raise sample_size or "
+            f"switch the oracle to replay the sampled training set"
+        )
     queries = emb.where(F.col("vec_id") < 10)
     return cosine_topk_pq(
         emb, queries, k=PQ_K, m=PQ_M, n_codes=PQ_CODES,

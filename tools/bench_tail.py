@@ -92,7 +92,9 @@ def main() -> int:
                     release_caches()
                 except Exception:
                     pass
-        if per_rep:
+        # an entry that errored mid-run records ONLY under errors —
+        # a median of 1-2 surviving reps must not read as a 3-rep median
+        if per_rep and name not in errors:
             timings[name] = round(statistics.median(per_rep), 3)
             reps_out[name] = per_rep
         print(f"{name:34s} {timings.get(name, float('nan')):7.3f}s "
