@@ -146,6 +146,8 @@ HEADLINE = [
     "bpe_encode_corpus",
     "bm25_top_docs",
     "ann_pq_adc",
+    # round-14 addition: the IVFADC composition of the IVF and PQ paths
+    "ann_ivfpq",
     # The three replay entries (pipeline_replay_31d, scd_replay_31d,
     # users_cumulated_replay_31d) are deliberately NOT headlines: their
     # wall time is ~90% driver-side plan composition of 31 sequential

@@ -1211,13 +1211,26 @@ def pq_codebooks(
     sample_rows = _md5_sample(src, max(sample_size, n_codes))
     X = np.array([r.v for r in sample_rows], dtype=np.float64)
     U = X / np.linalg.norm(X, axis=1, keepdims=True)
-    dim = U.shape[1]
+    return _subspace_lloyd(U, m, n_codes, lloyd_iters)
+
+
+def _subspace_lloyd(
+    R: np.ndarray, m: int, n_codes: int, lloyd_iters: int
+) -> np.ndarray:
+    """Per-subspace k-means with the family's exact-replay rules
+    (shared by `pq_codebooks` on normalized vectors and
+    `cosine_topk_ivfpq` on coarse-quantizer residuals): seeds = the
+    first `n_codes` rows (callers pass md5-ordered samples), Lloyd
+    assignment by squared L2 with lowest-code tie-break, means ROUNDed
+    to 6dp HALF_UP, empty cells keep their seed. Returns
+    (m, n_codes, dim/m)."""
+    dim = R.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     books = np.empty((m, n_codes, dsub), dtype=np.float64)
     for j in range(m):
-        S = U[:, j * dsub:(j + 1) * dsub]
+        S = R[:, j * dsub:(j + 1) * dsub]
         C = S[:n_codes].copy()
         for _ in range(int(lloyd_iters)):
             # squared-L2 argmin; ties to the lowest code id (argmin
@@ -1369,6 +1382,224 @@ def cosine_topk_pq(
     )
     # exact rerank: candidates join back to the raw vectors by id and
     # to the (broadcast-size) query vectors by query_id
+    rer = top.join(src, "vid").join(F.broadcast(qvec), "query_id").select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("v"))
+            / (_norm(F.col("qv")) * _norm(F.col("v"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 16,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 1,
+    sample_size: int = 4096,
+) -> DataFrame:
+    """IVF + PQ-on-residuals (IVFADC, Jégou, Douze & Schmid 2011 §V) —
+    the composition of the two existing scale paths that each cover one
+    axis: `cosine_topk_ivf` wins by SELECTIVITY (probe n_probe of
+    n_centroids buckets) but scans raw floats inside each bucket;
+    `cosine_topk_pq` wins by BANDWIDTH (m byte-ish codes per vector)
+    but its ADC pass is a full linear scan. Composed, the candidate
+    pass reads only the probed buckets' code rows — an EQUI hash join
+    on bucket id (contrast the PQ-only path's `query_id != vid`
+    nested-loop scan), each row carrying m small ints — so at 100 TB
+    per-query work is ~(n_probe / n_centroids) x (codes bytes / raw
+    bytes) of a brute scan.
+
+    Recipe, every stage deterministic and SQL-replayable:
+
+    1. Coarse quantizer: `ivf_centroids` (md5-sample seeds + Lloyd,
+       6dp means) — shared verbatim with the IVF path.
+    2. Residual basis: rc = ROUND(C / ||C||, 6) per centroid. The
+       ROUND is the cross-engine contract point; assignment itself
+       uses the UNROUNDED normalized centroids exactly like
+       `_ivf_assigner`, so bucket ids match the IVF path bit-for-bit.
+    3. PQ codebooks train on the md5-sample's residuals r = u - rc[b]
+       (u = the L2-normalized vector) via `_subspace_lloyd` — the
+       same seed/tie/round rules as `pq_codebooks`, different input
+       space. Training touches a FIXED-size sample (FAISS train()
+       contract); at gate scales the sample covers the corpus so the
+       exhaustive SQL oracle stays exact (callers assert this seam).
+    4. Encode pass (ONE mapInPandas over the corpus): bucket = argmax
+       cosine (ties to lowest cid), codes[j] = argmin squared-L2 of
+       the residual subvector vs codebook j (ties to lowest code).
+       Output relation is (vid, bucket, m codes) — narrow.
+    5. Probe pass (mapInPandas over the queries): n_probe nearest
+       centroids (score DESC, cid ASC), and per probed bucket the
+       6dp-ROUNDed distance table of the query residual vs every
+       codeword, flattened j-major. Output (query_id, bucket, dt)
+       broadcasts into the candidate join.
+    6. ADC: candidates = codes ⋈ probes ON bucket (equi), adc = the m
+       looked-up cells summed IN SUBSPACE ORDER (fixed association);
+       keep n_candidates per query by (adc ASC, vid ASC). The scan
+       and its window carry only (query_id, vid, adc).
+    7. Exact rerank: candidates join raw vectors by id + broadcast
+       query vectors by query_id; cosine ROUND 6; top-k by
+       (cosine DESC, id ASC).
+    """
+    from .dedup import _persist
+
+    _require_integral_ids(corpus, id_col, "cosine_topk_ivfpq")
+    _require_integral_ids(queries, id_col, "cosine_topk_ivfpq")
+    src = _persist(
+        fan_out(
+            corpus.select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+        )
+    )
+    C = ivf_centroids(
+        corpus, n_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col,
+        _src=src, sample_size=sample_size,
+    )
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    # the residual basis: HALF_UP 6dp of the normalized centroids —
+    # the one extra rounding contract this composition adds
+    rc = np.copysign(np.floor(np.abs(Cn) * 1e6 + 0.5), Cn) / 1e6
+
+    # PQ codebooks on the SAMPLE's residuals (same md5 sample the
+    # coarse trainer used, so one TakeOrdered job serves both)
+    sample_rows = _md5_sample(src, max(sample_size, n_codes))
+    Xs = np.array([r.v for r in sample_rows], dtype=np.float64)
+    Us = Xs / np.linalg.norm(Xs, axis=1, keepdims=True)
+    Rs = Us - rc[(Us @ Cn.T).argmax(axis=1)]
+    books = _subspace_lloyd(Rs, m, n_codes, lloyd_iters)
+    dsub = books.shape[2]
+
+    spark = corpus.sparkSession
+    bc_cn = spark.sparkContext.broadcast(Cn)
+    bc_rc = spark.sparkContext.broadcast(rc)
+    bc_books = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        # self-contained closure (executors may lack this package)
+        import numpy as _np
+        import pandas as _pd
+
+        cents = bc_cn.value
+        rbase = bc_rc.value
+        B = bc_books.value
+        mm, kk, dd = B.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _np.array(list(pdf["v"]), dtype=_np.float64)
+            U = X / _np.linalg.norm(X, axis=1, keepdims=True)
+            bucket = (U @ cents.T).argmax(axis=1)
+            R = U - rbase[bucket]
+            cs = []
+            for j in range(mm):
+                S = R[:, j * dd:(j + 1) * dd]
+                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                cs.append(d2.argmin(axis=1).astype("int32"))
+            yield _pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "bucket": bucket.astype("int32"),
+                    "codes": list(_np.stack(cs, axis=1)),
+                }
+            )
+
+    codes = src.mapInPandas(
+        encode, schema="vid bigint, bucket int, codes array<int>"
+    )
+
+    n_probe_ = min(int(n_probe), Cn.shape[0])
+
+    def probe_tables(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        cents = bc_cn.value
+        rbase = bc_rc.value
+        B = bc_books.value
+        mm, kk, dd = B.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = _np.array(list(pdf["qv"]), dtype=_np.float64)
+            Qn = Q / _np.linalg.norm(Q, axis=1, keepdims=True)
+            # stable sort on -score: ties resolve to the lowest bucket
+            # id — the oracle's ORDER BY score DESC, cid ASC
+            order = _np.argsort(-(Qn @ cents.T), axis=1, kind="stable")[
+                :, :n_probe_
+            ]
+            qids, bks, dts = [], [], []
+            for r in range(Qn.shape[0]):
+                for b in order[r]:
+                    rq = Qn[r] - rbase[b]
+                    row = []
+                    for j in range(mm):
+                        s = rq[j * dd:(j + 1) * dd]
+                        d2 = ((B[j] - s[None, :]) ** 2).sum(axis=1)
+                        # HALF_UP 6dp per cell — the contract
+                        row.extend(_np.floor(d2 * 1e6 + 0.5) / 1e6)
+                    qids.append(pdf["qid"].iloc[r])
+                    bks.append(int(b))
+                    dts.append(row)
+            yield _pd.DataFrame(
+                {"query_id": qids, "bucket": bks, "dt": dts}
+            )
+
+    probes = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).mapInPandas(
+        probe_tables, schema="query_id bigint, bucket int, dt array<double>"
+    )
+
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+
+    # ADC over probed buckets only: EQUI join codes ⋈ probes on bucket
+    adc = None
+    for j in range(m):
+        cell = F.element_at(
+            F.col("dt"),
+            (F.lit(j * n_codes) + F.element_at(F.col("codes"), j + 1) + 1)
+            .cast("int"),
+        )
+        adc = cell if adc is None else adc + cell
+    cand = (
+        codes.join(F.broadcast(probes), "bucket")
+        .where(F.col("query_id") != F.col("vid"))
+        .select("query_id", "vid", adc.alias("adc"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vid"))
+    top = (
+        cand.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= n_candidates)
+        .select("query_id", "vid")
+    )
     rer = top.join(src, "vid").join(F.broadcast(qvec), "query_id").select(
         "query_id",
         F.col("vid").alias("neighbor_id"),

@@ -527,11 +527,209 @@ FROM ranked WHERE rank <= {PQ_K}
 ORACLE_ANN_PQ_ADC = _pq_oracle()
 
 
+# ---------------------------------------------------------------------------
+# IVFPQ: IVF coarse quantization + PQ on residuals (IVFADC)
+# ---------------------------------------------------------------------------
+
+IVFPQ_NC = 32      # coarse centroids
+IVFPQ_NP = 10      # probed buckets per query
+IVFPQ_M = 16       # PQ subspaces over the 64-dim residual
+IVFPQ_CODES = 16   # codewords per subspace
+IVFPQ_CANDS = 80   # ADC candidates fed to the exact rerank
+IVFPQ_K = 5
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ-on-residuals approximate cosine top-5 (IVFADC, the
+    FAISS-standard composition): the coarse quantizer prunes the scan
+    to the ~n_probe/n_centroids probed buckets via an EQUI hash join
+    on bucket id (contrast `ann_pq_adc`, whose ADC pass is an honest
+    full linear code scan), and inside those buckets the scan rows
+    carry 16 small integer codes instead of 64 doubles. Per-query work
+    at 100 TB is therefore (probe fraction) x (code bytes / raw bytes)
+    of a brute scan, with exact rerank touching only 80 candidate ids.
+    Determinism contract on `operators.similarity.cosine_topk_ivfpq`;
+    recall@5 vs brute force pinned >= 0.7 in tests (measured 0.80 at
+    sf0.01). The oracle replays the ENTIRE recipe: md5-sample coarse
+    seeds -> Lloyd (6dp means) -> 6dp-rounded residual basis ->
+    residual PQ codebooks (seeds, Lloyd, 6dp means) -> encode ->
+    probe selection -> per-(query, bucket) 6dp distance tables ->
+    bucket-equi ADC -> candidate cut -> exact rerank."""
+    from ..operators.similarity import cosine_topk_ivfpq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # Same oracle-parity seam as ann_pq_adc: both quantizers train on
+    # a bounded md5 sample while the SQL oracle trains on the whole
+    # corpus; they agree only while the sample covers the corpus.
+    n = emb.count()
+    if n > 4096:
+        raise AssertionError(
+            f"ann_ivfpq oracle parity requires corpus <= sample_size "
+            f"(4096); embeddings has {n} rows — raise sample_size or "
+            f"switch the oracle to replay the sampled training set"
+        )
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_ivfpq(
+        emb, queries, k=IVFPQ_K, n_centroids=IVFPQ_NC, n_probe=IVFPQ_NP,
+        m=IVFPQ_M, n_codes=IVFPQ_CODES, n_candidates=IVFPQ_CANDS,
+        lloyd_iters=1,
+    )
+
+
+def _ivfpq_oracle() -> str:
+    dsub = 64 // IVFPQ_M
+
+    # squared L2 between two lists, exact zip-lambda form (same rule
+    # as the PQ oracle: NOT list_distance^2)
+    def d2(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(list_zip({a}, {b}), "
+                f"x -> (x[1] - x[2]) ^ 2))")
+
+    def cosine(a: str, b: str) -> str:
+        return (f"list_dot_product({a}, {b}) / "
+                f"(sqrt(list_dot_product({a}, {a})) * "
+                f"sqrt(list_dot_product({b}, {b})))")
+
+    adc_terms = " + ".join(
+        f"dts[{j * IVFPQ_CODES} + cs[{j + 1}] + 1]" for j in range(IVFPQ_M)
+    )
+    sub_s0 = f"res.r[s0.j*{dsub}+1 : s0.j*{dsub}+{dsub}]"
+    sub_cb = f"res.r[pcb.j*{dsub}+1 : pcb.j*{dsub}+{dsub}]"
+    sub_q = f"q.rq[pcb.j*{dsub}+1 : pcb.j*{dsub}+{dsub}]"
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+vn AS MATERIALIZED (
+  SELECT vec_id, e,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+  FROM v),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cid, e
+  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVFPQ_NC}),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cosine("v.e", "s.e")} DESC, s.cid) AS rn
+    FROM v, seeds s) WHERE rn = 1),
+cm AS (
+  SELECT a1.cid, dd.d, ROUND(AVG(v.e[dd.d]), 6) AS mv
+  FROM a1 JOIN v USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+  GROUP BY 1, 2),
+cml AS (SELECT cid, list(mv ORDER BY d) AS e FROM cm GROUP BY cid),
+cent AS MATERIALIZED (
+  SELECT s.cid, COALESCE(ml.e, s.e) AS e
+  FROM seeds s LEFT JOIN cml ml ON s.cid = ml.cid),
+crc AS MATERIALIZED (
+  SELECT cid,
+         list_transform(
+           e, x -> ROUND(x / sqrt(list_dot_product(e, e)), 6)) AS rc
+  FROM cent),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cosine("v.e", "c.e")} DESC, c.cid) AS rn
+    FROM v, cent c) WHERE rn = 1),
+res AS MATERIALIZED (
+  SELECT vn.vec_id, a2.cid AS bucket,
+         list_transform(list_zip(vn.u, crc.rc), x -> x[1] - x[2]) AS r
+  FROM vn JOIN a2 USING (vec_id) JOIN crc ON crc.cid = a2.cid),
+pseeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS pcid, r
+  FROM res ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {IVFPQ_CODES}),
+js AS (SELECT unnest(range(0, {IVFPQ_M})) AS j),
+s0 AS MATERIALIZED (
+  SELECT js.j, p.pcid, p.r[js.j*{dsub}+1 : js.j*{dsub}+{dsub}] AS c
+  FROM pseeds p, js),
+p1 AS (
+  SELECT vec_id, j, pcid FROM (
+    SELECT res.vec_id, s0.j, s0.pcid,
+           ROW_NUMBER() OVER (
+             PARTITION BY res.vec_id, s0.j
+             ORDER BY {d2(sub_s0, "s0.c")} ASC, s0.pcid ASC) AS rn
+    FROM res, s0) WHERE rn = 1),
+pm AS (
+  SELECT p1.j, p1.pcid, dd.d,
+         ROUND(AVG(res.r[p1.j*{dsub} + dd.d]), 6) AS mv
+  FROM p1 JOIN res USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, {dsub + 1})) AS d) dd
+  GROUP BY 1, 2, 3),
+pml AS (SELECT j, pcid, list(mv ORDER BY d) AS c FROM pm GROUP BY j, pcid),
+pcb AS MATERIALIZED (
+  SELECT s0.j, s0.pcid, COALESCE(pml.c, s0.c) AS c
+  FROM s0 LEFT JOIN pml ON s0.j = pml.j AND s0.pcid = pml.pcid),
+codes AS (
+  SELECT vec_id, j, pcid FROM (
+    SELECT res.vec_id, pcb.j, pcb.pcid,
+           ROW_NUMBER() OVER (
+             PARTITION BY res.vec_id, pcb.j
+             ORDER BY {d2(sub_cb, "pcb.c")} ASC, pcb.pcid ASC) AS rn
+    FROM res, pcb) WHERE rn = 1),
+cl AS MATERIALIZED (
+  SELECT codes.vec_id, ANY_VALUE(res.bucket) AS bucket,
+         list(codes.pcid ORDER BY codes.j) AS cs
+  FROM codes JOIN res USING (vec_id)
+  GROUP BY codes.vec_id),
+probes AS (
+  SELECT vec_id AS query_id, cid AS bucket FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cosine("v.e", "c.e")} DESC, c.cid) AS rn
+    FROM v, cent c WHERE v.vec_id < 10) WHERE rn <= {IVFPQ_NP}),
+qres AS MATERIALIZED (
+  SELECT p.query_id, p.bucket,
+         list_transform(list_zip(vn.u, crc.rc), x -> x[1] - x[2]) AS rq
+  FROM probes p JOIN vn ON vn.vec_id = p.query_id
+  JOIN crc ON crc.cid = p.bucket),
+dt AS (
+  SELECT q.query_id, q.bucket, pcb.j, pcb.pcid,
+         ROUND({d2(sub_q, "pcb.c")}, 6) AS dd2
+  FROM qres q, pcb),
+dtl AS MATERIALIZED (
+  SELECT query_id, bucket, list(dd2 ORDER BY j, pcid) AS dts
+  FROM dt GROUP BY 1, 2),
+adc AS (
+  SELECT dtl.query_id, cl.vec_id, ({adc_terms}) AS ad
+  FROM cl JOIN dtl ON cl.bucket = dtl.bucket
+  WHERE cl.vec_id <> dtl.query_id),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ad ASC, vec_id ASC) AS rn
+    FROM adc) WHERE rn <= {IVFPQ_CANDS}),
+scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         ROUND({cosine("a.e", "b.e")}, 6) AS cosine
+  FROM cand c
+  JOIN v a ON a.vec_id = c.query_id
+  JOIN v b ON b.vec_id = c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank::INT AS rank
+FROM ranked WHERE rank <= {IVFPQ_K}
+"""
+
+
+ORACLE_ANN_IVFPQ = _ivfpq_oracle()
+
+
 RANK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_encode_corpus": q_bpe_encode_corpus,
     "bm25_top_docs": q_bm25_top_docs,
     "ann_pq_adc": q_ann_pq_adc,
+    "ann_ivfpq": q_ann_ivfpq,
 }
 
 RANK_ORACLES: dict[str, str] = {
@@ -539,4 +737,5 @@ RANK_ORACLES: dict[str, str] = {
     "bpe_encode_corpus": ORACLE_BPE_ENCODE_CORPUS,
     "bm25_top_docs": ORACLE_BM25_TOP_DOCS,
     "ann_pq_adc": ORACLE_ANN_PQ_ADC,
+    "ann_ivfpq": ORACLE_ANN_IVFPQ,
 }

@@ -290,3 +290,18 @@ def test_pagerank_iteration_plan_shape(spark):
     assert count_exchanges(
         pagerank(edges, iterations=8, checkpoint_every=-1)
     ) == d5 + int(per_iter * 3), "exchange growth is not linear in depth"
+
+
+def test_ivfpq_probe_join_is_equi(plans):
+    """VERDICT r13 #1: the IVFPQ candidate pass must be an EQUI hash
+    join on bucket id — the whole point of composing IVF with PQ is
+    converting `ann_pq_adc`'s query x codes nested-loop scan into a
+    probed-bucket hash join. Zero BNLJ (the generic gate also enforces
+    this — ann_ivfpq is deliberately NOT in the allowlist) and at
+    least two BroadcastHashJoins: probes ⋈ codes on bucket, and the
+    rerank's query-vector join."""
+    plan = plans["ann_ivfpq"]
+    assert _node_count("BroadcastNestedLoopJoin", plan) == 0, (
+        "IVFPQ candidate pass regressed to a nested-loop scan"
+    )
+    assert _node_count("BroadcastHashJoin", plan) >= 2

@@ -256,3 +256,47 @@ def test_pq_adc_recall_and_determinism(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="not divisible"):
         pq_codebooks(emb, m=7)
+
+
+def test_ivfpq_recall_and_determinism(spark, sf_dir):
+    """IVFADC (IVF coarse + PQ residuals): recall@5 vs brute force
+    pinned >= 0.7 at the catalog entry's parameters (measured 0.80 at
+    sf0.01 — probe-bound on random synthetic embeddings; the ADC
+    ranking itself loses nothing vs raw-float IVF at these settings),
+    and the result invariant to input partitioning."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_bootcamp_spark.operators.dedup import (
+        release_caches,
+    )
+    from data_engineering_bootcamp_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivfpq,
+    )
+    from data_engineering_bootcamp_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    got_rows = cosine_topk_ivfpq(
+        emb, q, k=5, n_centroids=32, n_probe=10, m=16, n_codes=16,
+        n_candidates=80,
+    ).collect()
+    release_caches()
+    got = {(r.query_id, r.neighbor_id) for r in got_rows}
+    assert len(got_rows) == 50  # 10 queries x top-5
+    assert len(bf & got) / len(bf) >= 0.7
+
+    # partitioning invariance: same result from a 7-partition layout
+    got2 = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivfpq(
+            emb.repartition(7), q, k=5, n_centroids=32, n_probe=10,
+            m=16, n_codes=16, n_candidates=80,
+        ).collect()
+    }
+    release_caches()
+    assert got2 == got
