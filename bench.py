@@ -146,8 +146,10 @@ HEADLINE = [
     "bpe_encode_corpus",
     "bm25_top_docs",
     "ann_pq_adc",
-    # round-14 addition: the IVFADC composition of the IVF and PQ paths
+    # round-14 additions: the IVFADC composition of the IVF and PQ
+    # paths, and BM25 + ANN reciprocal-rank fusion
     "ann_ivfpq",
+    "hybrid_rrf_topk",
     # The three replay entries (pipeline_replay_31d, scd_replay_31d,
     # users_cumulated_replay_31d) are deliberately NOT headlines: their
     # wall time is ~90% driver-side plan composition of 31 sequential

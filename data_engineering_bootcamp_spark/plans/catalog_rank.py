@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.bpe import bpe_apply_merges, bpe_train_merges
@@ -724,12 +724,118 @@ FROM ranked WHERE rank <= {IVFPQ_K}
 ORACLE_ANN_IVFPQ = _ivfpq_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + ANN cosine
+# ---------------------------------------------------------------------------
+
+RRF_K0 = 60        # the standard RRF damping constant
+RRF_N_SEM = 15     # semantic list length (mirrors BM25_TOP_K = 15)
+RRF_TOP_K = 10
+RRF_QUERY_VEC = 0  # the query: document/vector id 0's embedding
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 lexical top-15 (`bm25_top_docs`'
+    exact machinery) fused with the exact-cosine semantic top-15 for
+    document 0's embedding by reciprocal-rank fusion
+    (`operators.rank_fusion.rrf_fuse` — exact integer-nano
+    reciprocals via BIGINT floor division, so the fused score is an
+    order-free integer sum both engines reproduce bit for bit).
+    Output: (doc_id, rank_lex, rank_sem — NULL where one ranker
+    missed, rrf_nano, rank), top-10 by (rrf_nano DESC, doc_id).
+    Scale shape: the rankers do the heavy work; fusion is one hash
+    aggregate over <= 30 bounded rows."""
+    from ..operators.rank_fusion import rrf_fuse
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    lex_w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    lex = (
+        q_bm25_top_docs(spark, sf_dir)
+        .select("doc_id", "score_micro")
+        .withColumn("rank", F.row_number().over(lex_w))
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    sem = cosine_topk_bruteforce(
+        emb, emb.where(F.col("vec_id") == RRF_QUERY_VEC), k=RRF_N_SEM
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(
+        {"lex": lex.select("doc_id", "rank"), "sem": sem},
+        k0=RRF_K0,
+        top_k=RRF_TOP_K,
+    )
+
+
+ORACLE_HYBRID_RRF = (
+    "WITH toks AS (" + _TOKS_SQL + "),\n"
+    "pd AS (\n"
+    "  SELECT doc_id, COUNT(*)::BIGINT AS dl,\n"
+    + ",\n".join(
+        f"    SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END)::BIGINT AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    + "\n  FROM toks GROUP BY doc_id),\n"
+    "g AS (\n"
+    "  SELECT SUM(dl)::BIGINT AS t_tokens,\n"
+    + ",\n".join(
+        f"    SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{t}"
+        for t in BM25_TERMS
+    )
+    + "\n  FROM pd),\n"
+    "n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),\n"
+    "bm AS (\n"
+    "  SELECT doc_id, ("
+    + "\n        + ".join(_bm25_term_sql(t) for t in BM25_TERMS)
+    + ") AS score_micro\n"
+    "  FROM pd CROSS JOIN g CROSS JOIN n\n"
+    f"  ORDER BY score_micro DESC, doc_id ASC LIMIT {BM25_TOP_K}),\n"
+    "lex AS (\n"
+    "  SELECT doc_id,\n"
+    "         ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC)\n"
+    "           AS rank\n"
+    "  FROM bm),\n"
+    "sem AS (\n"
+    "  SELECT neighbor_id AS doc_id, rank FROM (\n"
+    "    SELECT c.vec_id AS neighbor_id,\n"
+    "           ROW_NUMBER() OVER (ORDER BY\n"
+    "             ROUND(\n"
+    "               list_sum(list_transform(range(1, len(q.embedding) + 1),\n"
+    "                 i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))\n"
+    "               / (sqrt(list_sum(list_transform(\n"
+    "                    range(1, len(q.embedding) + 1),\n"
+    "                    i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))\n"
+    "                  * sqrt(list_sum(list_transform(\n"
+    "                    range(1, len(c.embedding) + 1),\n"
+    "                    i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))),\n"
+    "               6) DESC, c.vec_id ASC) AS rank\n"
+    "    FROM embeddings q, embeddings c\n"
+    f"    WHERE q.vec_id = {RRF_QUERY_VEC} AND c.vec_id <> {RRF_QUERY_VEC})\n"
+    f"  WHERE rank <= {RRF_N_SEM}),\n"
+    "u AS (\n"
+    "  SELECT doc_id, 'lex' AS ranker, rank FROM lex\n"
+    "  UNION ALL\n"
+    "  SELECT doc_id, 'sem' AS ranker, rank FROM sem),\n"
+    "fused AS (\n"
+    "  SELECT doc_id,\n"
+    f"         SUM(1000000000 // ({RRF_K0} + rank))::BIGINT AS rrf_nano,\n"
+    "         MAX(CASE WHEN ranker = 'lex' THEN rank END)::BIGINT AS rank_lex,\n"
+    "         MAX(CASE WHEN ranker = 'sem' THEN rank END)::BIGINT AS rank_sem\n"
+    "  FROM u GROUP BY doc_id),\n"
+    "fin AS (\n"
+    "  SELECT doc_id, rank_lex, rank_sem, rrf_nano,\n"
+    "         ROW_NUMBER() OVER (ORDER BY rrf_nano DESC, doc_id ASC) AS rank\n"
+    "  FROM fused)\n"
+    "SELECT doc_id, rank_lex, rank_sem, rrf_nano, rank::INT AS rank\n"
+    f"FROM fin WHERE rank <= {RRF_TOP_K}"
+)
+
+
 RANK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_encode_corpus": q_bpe_encode_corpus,
     "bm25_top_docs": q_bm25_top_docs,
     "ann_pq_adc": q_ann_pq_adc,
     "ann_ivfpq": q_ann_ivfpq,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
 }
 
 RANK_ORACLES: dict[str, str] = {
@@ -738,4 +844,5 @@ RANK_ORACLES: dict[str, str] = {
     "bm25_top_docs": ORACLE_BM25_TOP_DOCS,
     "ann_pq_adc": ORACLE_ANN_PQ_ADC,
     "ann_ivfpq": ORACLE_ANN_IVFPQ,
+    "hybrid_rrf_topk": ORACLE_HYBRID_RRF,
 }

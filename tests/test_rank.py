@@ -300,3 +300,46 @@ def test_ivfpq_recall_and_determinism(spark, sf_dir):
     }
     release_caches()
     assert got2 == got
+
+
+def test_rrf_fuse_exact_semantics(spark):
+    """RRF fusion law on a hand-computable fixture: exact integer-nano
+    reciprocals (floor division), NULL rank for a ranker that missed a
+    doc, ties broken by id, and input validation."""
+    import pytest
+
+    from data_engineering_bootcamp_spark.operators.rank_fusion import (
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, rank long"
+    )
+    out = {
+        r.doc_id: r
+        for r in rrf_fuse({"lex": lex, "sem": sem}, k0=60, top_k=10)
+        .collect()
+    }
+    # doc 2: lex rank 2 + sem rank 1 -> 10^9//62 + 10^9//61
+    assert out[2].rrf_nano == 1_000_000_000 // 62 + 1_000_000_000 // 61
+    assert (out[2].rank_lex, out[2].rank_sem) == (2, 1)
+    # doc 1: lex only; sem rank is NULL
+    assert out[1].rrf_nano == 1_000_000_000 // 61
+    assert out[1].rank_sem is None
+    # fused order: doc2 (two lists) first, then doc1, doc4, doc3...
+    assert [r.doc_id for r in sorted(out.values(), key=lambda r: r.rank)] \
+        == [2, 1, 4, 3]
+    # doc4 (sem 2 -> //62) beats doc3 (lex 3 -> //63)
+    assert out[4].rank < out[3].rank
+
+    # top_k cut applies after fusion
+    cut = rrf_fuse({"lex": lex, "sem": sem}, top_k=2).collect()
+    assert len(cut) == 2
+
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse({})
+    with pytest.raises(ValueError, match=">= 1"):
+        rrf_fuse({"lex": lex}, k0=0)
