@@ -147,9 +147,10 @@ HEADLINE = [
     "bm25_top_docs",
     "ann_pq_adc",
     # round-14 additions: the IVFADC composition of the IVF and PQ
-    # paths, and BM25 + ANN reciprocal-rank fusion
+    # paths, BM25 + ANN reciprocal-rank fusion, byte-level BPE
     "ann_ivfpq",
     "hybrid_rrf_topk",
+    "bpe_train_merges_bytes",
     # The three replay entries (pipeline_replay_31d, scd_replay_31d,
     # users_cumulated_replay_31d) are deliberately NOT headlines: their
     # wall time is ~90% driver-side plan composition of 31 sequential

@@ -54,8 +54,31 @@ def spaced_symbols(word: Column) -> Column:
     """Initial BPE representation: one space between adjacent
     characters ("hello" -> "h e l l o"). ASCII-safe in any engine;
     callers should pre-filter words to a charset both engines segment
-    identically (the catalog entry uses ^[a-z]+$)."""
+    identically (the character-level catalog entry uses ^[a-z]+$) —
+    or use `spaced_utf8_bytes` for the byte-level form that needs no
+    charset filter at all."""
     return F.trim(F.regexp_replace(word, "(.)", "$1 "))
+
+
+def spaced_utf8_bytes(word: Column) -> Column:
+    """Byte-level BPE base representation (GPT-2 style): the word's
+    UTF-8 bytes as space-separated UPPERCASE hex pairs
+    ("héllo" -> "68 C3 A9 6C 6C 6F"). Two properties make this the
+    right base vocab for real multilingual pipelines:
+
+    - ENGINE-AGNOSTIC segmentation: both Spark and DuckDB produce the
+      identical hex dump of the identical UTF-8 bytes, so the
+      base-vocab contract holds for ANY text — no ^[a-z]+$ charset
+      pinning (character segmentation of multi-code-unit text is where
+      Java regex and RE2 disagree; bytes never do).
+    - COLLISION-FREE merges: every base symbol is exactly two hex
+      chars, so every derived symbol is a concatenation of 2-char
+      units with a unique decomposition — the plain-concat `merged`
+      string of two distinct pairs can never collide (variable-width
+      symbols could: '10'+'41' == '104'+'1')."""
+    return F.trim(
+        F.regexp_replace(F.hex(F.encode(word, "UTF-8")), "(..)", "$1 ")
+    )
 
 
 def merge_pair(word: Column, lhs: Column, rhs: Column) -> Column:
@@ -85,6 +108,7 @@ def bpe_train_merges(
     word_col: str = "token",
     freq_col: str = "freq",
     checkpoint_every: int = 1,
+    segmenter=spaced_symbols,
 ) -> DataFrame:
     """Learn `iterations` BPE merge rules from a (word, frequency)
     table; returns one row per learned rule:
@@ -101,11 +125,15 @@ def bpe_train_merges(
     The per-step winner is always eagerly checkpointed: it is an
     O(1)-row decision that two downstream consumers (the merge map and
     the result union) must see identically.
+
+    `segmenter` picks the base vocabulary: `spaced_symbols`
+    (character-level, callers pin an engine-agnostic charset) or
+    `spaced_utf8_bytes` (byte-level, any text).
     """
     if int(iterations) < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     w = words.select(
-        spaced_symbols(F.col(word_col)).alias("w"),
+        segmenter(F.col(word_col)).alias("w"),
         F.col(freq_col).cast("long").alias("freq"),
     )
     every = int(checkpoint_every)
@@ -168,6 +196,7 @@ def bpe_apply_merges(
     merges: DataFrame,
     steps: int,
     word_col: str = "token",
+    segmenter=spaced_symbols,
 ) -> DataFrame:
     """ENCODE: apply a learned merge table to a word table — the
     tokenizer-application pass a training pipeline runs over the whole
@@ -190,10 +219,12 @@ def bpe_apply_merges(
     merge table into ONE Arrow-batched Pandas UDF (the rule table is
     KB-scale; per-word application is the same greedy loop) — same
     semantics, one stage, no 50k-deep expression tree.
+
+    `segmenter` must match the one the merge table was trained with.
     """
     if int(steps) < 1:
         raise ValueError(f"steps must be >= 1, got {steps}")
-    w = words.withColumn("encoded", spaced_symbols(F.col(word_col)))
+    w = words.withColumn("encoded", segmenter(F.col(word_col)))
     for k in range(1, int(steps) + 1):
         rk = (
             merges.where(F.col("step") == k)

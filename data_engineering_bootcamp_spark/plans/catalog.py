@@ -1430,6 +1430,7 @@ _GATE_REST = [
     # NEW r14 (placed here until the r14 rotation finalizes the prefix)
     "ann_ivfpq",               # IVF + PQ-on-residuals (IVFADC); NEW r14
     "hybrid_rrf_topk",         # BM25 + ANN reciprocal-rank fusion; NEW r14
+    "bpe_train_merges_bytes",  # byte-level BPE training; NEW r14
     # the 32 r11-row entries that didn't fit this round's 50 slots
     # (line_dedup_rebuild and doc_bigram_lm_score ceded their slots
     # to the third and fourth new entries);

@@ -36,7 +36,11 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.bpe import bpe_apply_merges, bpe_train_merges
+from ..operators.bpe import (
+    bpe_apply_merges,
+    bpe_train_merges,
+    spaced_utf8_bytes,
+)
 from ..sources.readers import load_table
 
 
@@ -109,23 +113,37 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
-def _bpe_oracle(iterations: int) -> str:
+_WF_FILTER_CHARS = "len(term) >= 2 AND regexp_matches(term, '^[a-z]+$')"
+_WF_FILTER_BYTES = "strlen(term) >= 2"  # strlen = BYTE length in DuckDB
+_W0_SEG_CHARS = r"trim(regexp_replace(token, '(.)', '\1 ', 'g'))"
+_W0_SEG_BYTES = (
+    r"trim(regexp_replace(hex(encode(token)), '(..)', '\1 ', 'g'))"
+)
+
+
+def _bpe_oracle(
+    iterations: int,
+    wf_filter: str = _WF_FILTER_CHARS,
+    w0_seg: str = _W0_SEG_CHARS,
+) -> str:
     """Unrolled-CTE DuckDB replay of `bpe_train_merges`: per round, a
     pair-count CTE, a 1-row argmax CTE, and a merged word table built
     with the identical double-space greedy-replace (operators/bpe.py
     module doc). Chained CTEs are MATERIALIZED: w_k references w_{k-1}
     twice (via p_k and directly), so inlining re-evaluates the corpus
     tokenization 2^steps times (measured 1.4 s -> 0.07 s at sf0.01
-    with 8 steps)."""
+    with 8 steps). `wf_filter`/`w0_seg` pick the base-vocab contract:
+    character-level (ASCII-pinned) or byte-level (hex pairs, any
+    text)."""
     parts = [
         "WITH toks AS MATERIALIZED (" + _TOKS_SQL + "),",
-        """wf AS MATERIALIZED (
+        f"""wf AS MATERIALIZED (
   SELECT term AS token, COUNT(*) AS freq
   FROM toks
-  WHERE len(term) >= 2 AND regexp_matches(term, '^[a-z]+$')
+  WHERE {wf_filter}
   GROUP BY term),""",
-        r"""w0 AS MATERIALIZED (
-  SELECT trim(regexp_replace(token, '(.)', '\1 ', 'g')) AS w, freq
+        f"""w0 AS MATERIALIZED (
+  SELECT {w0_seg} AS w, freq
   FROM wf),""",
     ]
     for k in range(1, iterations + 1):
@@ -155,6 +173,39 @@ m{k} AS (
 
 
 ORACLE_BPE_TRAIN_MERGES = _bpe_oracle(BPE_STEPS)
+
+
+def q_bpe_train_merges_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE training (GPT-2 style) — VERDICT r13 #4: the
+    character-level entry pins ``^[a-z]+$`` because Spark and DuckDB
+    segment multi-code-unit text differently; real pipelines train on
+    BYTES so the base vocab is engine-agnostic by construction. Words
+    pre-segment to their UTF-8 bytes as fixed-width hex pairs
+    (`operators.bpe.spaced_utf8_bytes` — collision-free merges, any
+    charset), so the ONLY filter left is byte-length >= 2 (no charset
+    pinning at all: punctuation, digits, and non-ASCII words all
+    train). Same 8-round merge loop, same per-iteration plan (one
+    shuffle + TakeOrdered(1) + broadcast winner); the oracle unrolls
+    the identical recurrence over the identical hex base vocab.
+    Non-ASCII fidelity is separately pinned against a pure-Python
+    reference in tests/test_rank.py."""
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        _tokens(docs)
+        .groupBy(F.col("term").alias("token"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        # octet_length = byte length (matches the oracle's strlen)
+        .where(F.octet_length("token") >= 2)
+    )
+    return bpe_train_merges(
+        wf, iterations=BPE_STEPS, checkpoint_every=0,
+        segmenter=spaced_utf8_bytes,
+    ).orderBy("step")
+
+
+ORACLE_BPE_TRAIN_MERGES_BYTES = _bpe_oracle(
+    BPE_STEPS, wf_filter=_WF_FILTER_BYTES, w0_seg=_W0_SEG_BYTES
+)
 
 
 def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -836,6 +887,7 @@ RANK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_adc": q_ann_pq_adc,
     "ann_ivfpq": q_ann_ivfpq,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "bpe_train_merges_bytes": q_bpe_train_merges_bytes,
 }
 
 RANK_ORACLES: dict[str, str] = {
@@ -845,4 +897,5 @@ RANK_ORACLES: dict[str, str] = {
     "ann_pq_adc": ORACLE_ANN_PQ_ADC,
     "ann_ivfpq": ORACLE_ANN_IVFPQ,
     "hybrid_rrf_topk": ORACLE_HYBRID_RRF,
+    "bpe_train_merges_bytes": ORACLE_BPE_TRAIN_MERGES_BYTES,
 }

@@ -343,3 +343,96 @@ def test_rrf_fuse_exact_semantics(spark):
         rrf_fuse({})
     with pytest.raises(ValueError, match=">= 1"):
         rrf_fuse({"lex": lex}, k0=0)
+
+
+def _ref_byte_bpe(words: dict, iterations: int):
+    """Pure-Python byte-level BPE reference: hex-pair base vocab,
+    greedy non-overlapping left-to-right merges, winner by
+    (total DESC, lhs ASC, rhs ASC)."""
+    vocab = {
+        tuple(f"{b:02X}" for b in w.encode("utf-8")): f
+        for w, f in words.items()
+    }
+    rules = []
+    for step in range(1, iterations + 1):
+        counts = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (lhs, rhs), total = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((step, lhs, rhs, lhs + rhs, total))
+        nxt = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + f
+        vocab = nxt
+    return rules, vocab
+
+
+def test_byte_bpe_non_ascii_fidelity(spark):
+    """VERDICT r13 #4: byte-level BPE must train correctly on
+    non-ASCII text (the character-level entry pins ^[a-z]+$ precisely
+    because engines disagree there). Train on a mixed ASCII/Latin-1/
+    CJK/emoji fixture and compare every learned rule — and the final
+    encoded forms — against the pure-Python reference."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_bootcamp_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_train_merges,
+        spaced_utf8_bytes,
+    )
+
+    words = {
+        "héllo": 12, "héllò": 7, "naïve": 9, "naïf": 5,
+        "日本語": 6, "日本": 8, "señor": 4, "schön": 4,
+        "crème": 3, "🙂ok": 2, "ok": 10, "données": 5,
+    }
+    ref_rules, ref_vocab = _ref_byte_bpe(words, 6)
+    assert len(ref_rules) == 6
+
+    df = spark.createDataFrame(
+        list(words.items()), "token string, freq long"
+    )
+    got = (
+        bpe_train_merges(
+            df, iterations=6, checkpoint_every=0,
+            segmenter=spaced_utf8_bytes,
+        )
+        .orderBy("step")
+        .collect()
+    )
+    assert [
+        (r.step, r.lhs, r.rhs, r.merged, r.total) for r in got
+    ] == ref_rules
+
+    # encode round trip: applying the learned rules reproduces the
+    # reference's final symbol sequences, and the hex concatenation
+    # still decodes to the original word (merges preserve bytes)
+    rules_df = bpe_train_merges(
+        df, iterations=6, checkpoint_every=0, segmenter=spaced_utf8_bytes
+    )
+    enc = {
+        r.token: r.encoded
+        for r in bpe_apply_merges(
+            df, rules_df, 6, segmenter=spaced_utf8_bytes
+        ).collect()
+    }
+    ref_enc = {}
+    for syms, _f in ref_vocab.items():
+        word = bytes.fromhex("".join(syms)).decode("utf-8")
+        ref_enc[word] = " ".join(syms)
+    assert enc == ref_enc
+    for tok, e in enc.items():
+        assert bytes.fromhex(e.replace(" ", "")).decode("utf-8") == tok
