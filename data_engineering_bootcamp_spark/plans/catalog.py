@@ -1431,6 +1431,7 @@ _GATE_REST = [
     "ann_ivfpq",               # IVF + PQ-on-residuals (IVFADC); NEW r14
     "hybrid_rrf_topk",         # BM25 + ANN reciprocal-rank fusion; NEW r14
     "bpe_train_merges_bytes",  # byte-level BPE training; NEW r14
+    "streaming_bpe_encode",    # streaming tokenizer application; NEW r14
     # the 32 r11-row entries that didn't fit this round's 50 slots
     # (line_dedup_rebuild and doc_bigram_lm_score ceded their slots
     # to the third and fourth new entries);

@@ -42,6 +42,7 @@ from ..operators.bpe import (
     spaced_utf8_bytes,
 )
 from ..sources.readers import load_table
+from .catalog_write import _snapshot
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -208,6 +209,90 @@ ORACLE_BPE_TRAIN_MERGES_BYTES = _bpe_oracle(
 )
 
 
+def q_streaming_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tokenizer APPLICATION (VERDICT r13 #7) — the live
+    twin of `bpe_encode_corpus`, composing `bpe_apply_merges` with the
+    streaming-admission pattern: the merge table is trained ONCE
+    batch-side (the learned vocab a production tokenizer ships), then
+    incoming documents stream through foreachBatch in multiple
+    micro-batches (maxFilesPerTrigger=1 over a 4-file source), each
+    batch tokenized and encoded against the broadcast rule chain, and
+    per-batch (token, freq) counts appended to the sink. The final
+    rollup merges the per-batch counts by (token, encoded, n_syms) —
+    SUM is associative, and `encoded` is a pure function of the token
+    under a FIXED rule table, so the result is independent of how the
+    stream was batched. Stream-equals-batch: the oracle is the exact
+    batch `bpe_encode_corpus` SQL. Fidelity across batch splits is
+    separately pinned in tests/test_kafka_fidelity.py."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sinks import start_foreach_batch
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def vocab_of(d: DataFrame) -> DataFrame:
+        return (
+            _tokens(d)
+            .groupBy(F.col("term").alias("token"))
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .where(
+                (F.length("token") >= 2) & F.col("token").rlike("^[a-z]+$")
+            )
+        )
+
+    # train once, batch-side; checkpoint so each micro-batch's encode
+    # chain broadcasts the settled 8-row table instead of re-deriving it
+    wf_all = vocab_of(docs).localCheckpoint(eager=True)
+    rules = bpe_train_merges(
+        wf_all, iterations=BPE_STEPS, checkpoint_every=0
+    ).localCheckpoint(eager=True)
+
+    src = tempfile.mkdtemp(prefix="stream_bpe_src_")
+    out = tempfile.mkdtemp(prefix="stream_bpe_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_bpe_ckpt_")
+    try:
+        docs.select("doc_id", "text").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(src)
+        )
+
+        def encode_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            enc = bpe_apply_merges(vocab_of(batch_df), rules, BPE_STEPS)
+            enc.select("token", "freq", "encoded", "n_syms").write.mode(
+                "append"
+            ).parquet(out)
+
+        q = start_foreach_batch(
+            stream, encode_batch, checkpoint=ckpt, available_now=True
+        )
+        q.awaitTermination()
+        q.stop()
+
+        got = (
+            spark.read.parquet(out)
+            .groupBy("token", "encoded", "n_syms")
+            .agg(F.sum("freq").alias("freq"))
+            .select("token", "freq", "encoded", "n_syms")
+            .orderBy(F.desc("freq"), F.asc("token"))
+        )
+        return _snapshot(got)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# stream-equals-batch: the oracle IS the batch encode oracle
+# (ORACLE_STREAMING_BPE_ENCODE is assigned below _bpe_encode_oracle)
+
+
 def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 8 merges, then ENCODE the vocabulary with them — the
     tokenizer-application pass (train -> encode closes the loop that
@@ -284,6 +369,10 @@ w{k} AS MATERIALIZED (
 
 
 ORACLE_BPE_ENCODE_CORPUS = _bpe_encode_oracle(BPE_STEPS)
+
+# stream-equals-batch: the streaming encode entry's oracle IS the
+# batch encode oracle (q_streaming_bpe_encode docstring)
+ORACLE_STREAMING_BPE_ENCODE = _bpe_encode_oracle(BPE_STEPS)
 
 
 # ---------------------------------------------------------------------------
@@ -888,6 +977,7 @@ RANK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq": q_ann_ivfpq,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "bpe_train_merges_bytes": q_bpe_train_merges_bytes,
+    "streaming_bpe_encode": q_streaming_bpe_encode,
 }
 
 RANK_ORACLES: dict[str, str] = {
@@ -898,4 +988,5 @@ RANK_ORACLES: dict[str, str] = {
     "ann_ivfpq": ORACLE_ANN_IVFPQ,
     "hybrid_rrf_topk": ORACLE_HYBRID_RRF,
     "bpe_train_merges_bytes": ORACLE_BPE_TRAIN_MERGES_BYTES,
+    "streaming_bpe_encode": ORACLE_STREAMING_BPE_ENCODE,
 }

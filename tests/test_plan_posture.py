@@ -46,6 +46,7 @@ SKIP = {
     "streaming_interval_join",
     "streaming_upsert_sink",
     "streaming_countmin",
+    "streaming_bpe_encode",
     "bucketed_join_rollup",
     "partitioned_prune_rollup",
     "sorted_layout_rollup",

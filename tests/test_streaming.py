@@ -489,3 +489,99 @@ def test_countmin_merge_sink_split_independent(spark, tmp_path):
     # only current + previous versions retained
     versions = [n for n in os.listdir(store) if n.startswith("v_")]
     assert len(versions) <= 2
+
+
+def test_streaming_bpe_encode_batch_split_independence(spark, tmp_path):
+    """VERDICT r13 #7 fidelity: the streaming tokenizer application
+    must produce the identical encoded vocabulary whatever the
+    micro-batch split — 1-file (one batch) vs 4-file/maxFilesPerTrigger
+    (four batches) vs the direct batch encode. SUM-mergeable counts +
+    a FIXED broadcast rule table make this hold by construction; this
+    pins it."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from data_engineering_bootcamp_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_train_merges,
+    )
+    from data_engineering_bootcamp_spark.streaming.sinks import (
+        start_foreach_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "a cat and a dog and a rat"),
+            (4, "rats chase cats and dogs chase rats"),
+            (5, "the the the cat cat dog"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def vocab_of(d: DataFrame) -> DataFrame:
+        toks = d.select(
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.trim(
+                            F.regexp_replace(F.lower("text"), r"\s+", " ")
+                        ),
+                        " ",
+                    ),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("token")
+        )
+        return (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .where(
+                (F.length("token") >= 2) & F.col("token").rlike("^[a-z]+$")
+            )
+        )
+
+    rules = bpe_train_merges(
+        vocab_of(docs), iterations=4, checkpoint_every=0
+    ).localCheckpoint(eager=True)
+
+    batch_ref = {
+        (r.token, r.freq, r.encoded, r.n_syms)
+        for r in bpe_apply_merges(vocab_of(docs), rules, 4).collect()
+    }
+
+    def run_stream(n_files: int, tag: str) -> set:
+        src = str(tmp_path / f"src_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        docs.repartition(n_files).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(src)
+        )
+
+        def encode_batch(b: DataFrame, _i: int) -> None:
+            bpe_apply_merges(vocab_of(b), rules, 4).select(
+                "token", "freq", "encoded", "n_syms"
+            ).write.mode("append").parquet(out)
+
+        q = start_foreach_batch(
+            stream, encode_batch, checkpoint=ckpt, available_now=True
+        )
+        q.awaitTermination()
+        q.stop()
+        return {
+            (r.token, r.freq, r.encoded, r.n_syms)
+            for r in spark.read.parquet(out)
+            .groupBy("token", "encoded", "n_syms")
+            .agg(F.sum("freq").alias("freq"))
+            .select("token", "freq", "encoded", "n_syms")
+            .collect()
+        }
+
+    assert run_stream(1, "one") == batch_ref
+    assert run_stream(4, "four") == batch_ref
