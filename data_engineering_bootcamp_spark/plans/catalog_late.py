@@ -776,6 +776,14 @@ FROM win
 # 16 is up to 16%% off, 4 up to 34%% off), so 8 is the default.
 REPLAY_CHECKPOINT_CADENCE = 8
 
+# Whether the mid-window checkpoint materializes immediately. r14
+# re-measurement (VERDICT r13 #5, COVERAGE.md round-14 section):
+# eager=True at cadence 8 makes BUILD linear in depth and beats the
+# lazy form on total wall at every measured depth and at the entries
+# themselves — the r13 'fewer+lazier beats eager 2.6x' note predates
+# the cadence-8 sweep and no longer reproduces.
+REPLAY_CHECKPOINT_EAGER = True
+
 
 def q_pipeline_replay_31d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """31-day incremental replay of the growth-accounting daily pipeline
@@ -836,14 +844,14 @@ def q_pipeline_replay_31d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state = growth_accounting(state, today, ds, date_col="date_active")
         if (i + 1) % REPLAY_CHECKPOINT_CADENCE == 0:
-            # ONE lazy mid-replay checkpoint: truncates the logical
-            # plan so per-advance Catalyst re-analysis stays bounded,
-            # without firing an intermediate job (the RDD chain
-            # executes once at the final action). Measured: each
-            # localCheckpoint call itself pays a physical-planning
-            # pass, so fewer+lazier beats the eager-every-8 form 2.6x
-            # wall-clock at gate scale.
-            state = state.localCheckpoint(eager=False)
+            # mid-replay checkpoint: truncates the logical plan so
+            # per-advance Catalyst re-analysis stays bounded. EAGER
+            # since r14: under AQE a lazy checkpoint defers (and
+            # re-pays) upstream-stage finalization at every later
+            # analysis, so eager-every-8 measured faster on total wall
+            # at both gate scales and every depth (see
+            # REPLAY_CHECKPOINT_EAGER).
+            state = state.localCheckpoint(eager=REPLAY_CHECKPOINT_EAGER)
     return state.select(
         "user_id",
         F.col("first_active_date").cast("string").alias("first_active_date"),
@@ -965,7 +973,9 @@ def q_scd_replay_31d(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 54.7 s of 2^8-subtree Catalyst analysis, 4 → 24.7 s, 2 →
             # 29.6 s). Re-swept after the rewrite at gate scale:
             # 4 → 16.6 s, 8 → 13.4 s, 16 → 12.4 s, 32 → 13.4 s.
-            history = history.localCheckpoint(eager=False)
+            history = history.localCheckpoint(
+                eager=REPLAY_CHECKPOINT_EAGER
+            )
     return history.select(
         "user_id",
         F.col("dominant").alias("event_type"),
@@ -1055,7 +1065,7 @@ def q_users_cumulated_replay_31d(spark: SparkSession, sf_dir: str) -> DataFrame:
         today = daily.where(F.col("date_active") == F.lit(ds).cast("date"))
         state = cumulate_datelist(state, today, ds)
         if (i + 1) % REPLAY_CHECKPOINT_CADENCE == 0:
-            state = state.localCheckpoint(eager=False)
+            state = state.localCheckpoint(eager=REPLAY_CHECKPOINT_EAGER)
     return state.select(
         "user_id",
         F.array_join(

@@ -42,9 +42,17 @@ entity snapshots as dominant='none' from day 32 on — the advance keeps
 extending ranges, which exercises plan growth without inventing data.
 
 Usage: python tools/replay_depth.py [sf_dir] [--out=PATH]
-         [--cadence=N] [--depths=8,16,31] [--no-aqe] [--no-codegen]
-         [--skip-parity]
+         [--cadence=N] [--ckpt-mode=lazy|eager|parquet]
+         [--depths=8,16,31] [--no-aqe] [--no-codegen] [--skip-parity]
 Writes one JSON document (default REPLAY_DEPTH_r13.json at repo root).
+
+--ckpt-mode (r14, VERDICT r13 #5): how the mid-window checkpoint
+materializes. 'lazy' = localCheckpoint(eager=False) (the r13 form);
+'eager' = localCheckpoint(eager=True) — truncates the plan NOW, so
+per-advance analysis is O(cadence) and t_build goes linear in depth
+(production default since r14); 'parquet' = write/read the state at
+each boundary (full lineage cut + a durable restart point — the shape
+a production replay on object storage would use).
 
 Linearity criterion printed per depth pair: t(2d)/t(d) for analysis —
 ~2 is linear; the pre-r11 form would be ~2^d (unrunnable past ~16).
@@ -76,13 +84,19 @@ from pyspark.sql import types as T  # noqa: E402
 DEPTHS = [8, 16, 31, 62, 93]
 
 
-def build_replay(spark, sf_dir: str, days: int, cadence: int):
+def build_replay(spark, sf_dir: str, days: int, cadence: int,
+                 ckpt_mode: str = "lazy"):
     """The q_scd_replay_31d loop, parameterized (days, checkpoint
-    cadence; cadence 0 = never checkpoint — the pure composed plan)."""
+    cadence; cadence 0 = never checkpoint — the pure composed plan;
+    ckpt_mode per the module doc)."""
+    import tempfile
+
     from data_engineering_bootcamp_spark.operators.scd import scd_incremental
     from data_engineering_bootcamp_spark.plans.catalog_ext import (
         _dominant_daily,
     )
+
+    scratch = tempfile.mkdtemp(prefix="replay_depth_pq_")
 
     dom = _dominant_daily(spark, sf_dir).localCheckpoint(eager=False)
     firstd = (
@@ -114,7 +128,14 @@ def build_replay(spark, sf_dir: str, days: int, cadence: int):
             history, snap, "user_id", "d", ["dominant"], day
         )
         if cadence > 0 and day % cadence == 0:
-            history = history.localCheckpoint(eager=False)
+            if ckpt_mode == "eager":
+                history = history.localCheckpoint(eager=True)
+            elif ckpt_mode == "parquet":
+                path = f"{scratch}/d{day}"
+                history.write.mode("overwrite").parquet(path)
+                history = spark.read.parquet(path)
+            else:
+                history = history.localCheckpoint(eager=False)
     return history
 
 
@@ -137,6 +158,7 @@ def main() -> int:
         "REPLAY_DEPTH_r13.json",
     )
     cadence = 0
+    ckpt_mode = "lazy"
     depths = DEPTHS
     aqe = True
     codegen = True
@@ -146,6 +168,9 @@ def main() -> int:
             out_path = f.split("=", 1)[1]
         elif f.startswith("--cadence="):
             cadence = int(f.split("=", 1)[1])
+        elif f.startswith("--ckpt-mode="):
+            ckpt_mode = f.split("=", 1)[1]
+            assert ckpt_mode in ("lazy", "eager", "parquet"), ckpt_mode
         elif f.startswith("--depths="):
             depths = [int(x) for x in f.split("=", 1)[1].split(",")]
         elif f == "--no-aqe":
@@ -167,13 +192,16 @@ def main() -> int:
     doc: dict = {
         "sf_dir": sf_dir,
         "cadence": cadence,
+        "ckpt_mode": ckpt_mode,
         "aqe": aqe,
         "codegen": codegen,
         "depths": {},
     }
     for days in depths:
         t0 = time.perf_counter()
-        df = build_replay(spark, sf_dir, days, cadence=cadence)
+        df = build_replay(
+            spark, sf_dir, days, cadence=cadence, ckpt_mode=ckpt_mode
+        )
         t_build = time.perf_counter() - t0
         qe = df._jdf.queryExecution()
         t0 = time.perf_counter()
