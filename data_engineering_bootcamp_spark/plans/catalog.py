@@ -1362,81 +1362,16 @@ GATE_CAP = 50  # the driver gates exactly this many leading entries
 
 _GATE_FIRST = [
     # -----------------------------------------------------------------
-    # r13 rotation (VERDICT r12 #1, the standing 3-round freshness
-    # policy): promote (a) the 29 entries whose newest driver row is
-    # r10 — exactly the "first in line" cohort the r12 rotation queued,
-    # (b) the four NEW entries (BPE merge training + encode, BM25
-    # scoring per VERDICT r12 #5/#6, and the PQ/ADC ANN path — gated
-    # immediately so they never sit without a driver row), and (c) the
-    # first 17 of the 49 entries whose newest row is r11 (list order;
-    # the remaining 32 lead the r14 prefix). After this rotation no entry's newest driver row is
-    # older than r11 and the cadence is self-sustaining.
-    # the 29 entries whose newest driver row was r10
-    "partitioned_prune_rollup",  # S6 S7; r10 row
-    "streaming_tumbling_hits",  # T1 T3 T4; r10 row
-    "streaming_kafka_mirror",  # S12 S14; r10 row
-    "streaming_session_windows",  # T5; r10 row
-    "streaming_foreachbatch_sink",  # T7 T8 S13; r10 row
-    "streaming_stateful_sessions",  # stateful op; r10 row
-    "corpus_curation_pipeline",  # flagship composed pipeline; r10 row
-    "streaming_dedup",         # dropDuplicatesWithinWatermark; r10 row
-    "doc_dedup_exact",         # A14; r10 row
-    "doc_lang_id",             # P9; r10 row
-    "doc_decontaminate",       # leakage scrub; r10 row
-    "pack_token_stream",       # sequence packing; r10 row
-    "doc_chunks",              # chunking primary; r10 row
-    "table_profile",           # one-pass profiling; r10 row
-    "udf_enrich_broadcast",    # T6 / SURVEY 2.10; r10 row
-    "metadata_scan",           # S8 layouts; r10 row
-    "insert_select_rollup",    # S9 S10; r10 row
-    "longest_streak",          # W12 streak half; r10 row
-    "union_order_tiers",       # U1 U2 P6; r10 row
-    "retention_curve",         # A16 + channel LIKE; r10 row
-    "exact_percentiles",       # exact distributed percentiles; r10 row
-    "minhash_lsh_pairs",       # banded LSH primary; r10 row
-    "ann_cosine_ivf",          # IVF cell-blocked ANN; r10 row
-    "ann_cosine_lsh",          # LSH-bucketed ANN; r10 row
-    "embedding_neardup",       # blocked embedding near-dup; r10 row
-    "media_features",          # multimodal feature extraction; r10 row
-    "media_frame_sample",      # frame sampling; r10 row
-    "hash_sample_split",       # deterministic hash split; r10 row
-    "stratified_sample",       # per-stratum exact quotas; r10 row
-    # new this round: gate immediately
-    "bpe_train_merges",        # iterative BPE vocab training; NEW r13
-    "bpe_encode_corpus",       # merge-table tokenizer application; NEW r13
-    "bm25_top_docs",           # BM25 retrieval scoring; NEW r13
-    "ann_pq_adc",              # PQ/ADC third ANN scale path; NEW r13
-    # the first 17 of the 49 entries whose newest driver row was r11
-    "simhash_pairs",           # 4x15-bit pigeonhole near-dup; r11 row
-    "skew_salted_agg",         # salted skewed aggregate; r11 row
-    "asof_latest_order",       # as-of join; r11 row
-    "ngram_jaccard_pairs",     # prefix-filtered primary; r11 row
-    "array_metrics",           # J2 J4 J5 A12 A13 A6; r11 row
-    "fuzzy_customer_pairs",    # PassJoin edit-distance ER; r11 row
-    "interpolate_daily_revenue",  # gap-fill + linear interp; r11 row
-    "hll_user_cardinality",    # HyperLogLog registers; r11 row
-    "session_concurrency_daily",  # sweep-line concurrency; r11 row
-    "media_ahash_neardup",     # perceptual-hash image dedup; r11 row
-    "media_curation_pipeline",  # composed image-dedup pass; r11 row
-    "user_vertices",           # W3 + map-typed vertex props; r11 row
-    "part_pair_edges",         # J9 pair self-join; r11 row
-    "media_real_decode",       # stdlib PNG round-trip; r11 row
-    "skew_salted_join",        # salted join twin; r11 row
-    "semantic_dedup",          # SemDeDup cluster-then-dedup; r11 row
-    "media_resize",            # NN resize + re-encode; r11 row
-]
-
-_GATE_REST = [
-    # NEW r14 (placed here until the r14 rotation finalizes the prefix)
-    "ann_ivfpq",               # IVF + PQ-on-residuals (IVFADC); NEW r14
-    "hybrid_rrf_topk",         # BM25 + ANN reciprocal-rank fusion; NEW r14
-    "bpe_train_merges_bytes",  # byte-level BPE training; NEW r14
-    "streaming_bpe_encode",    # streaming tokenizer application; NEW r14
-    # the 32 r11-row entries that didn't fit this round's 50 slots
-    # (line_dedup_rebuild and doc_bigram_lm_score ceded their slots
-    # to the third and fourth new entries);
-    # FIRST IN LINE for the r14 prefix (they'll be exactly 3 rounds
-    # old then — the standing maintenance cadence)
+    # r14 rotation (VERDICT r13 #2, the standing 3-round freshness
+    # policy): promote (a) the 32 entries whose newest driver row is
+    # r11 — exactly the cohort the r13 rotation queued, (b) the FOUR
+    # new r14 entries (IVFPQ, hybrid RRF fusion, byte-level BPE,
+    # streaming BPE encode — gated immediately so they never sit
+    # without a driver row), and (c) the first 14 of the 50 entries
+    # whose newest row is r12 (list order; the remaining 36 lead the
+    # r15 prefix). After this rotation no entry's newest driver row is
+    # older than r12 and the cadence is self-sustaining.
+    # the 32 entries whose newest driver row was r11
     "doc_bigram_lm_score",     # bigram-LM quality score; r11 row
     "line_dedup_rebuild",      # C4/RefinedWeb segment removal; r11 row
     "kmv_set_ops",             # bottom-k sketch set algebra; r11 row
@@ -1444,7 +1379,7 @@ _GATE_REST = [
     "doc_pii_redact",          # regex PII counting + masking; r11 row
     "neardup_clusters",        # CC + keep-one retention; r11 row
     "pivot_lang_counts",       # groupBy().pivot(); r11 row
-    "streaming_neardup_admission",  # stream-static LSH; r11 row
+    "streaming_neardup_admission", # stream-static LSH; r11 row
     "pagerank_parts",          # guard off hot path; r11 row
     "bloom_prune_stats",       # digest-fence family; r11 row
     "countmin_token_freq",     # digest-fence family; r11 row
@@ -1453,8 +1388,8 @@ _GATE_REST = [
     "region_revenue",          # J3 J13; r11 row
     "tumbling_hits",           # batch T3/T4 twin; r11 row
     "host_activity_reduced",   # J2 J12; r11 row
-    "top_supplier_per_nation",  # J13 A15 W9; r11 row
-    "embedding_neardup_allpairs",  # exact baseline twin; r11 row
+    "top_supplier_per_nation", # J13 A15 W9; r11 row
+    "embedding_neardup_allpairs", # exact baseline twin; r11 row
     "acctbal_tiers",           # P6; r11 row
     "ann_cosine_topk",         # brute-force ANN baseline; r11 row
     "bulk_rename_summary",     # P2; r11 row
@@ -1463,15 +1398,18 @@ _GATE_REST = [
     "distinct_users",          # A4 A5; r11 row
     "doc_quality",             # text quality score; r11 row
     "doc_token_stats",         # token counting; r11 row
-    "doc_winnow_neardup_pairs",  # winnow primary; r11 row
+    "doc_winnow_neardup_pairs", # winnow primary; r11 row
     "filter_by_top1",          # P8 O6; r11 row
     "growth_accounting",       # J1; r11 row
     "json_props",              # JSON family; r11 row
     "part_type_tiers",         # P5; r11 row
     "sorted_layout_rollup",    # O4 O5; r11 row
-    # rotated out r13: the r12 prefix (each entry holds a fresh r12
-    # driver row; operator ids stay covered by the gate_check
-    # full-registry run at HEAD each round)
+    # new this round: gate immediately
+    "ann_ivfpq",               # IVF + PQ-on-residuals (IVFADC); NEW r14
+    "hybrid_rrf_topk",         # BM25 + ANN reciprocal-rank fusion; NEW r14
+    "bpe_train_merges_bytes",  # byte-level BPE training; NEW r14
+    "streaming_bpe_encode",    # streaming tokenizer application; NEW r14
+    # the first 14 of the 50 entries whose newest driver row was r12
     "pipeline_replay_31d",     # 31-day growth replay; r12 row
     "rolling_time_revenue",    # RANGE frame; r12 row
     "zscore_anomaly_days",     # integer-exact z-score; r12 row
@@ -1479,13 +1417,19 @@ _GATE_REST = [
     "chunk_dedup_rebuild",     # sub-document dedup; r12 row
     "corpus_mix_plan",         # mixing quotas; r12 row
     "quantile_band_filter",    # percentile trimming; r12 row
-    "embedding_quantize_error",  # int8 SQ error; r12 row
+    "embedding_quantize_error", # int8 SQ error; r12 row
     "ann_q8_rerank",           # SQ8 + rerank; r12 row
     "bpe_merge_candidates",    # BPE pair stats; r12 row
     "dup_span_extract",        # duplicate-span extraction; r12 row
     "dup_span_removal",        # cleaned-corpus rebuild; r12 row
     "tfidf_top_terms",         # tf-idf keywords; r12 row
     "histogram_quantiles",     # bin-histogram quantiles; r12 row
+]
+
+_GATE_REST = [
+    # the 36 r12-row entries that didn't fit this round's 50 slots;
+    # FIRST IN LINE for the r15 prefix (they'll be exactly 3 rounds
+    # old then — the standing maintenance cadence)
     "hard_negative_mining",    # contrastive ANN; r12 row
     "zorder_locality_stats",   # Morton clustering; r12 row
     "incremental_agg_merge",   # partial-agg maintenance; r12 row
@@ -1495,14 +1439,14 @@ _GATE_REST = [
     "snapshot_cdc_diff",       # change-data-feed; r12 row
     "compaction_rollup",       # OPTIMIZE round-trip; r12 row
     "streaming_sliding_hits",  # hopping-window twin; r12 row
-    "streaming_interval_join",  # stream-stream interval join; r12 row
+    "streaming_interval_join", # stream-stream interval join; r12 row
     "streaming_upsert_sink",   # streaming merge sink; r12 row
     "table_profile_approx",    # HLL profile w/ 5-sigma envelope; r12 row
     "percentiles_approx",      # GK-sketch rank-error envelope; r12 row
     "doc_priority_sample",     # weighted priority sampling; r12 row
     "scd_incremental",         # double-advance guard; r12 row
     "scd_replay_31d",          # 31-day SCD incremental replay; r12 row
-    "users_cumulated_replay_31d",  # 31-day datelist replay; r12 row
+    "users_cumulated_replay_31d", # 31-day datelist replay; r12 row
     "pricing_summary",         # P3 A3 A17; r12 row
     "customer_order_spine",    # J10 J11 J15; r12 row
     "top_customers",           # J3 J13 A15 O1-O3; r12 row
@@ -1522,6 +1466,59 @@ _GATE_REST = [
     "semi_anti_customers",     # J6 J7; r12 row
     "merge_upsert",            # S11 J1; r12 row
     "bucketed_join_rollup",    # S4 S5 J14; r12 row
+    # rotated out r14: the r13 prefix (each entry holds a fresh r13
+    # driver row; operator ids stay covered by the gate_check
+    # full-registry run at HEAD each round)
+    "partitioned_prune_rollup", # S6 S7; r13 row
+    "streaming_tumbling_hits", # T1 T3 T4; r13 row
+    "streaming_kafka_mirror",  # S12 S14; r13 row
+    "streaming_session_windows", # T5; r13 row
+    "streaming_foreachbatch_sink", # T7 T8 S13; r13 row
+    "streaming_stateful_sessions", # stateful op; r13 row
+    "corpus_curation_pipeline", # flagship composed pipeline; r13 row
+    "streaming_dedup",         # dropDuplicatesWithinWatermark; r13 row
+    "doc_dedup_exact",         # A14; r13 row
+    "doc_lang_id",             # P9; r13 row
+    "doc_decontaminate",       # leakage scrub; r13 row
+    "pack_token_stream",       # sequence packing; r13 row
+    "doc_chunks",              # chunking primary; r13 row
+    "table_profile",           # one-pass profiling; r13 row
+    "udf_enrich_broadcast",    # T6 / SURVEY 2.10; r13 row
+    "metadata_scan",           # S8 layouts; r13 row
+    "insert_select_rollup",    # S9 S10; r13 row
+    "longest_streak",          # W12 streak half; r13 row
+    "union_order_tiers",       # U1 U2 P6; r13 row
+    "retention_curve",         # A16 + channel LIKE; r13 row
+    "exact_percentiles",       # exact distributed percentiles; r13 row
+    "minhash_lsh_pairs",       # banded LSH primary; r13 row
+    "ann_cosine_ivf",          # IVF cell-blocked ANN; r13 row
+    "ann_cosine_lsh",          # LSH-bucketed ANN; r13 row
+    "embedding_neardup",       # blocked embedding near-dup; r13 row
+    "media_features",          # multimodal feature extraction; r13 row
+    "media_frame_sample",      # frame sampling; r13 row
+    "hash_sample_split",       # deterministic hash split; r13 row
+    "stratified_sample",       # per-stratum exact quotas; r13 row
+    "bpe_train_merges",        # iterative BPE vocab training; r13 row
+    "bpe_encode_corpus",       # merge-table tokenizer application; r13 row
+    "bm25_top_docs",           # BM25 retrieval scoring; r13 row
+    "ann_pq_adc",              # PQ/ADC third ANN scale path; r13 row
+    "simhash_pairs",           # 4x15-bit pigeonhole near-dup; r13 row
+    "skew_salted_agg",         # salted skewed aggregate; r13 row
+    "asof_latest_order",       # as-of join; r13 row
+    "ngram_jaccard_pairs",     # prefix-filtered primary; r13 row
+    "array_metrics",           # J2 J4 J5 A12 A13 A6; r13 row
+    "fuzzy_customer_pairs",    # PassJoin edit-distance ER; r13 row
+    "interpolate_daily_revenue", # gap-fill + linear interp; r13 row
+    "hll_user_cardinality",    # HyperLogLog registers; r13 row
+    "session_concurrency_daily", # sweep-line concurrency; r13 row
+    "media_ahash_neardup",     # perceptual-hash image dedup; r13 row
+    "media_curation_pipeline", # composed image-dedup pass; r13 row
+    "user_vertices",           # W3 + map-typed vertex props; r13 row
+    "part_pair_edges",         # J9 pair self-join; r13 row
+    "media_real_decode",       # stdlib PNG round-trip; r13 row
+    "skew_salted_join",        # salted join twin; r13 row
+    "semantic_dedup",          # SemDeDup cluster-then-dedup; r13 row
+    "media_resize",            # NN resize + re-encode; r13 row
 ]
 
 assert len(_GATE_FIRST) == GATE_CAP, (

@@ -92,6 +92,9 @@ BNLJ_ALLOWED = {
     "bm25_top_docs": 1,             # 1-row global constants (T, dfs)
                                     # cross-joined back to per-doc rows
                                     # — bounded by construction
+    "hybrid_rrf_topk": 1,           # composes bm25_top_docs, inherits
+                                    # its 1-row constants cross join;
+                                    # the fusion itself is equi-only
     "ngram_jaccard_allpairs": 1,    # labeled exact all-pairs baseline
     "embedding_neardup_allpairs": 1,  # labeled exact all-pairs baseline
     "ann_cosine_topk": 1,           # labeled brute-force ANN baseline
