@@ -1295,6 +1295,56 @@ def bench_bpe_train(spark) -> dict:
     return out
 
 
+def bench_ann_ivfpq(spark) -> dict:
+    """The four ANN paths face off on a 10x corpus (20k vectors, 50
+    queries): exact brute force, PQ-ADC (bandwidth win, linear code
+    scan), IVF (selectivity win, raw-float buckets), and IVFPQ (both —
+    the r14 composition). Wall AND recall@5 against the exact answer
+    for each; the quantizers train on their bounded md5 sample (the
+    FAISS train() contract — the corpus here exceeds sample_size, the
+    exact condition the gate-scale fixtures never exercise)."""
+    from data_engineering_bootcamp_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        cosine_topk_ivfpq,
+        cosine_topk_pq,
+    )
+
+    mult = 10
+    n_queries = 50
+    corpus = build_vectors(spark, mult).persist()
+    n_corpus = corpus.count()
+    queries = corpus.where(F.col("vec_id") % (n_corpus // n_queries) == 0)
+    out: dict = {"corpus_vectors": n_corpus, "queries": n_queries, "dim": 64}
+
+    t0 = time.perf_counter()
+    exact_rows = cosine_topk_bruteforce(corpus, queries, k=5).collect()
+    out["bruteforce_blas_sec"] = round(time.perf_counter() - t0, 3)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    out["topk_pairs"] = len(exact_set)
+
+    def run(tag, fn):
+        release_caches()
+        t0 = time.perf_counter()
+        rows = fn().collect()
+        out[f"{tag}_sec"] = round(time.perf_counter() - t0, 3)
+        got = {(r.query_id, r.neighbor_id) for r in rows}
+        out[f"{tag}_recall_at_5"] = round(
+            len(exact_set & got) / max(len(exact_set), 1), 4
+        )
+
+    run("pq_adc", lambda: cosine_topk_pq(
+        corpus, queries, k=5, m=16, n_codes=16, n_candidates=100))
+    run("ivf", lambda: cosine_topk_ivf(
+        corpus, queries, k=5, n_centroids=64, n_probe=8))
+    run("ivfpq", lambda: cosine_topk_ivfpq(
+        corpus, queries, k=5, n_centroids=64, n_probe=8, m=16,
+        n_codes=16, n_candidates=100))
+    corpus.unpersist()
+    release_caches()
+    return out
+
+
 SECTIONS = {
     "skew_join": bench_skew,
     "ngram_neardup": bench_ngram,
@@ -1311,6 +1361,7 @@ SECTIONS = {
     "kmv_overlap": bench_kmv,
     "bucketed_selfjoin": bench_bucketed_selfjoin,
     "bpe_train": bench_bpe_train,
+    "ann_ivfpq": bench_ann_ivfpq,
 }
 
 
