@@ -564,9 +564,13 @@ def ivf_centroids(
     vec_col: str = "embedding",
     _src: DataFrame | None = None,
     sample_size: int = 4096,
+    _sample_rows: list | None = None,
 ) -> np.ndarray:
     """Sampled k-means coarse quantizer, deterministic and oracle-
     reproducible, trained DRIVER-SIDE on a bounded sample.
+    `_sample_rows` lets a composing caller (cosine_topk_ivfpq) share
+    ONE md5-sample fetch between the coarse and residual trainers —
+    one TakeOrdered corpus pass instead of two.
 
     Sample: the `sample_size` corpus vectors with the smallest
     md5(CAST(id AS STRING)) — a uniform pseudo-random subset with a
@@ -594,7 +598,11 @@ def ivf_centroids(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     )
-    sample_rows = _md5_sample(src, max(sample_size, n_centroids))
+    sample_rows = (
+        _sample_rows
+        if _sample_rows is not None
+        else _md5_sample(src, max(sample_size, n_centroids))
+    )
     X = np.array([r.v for r in sample_rows], dtype=np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     C = X[:n_centroids].copy()
@@ -1475,18 +1483,20 @@ def cosine_topk_ivfpq(
             )
         )
     )
+    # ONE md5-sample fetch serves both quantizer trainers (the coarse
+    # k-means and the residual PQ): at 100 TB this is one TakeOrdered
+    # corpus pass instead of two
+    sample_rows = _md5_sample(src, max(sample_size, n_centroids, n_codes))
     C = ivf_centroids(
         corpus, n_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col,
-        _src=src, sample_size=sample_size,
+        _src=src, sample_size=sample_size, _sample_rows=sample_rows,
     )
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     # the residual basis: HALF_UP 6dp of the normalized centroids —
     # the one extra rounding contract this composition adds
     rc = np.copysign(np.floor(np.abs(Cn) * 1e6 + 0.5), Cn) / 1e6
 
-    # PQ codebooks on the SAMPLE's residuals (same md5 sample the
-    # coarse trainer used, so one TakeOrdered job serves both)
-    sample_rows = _md5_sample(src, max(sample_size, n_codes))
+    # PQ codebooks on the SAMPLE's residuals
     Xs = np.array([r.v for r in sample_rows], dtype=np.float64)
     Us = Xs / np.linalg.norm(Xs, axis=1, keepdims=True)
     Rs = Us - rc[(Us @ Cn.T).argmax(axis=1)]
