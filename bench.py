@@ -151,6 +151,7 @@ HEADLINE = [
     "ann_ivfpq",
     "hybrid_rrf_topk",
     "bpe_train_merges_bytes",
+    "vocab_coverage_curve",
     # The three replay entries (pipeline_replay_31d, scd_replay_31d,
     # users_cumulated_replay_31d) are deliberately NOT headlines: their
     # wall time is ~90% driver-side plan composition of 31 sequential

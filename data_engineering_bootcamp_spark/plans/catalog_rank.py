@@ -376,6 +376,90 @@ ORACLE_STREAMING_BPE_ENCODE = _bpe_encode_oracle(BPE_STEPS)
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary coverage curve (Zipf coverage — tokenizer sizing analytic)
+# ---------------------------------------------------------------------------
+
+COVERAGE_KS = [100, 1000, 10000]
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative corpus-token coverage of the top-k vocabulary for
+    k in {100, 1k, 10k} — the Zipf-coverage curve every tokenizer/
+    vocab-sizing decision starts from ("how much of the stream do the
+    top 10k types cover?"). One row per k:
+    (k, n_tokens = vocab types actually available at that k,
+    covered_tokens, total_tokens, coverage_ppm).
+
+    Exactness: coverage_ppm = covered * 1e6 DIV total (BIGINT floor
+    division — the integer-ppm discipline), counts are integer sums.
+
+    Scale shape: the vocab aggregate is ONE corpus shuffle,
+    materialized once (localCheckpoint) and consumed by the 1-row
+    total reduce plus three TakeOrderedAndProject top-k cuts
+    (per-partition heaps — never a global sort/window over the
+    unbounded vocab relation); each k's coverage is then a 1-row
+    aggregate over <= k rows. No stage touches more than |vocab| rows
+    after the first shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        _tokens(docs)
+        .groupBy(F.col("term").alias("token"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    total = wf.agg(F.sum("freq").cast("long").alias("total_tokens"))
+    rows = []
+    for k in COVERAGE_KS:
+        topk = (
+            wf.orderBy(F.desc("freq"), F.asc("token"))
+            .limit(k)
+            .agg(
+                F.lit(k).cast("int").alias("k"),
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.sum("freq").cast("long").alias("covered_tokens"),
+            )
+        )
+        rows.append(topk)
+    from functools import reduce as _reduce
+
+    curve = _reduce(DataFrame.unionByName, rows).crossJoin(
+        F.broadcast(total)
+    )
+    return curve.select(
+        "k",
+        "n_tokens",
+        "covered_tokens",
+        "total_tokens",
+        F.expr("covered_tokens * 1000000L div total_tokens").alias(
+            "coverage_ppm"
+        ),
+    )
+
+
+ORACLE_VOCAB_COVERAGE = (
+    "WITH toks AS (" + _TOKS_SQL + "),\n"
+    """wf AS MATERIALIZED (
+  SELECT term AS token, COUNT(*)::BIGINT AS freq FROM toks GROUP BY term),
+tot AS (SELECT SUM(freq)::BIGINT AS total_tokens FROM wf),
+r AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rn
+  FROM wf),
+ks AS (SELECT unnest(["""
+    + ", ".join(str(k) for k in COVERAGE_KS)
+    + """]) AS k)
+SELECT ks.k::INT AS k,
+       COUNT(*)::BIGINT AS n_tokens,
+       SUM(r.freq)::BIGINT AS covered_tokens,
+       MAX(tot.total_tokens)::BIGINT AS total_tokens,
+       (SUM(r.freq)::BIGINT * 1000000 // MAX(tot.total_tokens))::BIGINT
+         AS coverage_ppm
+FROM ks JOIN r ON r.rn <= ks.k CROSS JOIN tot
+GROUP BY ks.k"""
+)
+
+
+# ---------------------------------------------------------------------------
 # BM25 document ranking for a fixed query
 # ---------------------------------------------------------------------------
 
@@ -978,6 +1062,7 @@ RANK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "bpe_train_merges_bytes": q_bpe_train_merges_bytes,
     "streaming_bpe_encode": q_streaming_bpe_encode,
+    "vocab_coverage_curve": q_vocab_coverage_curve,
 }
 
 RANK_ORACLES: dict[str, str] = {
@@ -989,4 +1074,5 @@ RANK_ORACLES: dict[str, str] = {
     "hybrid_rrf_topk": ORACLE_HYBRID_RRF,
     "bpe_train_merges_bytes": ORACLE_BPE_TRAIN_MERGES_BYTES,
     "streaming_bpe_encode": ORACLE_STREAMING_BPE_ENCODE,
+    "vocab_coverage_curve": ORACLE_VOCAB_COVERAGE,
 }
