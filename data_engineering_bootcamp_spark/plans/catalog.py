@@ -1364,13 +1364,14 @@ _GATE_FIRST = [
     # -----------------------------------------------------------------
     # r14 rotation (VERDICT r13 #2, the standing 3-round freshness
     # policy): promote (a) the 32 entries whose newest driver row is
-    # r11 — exactly the cohort the r13 rotation queued, (b) the FIVE
+    # r11 — exactly the cohort the r13 rotation queued, (b) the SIX
     # new r14 entries (IVFPQ, hybrid RRF fusion, byte-level BPE,
-    # streaming BPE encode, vocab coverage curve — gated immediately
-    # so they never sit without a driver row), and (c) the first 13 of
-    # the 50 entries whose newest row is r12 (list order; the
-    # remaining 37 lead the r15 prefix; histogram_quantiles ceded its
-    # queued slot to the fifth new entry). After this rotation no
+    # streaming BPE encode, vocab coverage curve, streaming embedding
+    # admission — gated immediately so they never sit without a driver
+    # row), and (c) the first 12 of the 50 entries whose newest row is
+    # r12 (list order; the remaining 38 lead the r15 prefix;
+    # tfidf_top_terms and histogram_quantiles ceded their queued slots
+    # to the fifth and sixth new entries). After this rotation no
     # entry's newest driver row is older than r12 and the cadence is
     # self-sustaining.
     # the 32 entries whose newest driver row was r11
@@ -1412,6 +1413,7 @@ _GATE_FIRST = [
     "bpe_train_merges_bytes",  # byte-level BPE training; NEW r14
     "streaming_bpe_encode",    # streaming tokenizer application; NEW r14
     "vocab_coverage_curve",    # Zipf coverage curve; NEW r14
+    "streaming_embedding_admission",  # vector ingest gate; NEW r14
     # the first 14 of the 50 entries whose newest driver row was r12
     "pipeline_replay_31d",     # 31-day growth replay; r12 row
     "rolling_time_revenue",    # RANGE frame; r12 row
@@ -1425,14 +1427,15 @@ _GATE_FIRST = [
     "bpe_merge_candidates",    # BPE pair stats; r12 row
     "dup_span_extract",        # duplicate-span extraction; r12 row
     "dup_span_removal",        # cleaned-corpus rebuild; r12 row
-    "tfidf_top_terms",         # tf-idf keywords; r12 row
 ]
 
 _GATE_REST = [
-    # the 37 r12-row entries that didn't fit this round's 50 slots
-    # (histogram_quantiles ceded its queued slot to the fifth new
-    # entry); FIRST IN LINE for the r15 prefix (they'll be exactly
-    # 3 rounds old then — the standing maintenance cadence)
+    # the 38 r12-row entries that didn't fit this round's 50 slots
+    # (tfidf_top_terms and histogram_quantiles ceded their queued
+    # slots to the fifth and sixth new entries); FIRST IN LINE for the
+    # r15 prefix (they'll be exactly 3 rounds old then — the standing
+    # maintenance cadence)
+    "tfidf_top_terms",         # tf-idf keywords; r12 row
     "histogram_quantiles",     # bin-histogram quantiles; r12 row
     "hard_negative_mining",    # contrastive ANN; r12 row
     "zorder_locality_stats",   # Morton clustering; r12 row

@@ -376,6 +376,152 @@ ORACLE_STREAMING_BPE_ENCODE = _bpe_encode_oracle(BPE_STEPS)
 
 
 # ---------------------------------------------------------------------------
+# Streaming embedding admission (vector near-dup gate on ingest)
+# ---------------------------------------------------------------------------
+
+EMB_ADMIT_THRESHOLD = 0.35
+
+
+def q_streaming_embedding_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming EMBEDDING admission — the vector twin of
+    `streaming_neardup_admission`: incoming embeddings (vec_id % 4 ==
+    0) stream through foreachBatch and each is admitted iff NO corpus
+    vector (the other three quarters) has cosine >= 0.35 with it.
+
+    Shape: the static corpus projects once to a persisted (vid, v)
+    relation; per micro-batch the (bounded) incoming vectors broadcast
+    as a normalized numpy matrix and ONE Arrow matmul pass over the
+    corpus emits per-partition neighbor counts, summed per incoming id
+    — the `_bruteforce_topk` kernel re-pointed at threshold counting.
+    EXHAUSTIVE by design: a deliberate contrast with the LSH text
+    admission — probing buckets cannot be recall-complete for a cosine
+    threshold over dense vectors (measured: 16/32 IVF probes still
+    miss 14%% of >=0.35 pairs on this corpus), so a hard filter must
+    scan, and the scalable form is the blocked matmul with the corpus
+    cached across batches. The oracle recomputes the admission
+    exhaustively; per-id counts are batch-split-independent (each
+    incoming id is processed in exactly one batch)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ..operators.dedup import _persist, release_caches  # noqa: F401
+    from ..operators.partitioning import fan_out
+
+    emb = _t(spark, sf_dir, "embeddings")
+    static_src = _persist(
+        fan_out(
+            emb.where(F.col("vec_id") % 4 != 0).select(
+                F.col("vec_id").alias("vid"),
+                F.col("embedding").cast("array<double>").alias("v"),
+            )
+        )
+    )
+
+    src = tempfile.mkdtemp(prefix="stream_emb_src_")
+    out = tempfile.mkdtemp(prefix="stream_emb_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_emb_ckpt_")
+    try:
+        incoming = emb.where(F.col("vec_id") % 4 == 0).select(
+            "vec_id", "embedding"
+        )
+        incoming.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(src)
+        )
+
+        def admit_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            rows = batch_df.limit(100_001).collect()
+            if len(rows) > 100_000:
+                raise ValueError(
+                    "streaming_embedding_admission: micro-batch exceeds "
+                    "the broadcast bound — shrink maxFilesPerTrigger"
+                )
+            if not rows:
+                return
+            qids = np.array([r.vec_id for r in rows], dtype=np.int64)
+            Q = np.array([list(r.embedding) for r in rows],
+                         dtype=np.float64)
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            bc = spark.sparkContext.broadcast((qids, Qn))
+
+            def count_close(batches):
+                import numpy as _np
+                import pandas as _pd
+
+                ids_, Qn_ = bc.value
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    V = _np.array(list(pdf["v"]), dtype=_np.float64)
+                    Vn = V / _np.linalg.norm(V, axis=1, keepdims=True)
+                    # 6dp HALF_UP before the threshold — the same
+                    # cross-engine contract as the batch near-dup ops
+                    S = _np.floor(Vn @ Qn_.T * 1e6 + 0.5) / 1e6
+                    cnt = (S >= EMB_ADMIT_THRESHOLD).sum(axis=0)
+                    yield _pd.DataFrame(
+                        {"vec_id": ids_, "n_part": cnt.astype("int64")}
+                    )
+
+            partial = static_src.mapInPandas(
+                count_close, schema="vec_id bigint, n_part bigint"
+            )
+            agg = partial.groupBy("vec_id").agg(
+                F.sum("n_part").alias("n_neardups")
+            )
+            agg.write.mode("append").parquet(out)
+            bc.unpersist()
+
+        from ..streaming.sinks import start_foreach_batch
+
+        q = start_foreach_batch(
+            stream, admit_batch, checkpoint=ckpt, available_now=True
+        )
+        q.awaitTermination()
+        q.stop()
+
+        got = spark.read.parquet(out).select(
+            "vec_id",
+            "n_neardups",
+            (F.col("n_neardups") == 0).alias("admitted"),
+        )
+        return _snapshot(got)
+    finally:
+        release_caches()
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_COS6 = (
+    "ROUND(list_dot_product(i.e, c.e) / "
+    "(sqrt(list_dot_product(i.e, i.e)) * "
+    "sqrt(list_dot_product(c.e, c.e))), 6)"
+)
+
+ORACLE_STREAMING_EMBEDDING_ADMISSION = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+inc AS (SELECT * FROM v WHERE vec_id % 4 = 0),
+cor AS (SELECT * FROM v WHERE vec_id % 4 <> 0),
+m AS (
+  SELECT i.vec_id, COUNT(*)::BIGINT AS n_neardups
+  FROM inc i JOIN cor c ON {_COS6} >= {EMB_ADMIT_THRESHOLD}
+  GROUP BY 1)
+SELECT i.vec_id,
+       COALESCE(m.n_neardups, 0)::BIGINT AS n_neardups,
+       COALESCE(m.n_neardups, 0) = 0 AS admitted
+FROM inc i LEFT JOIN m USING (vec_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary coverage curve (Zipf coverage — tokenizer sizing analytic)
 # ---------------------------------------------------------------------------
 
@@ -1063,6 +1209,7 @@ RANK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_merges_bytes": q_bpe_train_merges_bytes,
     "streaming_bpe_encode": q_streaming_bpe_encode,
     "vocab_coverage_curve": q_vocab_coverage_curve,
+    "streaming_embedding_admission": q_streaming_embedding_admission,
 }
 
 RANK_ORACLES: dict[str, str] = {
@@ -1075,4 +1222,5 @@ RANK_ORACLES: dict[str, str] = {
     "bpe_train_merges_bytes": ORACLE_BPE_TRAIN_MERGES_BYTES,
     "streaming_bpe_encode": ORACLE_STREAMING_BPE_ENCODE,
     "vocab_coverage_curve": ORACLE_VOCAB_COVERAGE,
+    "streaming_embedding_admission": ORACLE_STREAMING_EMBEDDING_ADMISSION,
 }

@@ -47,6 +47,7 @@ SKIP = {
     "streaming_upsert_sink",
     "streaming_countmin",
     "streaming_bpe_encode",
+    "streaming_embedding_admission",
     "bucketed_join_rollup",
     "partitioned_prune_rollup",
     "sorted_layout_rollup",
