@@ -96,6 +96,9 @@ BNLJ_ALLOWED = {
     "hybrid_rrf_topk": 1,           # composes bm25_top_docs, inherits
                                     # its 1-row constants cross join;
                                     # the fusion itself is equi-only
+    "vocab_coverage_curve": 1,      # 1-row total-tokens constant
+                                    # cross-joined to the 3 k-cuts —
+                                    # bounded by construction
     "ngram_jaccard_allpairs": 1,    # labeled exact all-pairs baseline
     "embedding_neardup_allpairs": 1,  # labeled exact all-pairs baseline
     "ann_cosine_topk": 1,           # labeled brute-force ANN baseline
