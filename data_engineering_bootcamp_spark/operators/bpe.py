@@ -247,3 +247,79 @@ def bpe_apply_merges(
             .drop("_j", "_l", "_r")
         )
     return w.withColumn("n_syms", F.size(F.split("encoded", " ")))
+
+
+def bpe_apply_merges_arrow(
+    words: DataFrame,
+    merges: DataFrame,
+    word_col: str = "token",
+    segmenter=spaced_symbols,
+) -> DataFrame:
+    """ENCODE at production rule counts — the scale seam
+    `bpe_apply_merges` documents, made real: the WHOLE learned merge
+    table (KB–MB scale even at ~50k rules) ships to executors once via
+    a Spark broadcast, and ONE Arrow-batched mapInPandas stage applies
+    the rules per word with the same greedy non-overlapping
+    left-to-right semantics as training. One stage, no 50k-deep
+    expression tree, no per-rule broadcast join.
+
+    The per-word loop applies rules IN STEP ORDER (the training
+    recurrence), each as a single left-to-right scan — semantically
+    identical to `bpe_apply_merges`' `merge_pair` chain, pinned by the
+    equivalence test in tests/test_rank.py. Output schema matches
+    `bpe_apply_merges`: input columns + (encoded, n_syms).
+
+    The rule table is collected driver-side with a bound: a merge
+    table larger than 1M rules is almost certainly a bug (GPT-2 ships
+    50k; the cap raises instead of OOMing the driver).
+    """
+    rows = merges.orderBy("step").limit(1_000_001).collect()
+    if len(rows) > 1_000_000:
+        raise ValueError(
+            "bpe_apply_merges_arrow: merge table exceeds 1M rules — "
+            "that is not a tokenizer, check the trainer"
+        )
+    rules = [(r["lhs"], r["rhs"]) for r in rows]
+    spark = words.sparkSession
+    bc_rules = spark.sparkContext.broadcast(rules)
+    in_cols = list(words.columns)
+
+    w = words.withColumn("__spaced", segmenter(F.col(word_col)))
+
+    def encode(batches):
+        import pandas as _pd
+
+        rl = bc_rules.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            enc = []
+            for spaced in pdf["__spaced"]:
+                syms = spaced.split(" ")
+                for lhs, rhs in rl:
+                    out, i, n = [], 0, len(syms)
+                    while i < n:
+                        if (
+                            i + 1 < n
+                            and syms[i] == lhs
+                            and syms[i + 1] == rhs
+                        ):
+                            out.append(lhs + rhs)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                enc.append(" ".join(syms))
+            res = pdf.drop(columns=["__spaced"]).copy()
+            res["encoded"] = enc
+            res["n_syms"] = [e.count(" ") + 1 for e in enc]
+            yield res
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in words.schema.fields
+    ) + ", encoded string, n_syms int"
+    return w.mapInPandas(encode, schema=out_schema).select(
+        *in_cols, "encoded", "n_syms"
+    )

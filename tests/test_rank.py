@@ -436,3 +436,64 @@ def test_byte_bpe_non_ascii_fidelity(spark):
     assert enc == ref_enc
     for tok, e in enc.items():
         assert bytes.fromhex(e.replace(" ", "")).decode("utf-8") == tok
+
+
+def test_bpe_arrow_encode_matches_expression_chain(spark, sf_dir):
+    """The production-rule-count encode path (one Arrow mapInPandas
+    stage with the whole broadcast merge table) must encode exactly
+    like the expression-chain form, on both segmenters — the scale
+    seam bpe_apply_merges documents, now pinned instead of promised."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_bootcamp_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_apply_merges_arrow,
+        bpe_train_merges,
+        spaced_utf8_bytes,
+    )
+    from data_engineering_bootcamp_spark.plans.catalog_rank import _tokens
+    from data_engineering_bootcamp_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        _tokens(docs)
+        .groupBy(F.col("term").alias("token"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where((F.length("token") >= 2) & F.col("token").rlike("^[a-z]+$"))
+        .localCheckpoint(eager=True)
+    )
+    rules = bpe_train_merges(wf, iterations=8, checkpoint_every=0)
+    chain = {
+        (r.token, r.encoded, r.n_syms)
+        for r in bpe_apply_merges(wf, rules, 8).collect()
+    }
+    arrow = {
+        (r.token, r.encoded, r.n_syms)
+        for r in bpe_apply_merges_arrow(wf, rules).collect()
+    }
+    assert arrow == chain
+
+    # byte-level segmenter too, on a non-ASCII fixture
+    df = spark.createDataFrame(
+        [("héllo", 3), ("héllò", 2), ("日本語", 4), ("naïve", 1)],
+        "token string, freq long",
+    )
+    brules = bpe_train_merges(
+        df, iterations=4, checkpoint_every=0, segmenter=spaced_utf8_bytes
+    )
+    chain_b = {
+        (r.token, r.encoded)
+        for r in bpe_apply_merges(
+            df, brules, 4, segmenter=spaced_utf8_bytes
+        ).collect()
+    }
+    arrow_b = {
+        (r.token, r.encoded)
+        for r in bpe_apply_merges_arrow(
+            df, brules, segmenter=spaced_utf8_bytes
+        ).collect()
+    }
+    assert arrow_b == chain_b
+
+    # an empty merge table is identity (encoded = base segmentation)
+    assert bpe_apply_merges_arrow(df, brules.limit(0)).count() == 4
