@@ -269,3 +269,39 @@ def test_zorder_interleave_matches_generated_sql(x, y):
     dx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
     dy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
     assert (dx, dy) == (x, y)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(1, 400),  # k0
+    st.integers(1, 200),  # rank
+)
+def test_rrf_integer_reciprocal_matches_duckdb(k0, rank):
+    # rank_fusion.rrf_fuse's exact-integer contract: Spark's BIGINT
+    # `div` and DuckDB's `//` must agree on every (k0, rank) — both
+    # are floor division of positive ints, so the fused score is an
+    # order-free integer sum in both engines
+    py = 1_000_000_000 // (k0 + rank)
+    got = _con.execute(
+        "SELECT 1000000000 // (? + ?)", [k0, rank]
+    ).fetchone()[0]
+    assert got == py
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=60))
+def test_utf8_hex_segmentation_matches_duckdb(s):
+    # spaced_utf8_bytes' base-vocab contract (byte-level BPE): the
+    # hex dump of the UTF-8 bytes, spaced per byte, must be identical
+    # in Python (= what Spark's hex(encode(..)) produces, verified in
+    # test_rank) and DuckDB's hex(encode(..)) + regexp spacing
+    try:
+        b = s.encode()
+    except UnicodeEncodeError:
+        return
+    py = " ".join(f"{x:02X}" for x in b)
+    got = _con.execute(
+        r"SELECT trim(regexp_replace(hex(encode(?)), '(..)', '\1 ', 'g'))",
+        [s],
+    ).fetchone()[0]
+    assert got == py
