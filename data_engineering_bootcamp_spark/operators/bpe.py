@@ -295,6 +295,13 @@ def bpe_apply_merges_arrow(
                 continue
             enc = []
             for spaced in pdf["__spaced"]:
+                if spaced is None or (
+                    isinstance(spaced, float) and _pd.isna(spaced)
+                ):
+                    # NULL word: match bpe_apply_merges, whose
+                    # split/size chain yields NULL encoded / -1 n_syms.
+                    enc.append(None)
+                    continue
                 syms = spaced.split(" ")
                 for lhs, rhs in rl:
                     out, i, n = [], 0, len(syms)
@@ -313,7 +320,9 @@ def bpe_apply_merges_arrow(
                 enc.append(" ".join(syms))
             res = pdf.drop(columns=["__spaced"]).copy()
             res["encoded"] = enc
-            res["n_syms"] = [e.count(" ") + 1 for e in enc]
+            res["n_syms"] = [
+                -1 if e is None else e.count(" ") + 1 for e in enc
+            ]
             yield res
 
     out_schema = ", ".join(

@@ -51,6 +51,18 @@ def rrf_fuse(
         raise ValueError("rrf_fuse: rankings must be non-empty")
     if k0 < 1 or top_k < 1:
         raise ValueError(f"rrf_fuse: k0/top_k must be >= 1, got {k0}/{top_k}")
+    # Fail fast on non-integral ids (ADVICE r14): a silent cast to
+    # long would NULL every string doc id and collapse all documents
+    # into one fused NULL group instead of erroring.
+    integral = ("tinyint", "smallint", "int", "bigint")
+    for name, df in rankings.items():
+        dt = df.schema[id_col].dataType.simpleString()
+        if dt not in integral:
+            raise TypeError(
+                f"rrf_fuse: ranker {name!r} has non-integral "
+                f"{id_col!r} ({dt}); map document ids to BIGINT "
+                "before fusing"
+            )
     parts = [
         df.select(
             F.col(id_col).cast("long").alias(id_col),

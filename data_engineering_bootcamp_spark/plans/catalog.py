@@ -1414,7 +1414,7 @@ _GATE_FIRST = [
     "streaming_bpe_encode",    # streaming tokenizer application; NEW r14
     "vocab_coverage_curve",    # Zipf coverage curve; NEW r14
     "streaming_embedding_admission",  # vector ingest gate; NEW r14
-    # the first 14 of the 50 entries whose newest driver row was r12
+    # the first 12 of the 50 entries whose newest driver row was r12
     "pipeline_replay_31d",     # 31-day growth replay; r12 row
     "rolling_time_revenue",    # RANGE frame; r12 row
     "zscore_anomaly_days",     # integer-exact z-score; r12 row

@@ -189,7 +189,18 @@ def q_bpe_train_merges_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle + TakeOrdered(1) + broadcast winner); the oracle unrolls
     the identical recurrence over the identical hex base vocab.
     Non-ASCII fidelity is separately pinned against a pure-Python
-    reference in tests/test_rank.py."""
+    reference in tests/test_rank.py.
+
+    Remaining cross-engine dependency (ADVICE r14): only the hex
+    SEGMENTATION is engine-agnostic by construction; the upstream
+    tokenization (`_tokens` / `_TOKS_SQL`) still relies on
+    lower() + '\\s+' split agreeing between Java (full Unicode case
+    mapping, e.g. U+0130 lowercases to i + combining dot) and DuckDB
+    (utf8proc per-codepoint lower). The two agree on every fixture
+    (the gate would fail loudly on a divergence) but this entry does
+    NOT claim tokenization-level engine independence for arbitrary
+    text — pin inputs through `spaced_utf8_bytes` BEFORE any casing
+    if that guarantee is needed."""
     docs = _t(spark, sf_dir, "documents")
     wf = (
         _tokens(docs)

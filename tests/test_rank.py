@@ -343,6 +343,13 @@ def test_rrf_fuse_exact_semantics(spark):
         rrf_fuse({})
     with pytest.raises(ValueError, match=">= 1"):
         rrf_fuse({"lex": lex}, k0=0)
+    # ADVICE r14: string ids must error, not silently cast to NULL
+    # and collapse into one fused group
+    str_ids = spark.createDataFrame(
+        [("docA", 1), ("docB", 2)], "doc_id string, rank long"
+    )
+    with pytest.raises(TypeError, match="non-integral"):
+        rrf_fuse({"lex": str_ids})
 
 
 def _ref_byte_bpe(words: dict, iterations: int):
@@ -497,3 +504,23 @@ def test_bpe_arrow_encode_matches_expression_chain(spark, sf_dir):
 
     # an empty merge table is identity (encoded = base segmentation)
     assert bpe_apply_merges_arrow(df, brules.limit(0)).count() == 4
+
+    # ADVICE r14: NULL words flow through both paths identically
+    # (NULL encoded / -1 n_syms) instead of crashing the Arrow kernel
+    nul = spark.createDataFrame(
+        [("héllo", 3), (None, 1)], "token string, freq long"
+    )
+    chain_n = {
+        (r.token, r.encoded, r.n_syms)
+        for r in bpe_apply_merges(
+            nul, brules, 4, segmenter=spaced_utf8_bytes
+        ).collect()
+    }
+    arrow_n = {
+        (r.token, r.encoded, r.n_syms)
+        for r in bpe_apply_merges_arrow(
+            nul, brules, segmenter=spaced_utf8_bytes
+        ).collect()
+    }
+    assert arrow_n == chain_n
+    assert (None, None, -1) in arrow_n

@@ -83,6 +83,20 @@ from pyspark.sql import types as T  # noqa: E402
 
 DEPTHS = [8, 16, 31, 62, 93]
 
+# Scratch dirs created by parquet-mode runs. The returned DataFrame
+# READS from them, so they can only be removed after the depth's
+# fingerprint executes — main() drains this list per depth (ADVICE
+# r14: don't leak a mkdtemp per sweep, and don't mkdtemp at all for
+# lazy/eager modes).
+_SCRATCH_DIRS: list = []
+
+
+def _drain_scratch() -> None:
+    import shutil
+
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
 
 def build_replay(spark, sf_dir: str, days: int, cadence: int,
                  ckpt_mode: str = "lazy"):
@@ -96,7 +110,10 @@ def build_replay(spark, sf_dir: str, days: int, cadence: int,
         _dominant_daily,
     )
 
-    scratch = tempfile.mkdtemp(prefix="replay_depth_pq_")
+    scratch = None
+    if ckpt_mode == "parquet":
+        scratch = tempfile.mkdtemp(prefix="replay_depth_pq_")
+        _SCRATCH_DIRS.append(scratch)
 
     dom = _dominant_daily(spark, sf_dir).localCheckpoint(eager=False)
     firstd = (
@@ -213,6 +230,7 @@ def main() -> int:
         t0 = time.perf_counter()
         n, h = fingerprint(df)
         t_exec = time.perf_counter() - t0
+        _drain_scratch()
         doc["depths"][str(days)] = {
             "t_build_sec": round(t_build, 2),
             "t_analyze_sec": round(t_analyze, 2),
