@@ -152,6 +152,12 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "bpe_train_merges_bytes",
     "vocab_coverage_curve",
+    # round-15 additions: distributed full-corpus codebook training,
+    # the hashed-NB learned quality classifier, and the streaming
+    # IVFPQ index maintainer
+    "ann_ivfpq_fulltrain",
+    "doc_quality_classifier",
+    "streaming_ivfpq_index",
     # The three replay entries (pipeline_replay_31d, scd_replay_31d,
     # users_cumulated_replay_31d) are deliberately NOT headlines: their
     # wall time is ~90% driver-side plan composition of 31 sequential

@@ -556,6 +556,168 @@ def _md5_sample(src: DataFrame, need: int) -> list:
     return sample_rows
 
 
+def _round6_arr(a: np.ndarray) -> np.ndarray:
+    """HALF_UP away from zero at 6dp — the family's numpy twin of
+    F.round / DuckDB ROUND (determinism contract)."""
+    return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6
+
+
+def _md5_seed_rows(src: DataFrame, need: int) -> list:
+    """The first `need` (vid, v) rows in md5(vid) order — the seed
+    contract shared by the sampled and full-scope trainers (for the
+    sampled trainers these are by construction the first rows of the
+    md5 sample)."""
+    key = F.md5(F.col("vid").cast("string"))
+    return src.orderBy(key, "vid").limit(need).collect()
+
+
+def _full_coarse_lloyd(
+    src: DataFrame, n_centroids: int, lloyd_iters: int
+) -> np.ndarray:
+    """DISTRIBUTED full-corpus coarse k-means (VERDICT r14 #1): the
+    `train_scope="full"` twin of the driver-side numpy Lloyd in
+    `ivf_centroids`, with identical determinism rules — seeds = the
+    first `n_centroids` corpus rows in md5(vid) order, assignment by
+    cosine with lowest-centroid ties (the `_ivf_assigner` argmax),
+    centroids = per-dimension raw-vector means ROUNDed 6dp HALF_UP,
+    empty clusters keep their seed.
+
+    Scale shape: per iteration ONE broadcast-centroid Arrow assignment
+    pass over the corpus plus ONE groupBy(bucket) aggregate (partial
+    map-side combine; the shuffle carries n_centroids x (count +
+    dim sums) per map partition, not rows) — so codebooks can train on
+    the ENTIRE corpus, retiring the corpus<=sample_size oracle-parity
+    seam: the whole-corpus SQL oracle replays these iterations
+    exactly. The 6dp rounding absorbs summation-order noise the same
+    way the sampled path's numpy-mean-vs-DuckDB-AVG contract does.
+    """
+    spark = src.sparkSession
+    seed_rows = _md5_seed_rows(src, n_centroids)
+    C = np.array([r.v for r in seed_rows], dtype=np.float64)
+    dim = C.shape[1]
+    for _ in range(int(lloyd_iters)):
+        assigned = src.mapInPandas(
+            _ivf_assigner(spark, C),
+            schema="vid bigint, bucket int, v array<double>",
+        )
+        rows = (
+            assigned.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[
+                    F.sum(F.element_at("v", d + 1)).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()  # <= n_centroids rows by construction
+        )
+        newC = C.copy()  # empty clusters keep their seed
+        for r in rows:
+            mu = np.array(
+                [r[f"s{d}"] for d in range(dim)], dtype=np.float64
+            ) / float(r["cnt"])
+            newC[r["bucket"]] = _round6_arr(mu)
+        C = newC
+    return C
+
+
+def _full_subspace_lloyd(
+    src: DataFrame,
+    m: int,
+    n_codes: int,
+    lloyd_iters: int,
+    Cn: np.ndarray | None = None,
+    rc: np.ndarray | None = None,
+) -> np.ndarray:
+    """DISTRIBUTED full-corpus per-subspace k-means (VERDICT r14 #1):
+    the `train_scope="full"` twin of `_subspace_lloyd`, over either
+    the L2-normalized vectors (`Cn`/`rc` None — the PQ input space) or
+    the coarse-quantizer residuals u - rc[argmax cosine] (the IVFPQ
+    input space). Rules unchanged: seeds = the residual/normalized
+    subvectors of the first `n_codes` corpus rows in md5(vid) order,
+    assignment by squared L2 with lowest-code ties, means ROUNDed 6dp
+    HALF_UP, empty cells keep their seed.
+
+    Scale shape: per iteration ONE broadcast-codebook Arrow pass emits
+    per-batch PARTIAL sums — at most m x n_codes rows of
+    (count, dsub sums) per Arrow batch, independent of batch rows —
+    and ONE groupBy(j, cell) aggregate reduces them; the driver
+    finalizes <= m x n_codes means. No full-corpus collect anywhere.
+    """
+    spark = src.sparkSession
+    seed_rows = _md5_seed_rows(src, n_codes)
+    Xs = np.array([r.v for r in seed_rows], dtype=np.float64)
+    Us = Xs / np.linalg.norm(Xs, axis=1, keepdims=True)
+    Rs = Us if rc is None else Us - rc[(Us @ Cn.T).argmax(axis=1)]
+    dim = Rs.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.stack(
+        [Rs[:n_codes, j * dsub:(j + 1) * dsub].copy() for j in range(m)]
+    )
+    for _ in range(int(lloyd_iters)):
+        bc = spark.sparkContext.broadcast((Cn, rc, books))
+
+        def partials(batches):
+            # self-contained closure (executors may lack this package)
+            import numpy as _np
+            import pandas as _pd
+
+            cents, rbase, B = bc.value
+            mm, _, dd = B.shape
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = _np.array(list(pdf["v"]), dtype=_np.float64)
+                U = X / _np.linalg.norm(X, axis=1, keepdims=True)
+                R = (
+                    U
+                    if rbase is None
+                    else U - rbase[(U @ cents.T).argmax(axis=1)]
+                )
+                js, cells, cnts, sums = [], [], [], []
+                for j in range(mm):
+                    S = R[:, j * dd:(j + 1) * dd]
+                    d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    cell = d2.argmin(axis=1)
+                    for c in _np.unique(cell):
+                        memb = S[cell == c]
+                        js.append(j)
+                        cells.append(int(c))
+                        cnts.append(int(memb.shape[0]))
+                        sums.append(memb.sum(axis=0).tolist())
+                yield _pd.DataFrame(
+                    {"j": js, "cell": cells, "cnt": cnts, "s": sums}
+                )
+
+        rows = (
+            src.mapInPandas(
+                partials,
+                schema="j int, cell int, cnt bigint, s array<double>",
+            )
+            .groupBy("j", "cell")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                *[
+                    F.sum(F.element_at("s", d + 1)).alias(f"s{d}")
+                    for d in range(dsub)
+                ],
+            )
+            .collect()  # <= m x n_codes rows by construction
+        )
+        newB = books.copy()  # empty cells keep their seed
+        for r in rows:
+            mu = np.array(
+                [r[f"s{d}"] for d in range(dsub)], dtype=np.float64
+            ) / float(r["cnt"])
+            newB[r["j"], r["cell"]] = _round6_arr(mu)
+        books = newB
+    return books
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 32,
@@ -565,9 +727,18 @@ def ivf_centroids(
     _src: DataFrame | None = None,
     sample_size: int = 4096,
     _sample_rows: list | None = None,
+    train_scope: str = "sample",
 ) -> np.ndarray:
     """Sampled k-means coarse quantizer, deterministic and oracle-
-    reproducible, trained DRIVER-SIDE on a bounded sample.
+    reproducible, trained DRIVER-SIDE on a bounded sample — or, with
+    ``train_scope="full"`` (VERDICT r14 #1), DISTRIBUTED over the
+    ENTIRE corpus via `_full_coarse_lloyd` (one broadcast-assignment
+    Arrow pass + one partial-combined groupBy per iteration), which
+    retires the corpus<=sample_size oracle-parity seam: the
+    whole-corpus SQL oracle replays full-scope training exactly at ANY
+    corpus size. When the corpus fits in the sample the two scopes
+    produce identical codebooks (same seeds, same assignment, same
+    6dp-rounded means).
     `_sample_rows` lets a composing caller (cosine_topk_ivfpq) share
     ONE md5-sample fetch between the coarse and residual trainers —
     one TakeOrdered corpus pass instead of two.
@@ -598,6 +769,12 @@ def ivf_centroids(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     )
+    if train_scope == "full":
+        return _full_coarse_lloyd(src, n_centroids, lloyd_iters)
+    if train_scope != "sample":
+        raise ValueError(
+            f"train_scope must be 'sample' or 'full', got {train_scope!r}"
+        )
     sample_rows = (
         _sample_rows
         if _sample_rows is not None
@@ -631,6 +808,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 1,
+    train_scope: str = "sample",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the second scale path next
     to `cosine_topk_lsh`.
@@ -669,7 +847,7 @@ def cosine_topk_ivf(
     )
     C = ivf_centroids(
         corpus, n_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col,
-        _src=src,
+        _src=src, train_scope=train_scope,
     )
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
@@ -1194,6 +1372,7 @@ def pq_codebooks(
     vec_col: str = "embedding",
     _src: DataFrame | None = None,
     sample_size: int = 4096,
+    train_scope: str = "sample",
 ) -> np.ndarray:
     """Product-quantization codebooks (Jégou, Douze & Schmid 2011),
     deterministic and oracle-reproducible, trained DRIVER-SIDE on the
@@ -1208,7 +1387,11 @@ def pq_codebooks(
     to 6dp, empty cells keep their seed. Returns (m, n_codes, dim/m).
     Training touches a FIXED-size sample regardless of corpus size (the
     FAISS train() contract); at gate scales the sample covers the whole
-    corpus so the exhaustive SQL oracle is exact.
+    corpus so the exhaustive SQL oracle is exact. With
+    ``train_scope="full"`` (VERDICT r14 #1) the codebooks instead train
+    DISTRIBUTED over the entire corpus (`_full_subspace_lloyd` — one
+    partial-sums Arrow pass + one groupBy per iteration), keeping
+    whole-corpus oracle parity at any size.
     """
     src = _src if _src is not None else fan_out(
         corpus.select(
@@ -1216,6 +1399,12 @@ def pq_codebooks(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     )
+    if train_scope == "full":
+        return _full_subspace_lloyd(src, m, n_codes, lloyd_iters)
+    if train_scope != "sample":
+        raise ValueError(
+            f"train_scope must be 'sample' or 'full', got {train_scope!r}"
+        )
     sample_rows = _md5_sample(src, max(sample_size, n_codes))
     X = np.array([r.v for r in sample_rows], dtype=np.float64)
     U = X / np.linalg.norm(X, axis=1, keepdims=True)
@@ -1270,6 +1459,7 @@ def cosine_topk_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 1,
+    train_scope: str = "sample",
 ) -> DataFrame:
     """PQ + asymmetric-distance (ADC) approximate cosine top-k — the
     third ANN scale path beside `cosine_topk_lsh` (bucketed) and
@@ -1304,7 +1494,7 @@ def cosine_topk_pq(
     )
     books = pq_codebooks(
         corpus, m=m, n_codes=n_codes, lloyd_iters=lloyd_iters,
-        id_col=id_col, vec_col=vec_col, _src=src,
+        id_col=id_col, vec_col=vec_col, _src=src, train_scope=train_scope,
     )
     dsub = books.shape[2]
     spark = corpus.sparkSession
@@ -1414,6 +1604,77 @@ def cosine_topk_pq(
     )
 
 
+def _ivfpq_encoder(bc_cn, bc_rc, bc_books):
+    """The IVFADC encode kernel as a reusable mapInPandas closure
+    (shared by `cosine_topk_ivfpq` and the streaming index maintainer
+    `ivfpq_encode`): bucket = argmax cosine vs the broadcast
+    normalized centroids (ties to the lowest centroid id), codes[j] =
+    argmin squared-L2 of the residual subvector vs codebook j (ties to
+    the lowest code). Input batches carry (vid, v); output rows are
+    (vid, bucket, codes array<int>)."""
+
+    def encode(batches):
+        # self-contained closure (executors may lack this package)
+        import numpy as _np
+        import pandas as _pd
+
+        cents = bc_cn.value
+        rbase = bc_rc.value
+        B = bc_books.value
+        mm, kk, dd = B.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _np.array(list(pdf["v"]), dtype=_np.float64)
+            U = X / _np.linalg.norm(X, axis=1, keepdims=True)
+            bucket = (U @ cents.T).argmax(axis=1)
+            R = U - rbase[bucket]
+            cs = []
+            for j in range(mm):
+                S = R[:, j * dd:(j + 1) * dd]
+                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                cs.append(d2.argmin(axis=1).astype("int32"))
+            yield _pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "bucket": bucket.astype("int32"),
+                    "codes": list(_np.stack(cs, axis=1)),
+                }
+            )
+
+    return encode
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    Cn: np.ndarray,
+    rc: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against FROZEN IVFPQ codebooks — the index-
+    maintenance primitive (VERDICT r14 #5): a production ANN index is
+    MAINTAINED (new vectors encoded at arrival against the trained
+    quantizers and appended to the posting-list store), not rebuilt.
+    One broadcast + one Arrow mapInPandas pass; rows out are
+    (vid, bucket, codes array<int>), ~m bytes of payload per vector.
+    Same kernel and determinism rules as `cosine_topk_ivfpq`'s encode
+    stage (it shares the closure)."""
+    spark = vectors.sparkSession
+    bc_cn = spark.sparkContext.broadcast(Cn)
+    bc_rc = spark.sparkContext.broadcast(rc)
+    bc_books = spark.sparkContext.broadcast(books)
+    src = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    return src.mapInPandas(
+        _ivfpq_encoder(bc_cn, bc_rc, bc_books),
+        schema="vid bigint, bucket int, codes array<int>",
+    )
+
+
 def cosine_topk_ivfpq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1427,6 +1688,7 @@ def cosine_topk_ivfpq(
     vec_col: str = "embedding",
     lloyd_iters: int = 1,
     sample_size: int = 4096,
+    train_scope: str = "sample",
 ) -> DataFrame:
     """IVF + PQ-on-residuals (IVFADC, Jégou, Douze & Schmid 2011 §V) —
     the composition of the two existing scale paths that each cover one
@@ -1483,24 +1745,46 @@ def cosine_topk_ivfpq(
             )
         )
     )
-    # ONE md5-sample fetch serves both quantizer trainers (the coarse
-    # k-means and the residual PQ): at 100 TB this is one TakeOrdered
-    # corpus pass instead of two
-    sample_rows = _md5_sample(src, max(sample_size, n_centroids, n_codes))
-    C = ivf_centroids(
-        corpus, n_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col,
-        _src=src, sample_size=sample_size, _sample_rows=sample_rows,
-    )
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    # the residual basis: HALF_UP 6dp of the normalized centroids —
-    # the one extra rounding contract this composition adds
-    rc = np.copysign(np.floor(np.abs(Cn) * 1e6 + 0.5), Cn) / 1e6
+    if train_scope == "full":
+        # DISTRIBUTED full-corpus training (VERDICT r14 #1): the
+        # coarse Lloyd and the residual PQ Lloyd each run over the
+        # ENTIRE corpus (one broadcast-assignment Arrow pass + one
+        # partial-combined groupBy per iteration) — no sample bound,
+        # so the whole-corpus SQL oracle stays exact at ANY size and
+        # the corpus<=sample_size seam guard is retired for callers
+        # on this scope.
+        C = _full_coarse_lloyd(src, n_centroids, lloyd_iters)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        rc = _round6_arr(Cn)
+        books = _full_subspace_lloyd(
+            src, m, n_codes, lloyd_iters, Cn=Cn, rc=rc
+        )
+    elif train_scope == "sample":
+        # ONE md5-sample fetch serves both quantizer trainers (the
+        # coarse k-means and the residual PQ): at 100 TB this is one
+        # TakeOrdered corpus pass instead of two
+        sample_rows = _md5_sample(
+            src, max(sample_size, n_centroids, n_codes)
+        )
+        C = ivf_centroids(
+            corpus, n_centroids, lloyd_iters, id_col=id_col,
+            vec_col=vec_col, _src=src, sample_size=sample_size,
+            _sample_rows=sample_rows,
+        )
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        # the residual basis: HALF_UP 6dp of the normalized centroids
+        # — the one extra rounding contract this composition adds
+        rc = _round6_arr(Cn)
 
-    # PQ codebooks on the SAMPLE's residuals
-    Xs = np.array([r.v for r in sample_rows], dtype=np.float64)
-    Us = Xs / np.linalg.norm(Xs, axis=1, keepdims=True)
-    Rs = Us - rc[(Us @ Cn.T).argmax(axis=1)]
-    books = _subspace_lloyd(Rs, m, n_codes, lloyd_iters)
+        # PQ codebooks on the SAMPLE's residuals
+        Xs = np.array([r.v for r in sample_rows], dtype=np.float64)
+        Us = Xs / np.linalg.norm(Xs, axis=1, keepdims=True)
+        Rs = Us - rc[(Us @ Cn.T).argmax(axis=1)]
+        books = _subspace_lloyd(Rs, m, n_codes, lloyd_iters)
+    else:
+        raise ValueError(
+            f"train_scope must be 'sample' or 'full', got {train_scope!r}"
+        )
     dsub = books.shape[2]
 
     spark = corpus.sparkSession
@@ -1508,37 +1792,9 @@ def cosine_topk_ivfpq(
     bc_rc = spark.sparkContext.broadcast(rc)
     bc_books = spark.sparkContext.broadcast(books)
 
-    def encode(batches):
-        # self-contained closure (executors may lack this package)
-        import numpy as _np
-        import pandas as _pd
-
-        cents = bc_cn.value
-        rbase = bc_rc.value
-        B = bc_books.value
-        mm, kk, dd = B.shape
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = _np.array(list(pdf["v"]), dtype=_np.float64)
-            U = X / _np.linalg.norm(X, axis=1, keepdims=True)
-            bucket = (U @ cents.T).argmax(axis=1)
-            R = U - rbase[bucket]
-            cs = []
-            for j in range(mm):
-                S = R[:, j * dd:(j + 1) * dd]
-                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
-                cs.append(d2.argmin(axis=1).astype("int32"))
-            yield _pd.DataFrame(
-                {
-                    "vid": pdf["vid"],
-                    "bucket": bucket.astype("int32"),
-                    "codes": list(_np.stack(cs, axis=1)),
-                }
-            )
-
     codes = src.mapInPandas(
-        encode, schema="vid bigint, bucket int, codes array<int>"
+        _ivfpq_encoder(bc_cn, bc_rc, bc_books),
+        schema="vid bigint, bucket int, codes array<int>",
     )
 
     n_probe_ = min(int(n_probe), Cn.shape[0])

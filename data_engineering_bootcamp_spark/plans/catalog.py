@@ -1362,79 +1362,16 @@ GATE_CAP = 50  # the driver gates exactly this many leading entries
 
 _GATE_FIRST = [
     # -----------------------------------------------------------------
-    # r14 rotation (VERDICT r13 #2, the standing 3-round freshness
-    # policy): promote (a) the 32 entries whose newest driver row is
-    # r11 — exactly the cohort the r13 rotation queued, (b) the SIX
-    # new r14 entries (IVFPQ, hybrid RRF fusion, byte-level BPE,
-    # streaming BPE encode, vocab coverage curve, streaming embedding
-    # admission — gated immediately so they never sit without a driver
-    # row), and (c) the first 12 of the 50 entries whose newest row is
-    # r12 (list order; the remaining 38 lead the r15 prefix;
-    # tfidf_top_terms and histogram_quantiles ceded their queued slots
-    # to the fifth and sixth new entries). After this rotation no
-    # entry's newest driver row is older than r12 and the cadence is
-    # self-sustaining.
-    # the 32 entries whose newest driver row was r11
-    "doc_bigram_lm_score",     # bigram-LM quality score; r11 row
-    "line_dedup_rebuild",      # C4/RefinedWeb segment removal; r11 row
-    "kmv_set_ops",             # bottom-k sketch set algebra; r11 row
-    "doc_winnow_fingerprint",  # set-stats winnow twin; r11 row
-    "doc_pii_redact",          # regex PII counting + masking; r11 row
-    "neardup_clusters",        # CC + keep-one retention; r11 row
-    "pivot_lang_counts",       # groupBy().pivot(); r11 row
-    "streaming_neardup_admission", # stream-static LSH; r11 row
-    "pagerank_parts",          # guard off hot path; r11 row
-    "bloom_prune_stats",       # digest-fence family; r11 row
-    "countmin_token_freq",     # digest-fence family; r11 row
-    "distinct_sketch_users",   # digest-fence family; r11 row
-    "streaming_countmin",      # digest-fence family; r11 row
-    "region_revenue",          # J3 J13; r11 row
-    "tumbling_hits",           # batch T3/T4 twin; r11 row
-    "host_activity_reduced",   # J2 J12; r11 row
-    "top_supplier_per_nation", # J13 A15 W9; r11 row
-    "embedding_neardup_allpairs", # exact baseline twin; r11 row
-    "acctbal_tiers",           # P6; r11 row
-    "ann_cosine_topk",         # brute-force ANN baseline; r11 row
-    "bulk_rename_summary",     # P2; r11 row
-    "csv_roundtrip_rollup",    # S2; r11 row
-    "dedup_keep_first",        # W3 W4; r11 row
-    "distinct_users",          # A4 A5; r11 row
-    "doc_quality",             # text quality score; r11 row
-    "doc_token_stats",         # token counting; r11 row
-    "doc_winnow_neardup_pairs", # winnow primary; r11 row
-    "filter_by_top1",          # P8 O6; r11 row
-    "growth_accounting",       # J1; r11 row
-    "json_props",              # JSON family; r11 row
-    "part_type_tiers",         # P5; r11 row
-    "sorted_layout_rollup",    # O4 O5; r11 row
-    # new this round: gate immediately
-    "ann_ivfpq",               # IVF + PQ-on-residuals (IVFADC); NEW r14
-    "hybrid_rrf_topk",         # BM25 + ANN reciprocal-rank fusion; NEW r14
-    "bpe_train_merges_bytes",  # byte-level BPE training; NEW r14
-    "streaming_bpe_encode",    # streaming tokenizer application; NEW r14
-    "vocab_coverage_curve",    # Zipf coverage curve; NEW r14
-    "streaming_embedding_admission",  # vector ingest gate; NEW r14
-    # the first 12 of the 50 entries whose newest driver row was r12
-    "pipeline_replay_31d",     # 31-day growth replay; r12 row
-    "rolling_time_revenue",    # RANGE frame; r12 row
-    "zscore_anomaly_days",     # integer-exact z-score; r12 row
-    "unpivot_region_metrics",  # unpivot wide->long; r12 row
-    "chunk_dedup_rebuild",     # sub-document dedup; r12 row
-    "corpus_mix_plan",         # mixing quotas; r12 row
-    "quantile_band_filter",    # percentile trimming; r12 row
-    "embedding_quantize_error", # int8 SQ error; r12 row
-    "ann_q8_rerank",           # SQ8 + rerank; r12 row
-    "bpe_merge_candidates",    # BPE pair stats; r12 row
-    "dup_span_extract",        # duplicate-span extraction; r12 row
-    "dup_span_removal",        # cleaned-corpus rebuild; r12 row
-]
-
-_GATE_REST = [
-    # the 38 r12-row entries that didn't fit this round's 50 slots
-    # (tfidf_top_terms and histogram_quantiles ceded their queued
-    # slots to the fifth and sixth new entries); FIRST IN LINE for the
-    # r15 prefix (they'll be exactly 3 rounds old then — the standing
-    # maintenance cadence)
+    # r15 rotation (VERDICT r14 #2, the standing 3-round freshness
+    # policy): promote (a) the 38 entries whose newest driver row is
+    # r12 — exactly the cohort the r14 rotation queued in _GATE_REST,
+    # (b) the THREE new r15 entries (full-scope-trained IVFPQ, the
+    # hashed Naive Bayes quality classifier, the streaming IVFPQ index
+    # maintainer — gated immediately so they never sit without a
+    # driver row), and (c) the first 9 of the 50 entries whose newest
+    # row is r13 (list order). After this rotation no entry's newest
+    # driver row is older than r13 and the cadence is self-sustaining.
+    # the 38 entries whose newest driver row was r12
     "tfidf_top_terms",         # tf-idf keywords; r12 row
     "histogram_quantiles",     # bin-histogram quantiles; r12 row
     "hard_negative_mining",    # contrastive ANN; r12 row
@@ -1473,9 +1410,11 @@ _GATE_REST = [
     "semi_anti_customers",     # J6 J7; r12 row
     "merge_upsert",            # S11 J1; r12 row
     "bucketed_join_rollup",    # S4 S5 J14; r12 row
-    # rotated out r14: the r13 prefix (each entry holds a fresh r13
-    # driver row; operator ids stay covered by the gate_check
-    # full-registry run at HEAD each round)
+    # new this round: gate immediately
+    "ann_ivfpq_fulltrain",     # distributed full-corpus Lloyd; NEW r15
+    "doc_quality_classifier",  # hashed NB quality scoring; NEW r15
+    "streaming_ivfpq_index",   # incremental ANN index maint; NEW r15
+    # the first 9 of the 50 entries whose newest driver row was r13
     "partitioned_prune_rollup", # S6 S7; r13 row
     "streaming_tumbling_hits", # T1 T3 T4; r13 row
     "streaming_kafka_mirror",  # S12 S14; r13 row
@@ -1485,6 +1424,12 @@ _GATE_REST = [
     "corpus_curation_pipeline", # flagship composed pipeline; r13 row
     "streaming_dedup",         # dropDuplicatesWithinWatermark; r13 row
     "doc_dedup_exact",         # A14; r13 row
+]
+
+_GATE_REST = [
+    # the 41 r13-row entries that didn't fit this round's 50 slots;
+    # FIRST IN LINE for the r16 prefix (they'll be exactly 3 rounds
+    # old then — the standing maintenance cadence)
     "doc_lang_id",             # P9; r13 row
     "doc_decontaminate",       # leakage scrub; r13 row
     "pack_token_stream",       # sequence packing; r13 row
@@ -1526,6 +1471,59 @@ _GATE_REST = [
     "skew_salted_join",        # salted join twin; r13 row
     "semantic_dedup",          # SemDeDup cluster-then-dedup; r13 row
     "media_resize",            # NN resize + re-encode; r13 row
+    # rotated out r15: the r14 prefix (each entry holds a fresh r14
+    # driver row; operator ids stay covered by the gate_check
+    # full-registry run at HEAD each round)
+    "doc_bigram_lm_score",     # bigram-LM quality score; r14 row
+    "line_dedup_rebuild",      # C4/RefinedWeb segment removal; r14 row
+    "kmv_set_ops",             # bottom-k sketch set algebra; r14 row
+    "doc_winnow_fingerprint",  # set-stats winnow twin; r14 row
+    "doc_pii_redact",          # regex PII counting + masking; r14 row
+    "neardup_clusters",        # CC + keep-one retention; r14 row
+    "pivot_lang_counts",       # groupBy().pivot(); r14 row
+    "streaming_neardup_admission", # stream-static LSH; r14 row
+    "pagerank_parts",          # guard off hot path; r14 row
+    "bloom_prune_stats",       # digest-fence family; r14 row
+    "countmin_token_freq",     # digest-fence family; r14 row
+    "distinct_sketch_users",   # digest-fence family; r14 row
+    "streaming_countmin",      # digest-fence family; r14 row
+    "region_revenue",          # J3 J13; r14 row
+    "tumbling_hits",           # batch T3/T4 twin; r14 row
+    "host_activity_reduced",   # J2 J12; r14 row
+    "top_supplier_per_nation", # J13 A15 W9; r14 row
+    "embedding_neardup_allpairs", # exact baseline twin; r14 row
+    "acctbal_tiers",           # P6; r14 row
+    "ann_cosine_topk",         # brute-force ANN baseline; r14 row
+    "bulk_rename_summary",     # P2; r14 row
+    "csv_roundtrip_rollup",    # S2; r14 row
+    "dedup_keep_first",        # W3 W4; r14 row
+    "distinct_users",          # A4 A5; r14 row
+    "doc_quality",             # text quality score; r14 row
+    "doc_token_stats",         # token counting; r14 row
+    "doc_winnow_neardup_pairs", # winnow primary; r14 row
+    "filter_by_top1",          # P8 O6; r14 row
+    "growth_accounting",       # J1; r14 row
+    "json_props",              # JSON family; r14 row
+    "part_type_tiers",         # P5; r14 row
+    "sorted_layout_rollup",    # O4 O5; r14 row
+    "ann_ivfpq",               # IVF + PQ-on-residuals (IVFADC); r14 row
+    "hybrid_rrf_topk",         # BM25 + ANN reciprocal-rank fusion; r14 row
+    "bpe_train_merges_bytes",  # byte-level BPE training; r14 row
+    "streaming_bpe_encode",    # streaming tokenizer application; r14 row
+    "vocab_coverage_curve",    # Zipf coverage curve; r14 row
+    "streaming_embedding_admission",  # vector ingest gate; r14 row
+    "pipeline_replay_31d",     # 31-day growth replay; r14 row
+    "rolling_time_revenue",    # RANGE frame; r14 row
+    "zscore_anomaly_days",     # integer-exact z-score; r14 row
+    "unpivot_region_metrics",  # unpivot wide->long; r14 row
+    "chunk_dedup_rebuild",     # sub-document dedup; r14 row
+    "corpus_mix_plan",         # mixing quotas; r14 row
+    "quantile_band_filter",    # percentile trimming; r14 row
+    "embedding_quantize_error", # int8 SQ error; r14 row
+    "ann_q8_rerank",           # SQ8 + rerank; r14 row
+    "bpe_merge_candidates",    # BPE pair stats; r14 row
+    "dup_span_extract",        # duplicate-span extraction; r14 row
+    "dup_span_removal",        # cleaned-corpus rebuild; r14 row
 ]
 
 assert len(_GATE_FIRST) == GATE_CAP, (

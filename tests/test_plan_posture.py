@@ -48,6 +48,7 @@ SKIP = {
     "streaming_countmin",
     "streaming_bpe_encode",
     "streaming_embedding_admission",
+    "streaming_ivfpq_index",
     "bucketed_join_rollup",
     "partitioned_prune_rollup",
     "sorted_layout_rollup",
@@ -99,6 +100,10 @@ BNLJ_ALLOWED = {
     "vocab_coverage_curve": 1,      # 1-row total-tokens constant
                                     # cross-joined to the 3 k-cuts —
                                     # bounded by construction
+    "doc_quality_classifier": 1,    # 1-row class-totals constants
+                                    # cross-joined to the 512-row
+                                    # bucket spine (the NB model dim)
+                                    # — bounded by construction
     "ngram_jaccard_allpairs": 1,    # labeled exact all-pairs baseline
     "embedding_neardup_allpairs": 1,  # labeled exact all-pairs baseline
     "ann_cosine_topk": 1,           # labeled brute-force ANN baseline

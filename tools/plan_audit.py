@@ -58,6 +58,7 @@ SKIP = {
     "bpe_train_merges_bytes",  # same loop, byte-level base vocab
     "streaming_bpe_encode",    # executes a stream at plan-build
     "streaming_embedding_admission",  # executes a stream at plan-build
+    "streaming_ivfpq_index",  # executes a stream at plan-build
     # 31 composed daily advances behind a mid-window checkpoint: the
     # visible plan is the post-checkpoint tail, not the replay; the
     # per-advance shape (1 full-outer join + 1 groupBy, O(users) state)
