@@ -115,11 +115,23 @@ def build_replay(spark, sf_dir: str, days: int, cadence: int,
         scratch = tempfile.mkdtemp(prefix="replay_depth_pq_")
         _SCRATCH_DIRS.append(scratch)
 
-    dom = _dominant_daily(spark, sf_dir).localCheckpoint(eager=False)
-    firstd = (
-        dom.groupBy("user_id")
-        .agg(F.min("d").alias("fd"))
-        .localCheckpoint(eager=False)
+    dom = _dominant_daily(spark, sf_dir)
+    firstd = dom.groupBy("user_id").agg(F.min("d").alias("fd"))
+    # densify once (VERDICT r14 #6, mirrors q_scd_replay_31d): the
+    # per-day snapshot becomes a single pushed filter over this
+    # checkpointed leaf instead of a filter+join+select per advance
+    dense = (
+        firstd.select(
+            "user_id",
+            F.explode(F.sequence(F.col("fd"), F.lit(days))).alias("d"),
+        )
+        .join(dom, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            "d",
+            F.coalesce(F.col("dominant"), F.lit("none")).alias("dominant"),
+        )
+        .localCheckpoint(eager=True)
     )
     hist_schema = T.StructType(
         [
@@ -131,16 +143,7 @@ def build_replay(spark, sf_dir: str, days: int, cadence: int,
     )
     history = spark.createDataFrame([], hist_schema)
     for day in range(1, days + 1):
-        snap = (
-            firstd.where(F.col("fd") <= day)
-            .join(dom.where(F.col("d") == day), "user_id", "left")
-            .select(
-                "user_id",
-                F.coalesce(F.col("dominant"), F.lit("none")).alias(
-                    "dominant"
-                ),
-            )
-        )
+        snap = dense.where(F.col("d") == day)
         history = scd_incremental(
             history, snap, "user_id", "d", ["dominant"], day
         )
