@@ -170,15 +170,12 @@ def scd_incremental(
         # a vanished current row being retired — both keep (start, end)
         .otherwise(F.array(_row("c", guarded_start, F.col(f"c.{ep}"))))
     )
-    # ONE projection after the explode (VERDICT r14 #6): each DataFrame
+    # ONE DataFrame op for unnest + projection (VERDICT r14 #6): each
     # op re-runs eager analysis over the whole composed subtree, so in
     # an n-day replay every op saved per advance is O(n) analyzer work
-    # saved per day — star-expand + reorder fused into a single select
-    # (2 ops per advance where the r14 form spent 3).
-    advanced = joined.select(F.explode(branches).alias("_r"))
-    return advanced.select(
-        F.col(f"_r.{key}").alias(key),
-        *[F.col(f"_r.{t}").alias(t) for t in tracked],
-        F.col(f"_r.{sp}").alias(sp),
-        F.col(f"_r.{ep}").alias(ep),
-    )
+    # saved per day. inline() explodes the struct array straight into
+    # columns — the structs are built with fields already in the
+    # output order (key, tracked..., start, end), so explode +
+    # star-expand + reorder collapse into a single select (1 op per
+    # advance where the r14 form spent 3).
+    return joined.select(F.inline(branches))
