@@ -1563,6 +1563,163 @@ ORACLE_STREAMING_IVFPQ_INDEX = _six_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (SentencePiece-shape, VERDICT r14 #8)
+# ---------------------------------------------------------------------------
+
+UNI_SEED_K = 120   # multi-char seed pieces (plus every single char)
+UNI_VOCAB_K = 96   # multi-char pieces kept after the prune
+UNI_MAXP = 4       # max piece length
+UNI_LMAX = 16      # unrolled Viterbi DP bound (fixture max word len 8)
+
+
+def q_unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (VERDICT r14 #8) — the
+    SentencePiece-family completion of the tokenizer-training surface
+    (BPE covers the merge family char- and byte-level): seed a vocab
+    with every single character plus the 120 most frequent substrings
+    (length <= 4, overlapping occurrences weighted by word frequency),
+    then run the FIXED schedule E(cost0) -> prune to chars + top-96 ->
+    M (Laplace re-cost) -> E(cost1) -> usage report, with piece costs
+    in integer MICRO-NATS (HALF_UP-rounded -ln — the `bm25_top_docs`
+    transcendental envelope) so every Viterbi DP value is an exact
+    BIGINT sum and ties resolve by the longer piece. Word table =
+    the `bpe_train_merges` contract (ASCII ^[a-z]+$, len >= 2).
+
+    Scale shape: corpus-scale work is the one token-count shuffle;
+    training then runs over the WORD table — one substring-explode
+    groupBy plus, per E-step, ONE Arrow mapInPandas Viterbi pass with
+    the bounded cost table broadcast and one usage groupBy. Driver
+    traffic is bounded by contract (seed/kept vocab tables, never
+    words). The oracle unrolls BOTH Viterbi passes as 16 chained CTEs
+    each, carrying the argmin segmentation STRING forward so no
+    backtrace pass exists on either engine."""
+    from ..operators.unigram import unigram_train
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        _tokens(docs)
+        .groupBy(F.col("term").alias("token"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(
+            (F.length("token") >= 2) & F.col("token").rlike("^[a-z]+$")
+        )
+    )
+    return unigram_train(
+        wf, seed_k=UNI_SEED_K, vocab_k=UNI_VOCAB_K,
+        max_piece_len=UNI_MAXP, lmax=UNI_LMAX,
+    )
+
+
+def _viterbi_ctes(pre: str, costs: str) -> str:
+    """The unrolled Viterbi DP as chained CTEs: {pre}dp0..{pre}dp{L},
+    {pre}fin (each word's segmentation picked at its own length) and
+    {pre}u (frequency-weighted piece usage). dp{k} carries the argmin
+    segmentation STRING so no backtrace is needed; ties are
+    (total ASC, piece_len DESC) — the kernel's rule."""
+    parts = [f"""{pre}dp0 AS (
+  SELECT token, freq, strlen(token)::INT AS L, 0::BIGINT AS total,
+         '' AS seg
+  FROM wf),"""]
+    for k in range(1, UNI_LMAX + 1):
+        branches = []
+        for ln in range(1, min(UNI_MAXP, k) + 1):
+            branches.append(f"""      SELECT d.token, d.freq, d.L,
+             d.total + v.cost AS total,
+             CASE WHEN d.seg = '' THEN v.piece
+                  ELSE d.seg || ' ' || v.piece END AS seg,
+             {ln} AS pl
+      FROM {pre}dp{k - ln} d
+      JOIN {costs} v ON v.piece = substr(d.token, {k - ln + 1}, {ln})
+      WHERE d.L >= {k}""")
+        union = "\n      UNION ALL\n".join(branches)
+        parts.append(f"""{pre}dp{k} AS MATERIALIZED (
+  SELECT token, freq, L, total, seg FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY token ORDER BY total ASC, pl DESC) AS rn
+    FROM (
+{union}
+    )) WHERE rn = 1),""")
+    fins = "\n  UNION ALL\n".join(
+        f"  SELECT token, freq, seg FROM {pre}dp{k} WHERE L = {k}"
+        for k in range(1, UNI_LMAX + 1)
+    )
+    parts.append(f"""{pre}fin AS MATERIALIZED (
+{fins}),""")
+    parts.append(f"""{pre}u AS MATERIALIZED (
+  SELECT piece, SUM(freq)::BIGINT AS u
+  FROM (SELECT unnest(string_split(seg, ' ')) AS piece, freq
+        FROM {pre}fin)
+  GROUP BY piece),""")
+    return "\n".join(parts)
+
+
+def _unigram_oracle() -> str:
+    return f"""
+WITH toks AS MATERIALIZED ({_TOKS_SQL}),
+wf AS MATERIALIZED (
+  SELECT term AS token, COUNT(*) AS freq
+  FROM toks
+  WHERE {_WF_FILTER_CHARS}
+  GROUP BY term),
+pos AS (
+  SELECT token, freq, CAST(u.s AS INT) AS s
+  FROM wf, UNNEST(range(1, strlen(token) + 1)) AS u(s)),
+cand AS MATERIALIZED (
+  SELECT substr(token, s, CAST(l.l AS INT)) AS piece,
+         SUM(freq)::BIGINT AS c
+  FROM pos,
+       UNNEST(range(1, least({UNI_MAXP}, strlen(token) - s + 1) + 1))
+         AS l(l)
+  GROUP BY 1),
+v0 AS MATERIALIZED (
+  SELECT piece, c FROM cand WHERE strlen(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c,
+           ROW_NUMBER() OVER (ORDER BY c DESC, piece ASC) AS rn
+    FROM cand WHERE strlen(piece) >= 2) WHERE rn <= {UNI_SEED_K}),
+ctot AS (SELECT SUM(c)::BIGINT AS c_tot FROM v0),
+c0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(-ln(c::DOUBLE / c_tot) * 1000000 + 0.5) AS BIGINT)
+           AS cost
+  FROM v0, ctot),
+{_viterbi_ctes("e1", "c0")}
+kept AS MATERIALIZED (
+  SELECT piece FROM v0 WHERE strlen(piece) = 1
+  UNION ALL
+  SELECT piece FROM (
+    SELECT v0.piece,
+           ROW_NUMBER() OVER (
+             ORDER BY COALESCE(e1u.u, 0) DESC, v0.piece ASC) AS rn
+    FROM v0 LEFT JOIN e1u ON v0.piece = e1u.piece
+    WHERE strlen(v0.piece) >= 2) WHERE rn <= {UNI_VOCAB_K}),
+kt AS (
+  SELECT SUM(COALESCE(u, 0))::BIGINT AS ut, COUNT(*)::BIGINT AS nk
+  FROM kept LEFT JOIN e1u USING (piece)),
+c1 AS MATERIALIZED (
+  SELECT kept.piece,
+         CAST(floor(-ln((COALESCE(u, 0) + 1)::DOUBLE / (ut + nk))
+                    * 1000000 + 0.5) AS BIGINT) AS cost
+  FROM kept LEFT JOIN e1u USING (piece), kt),
+{_viterbi_ctes("e2", "c1")}
+shares AS (
+  SELECT c1.piece, COALESCE(e2u.u, 0)::BIGINT AS usage,
+         c1.cost AS cost_micro
+  FROM c1 LEFT JOIN e2u USING (piece))
+SELECT piece, usage,
+       ((usage * 1000000)
+          // (CASE WHEN SUM(usage) OVER () = 0 THEN 1
+                   ELSE SUM(usage) OVER () END))::BIGINT AS share_ppm,
+       cost_micro
+FROM shares
+"""
+
+
+ORACLE_UNIGRAM_TRAIN_VOCAB = _unigram_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval: reciprocal-rank fusion of BM25 + ANN cosine
 # ---------------------------------------------------------------------------
 
@@ -1676,6 +1833,7 @@ RANK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_fulltrain": q_ann_ivfpq_fulltrain,
     "doc_quality_classifier": q_doc_quality_classifier,
     "streaming_ivfpq_index": q_streaming_ivfpq_index,
+    "unigram_train_vocab": q_unigram_train_vocab,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "bpe_train_merges_bytes": q_bpe_train_merges_bytes,
     "streaming_bpe_encode": q_streaming_bpe_encode,
@@ -1692,6 +1850,7 @@ RANK_ORACLES: dict[str, str] = {
     "ann_ivfpq_fulltrain": ORACLE_ANN_IVFPQ_FULLTRAIN,
     "doc_quality_classifier": ORACLE_DOC_QUALITY_CLASSIFIER,
     "streaming_ivfpq_index": ORACLE_STREAMING_IVFPQ_INDEX,
+    "unigram_train_vocab": ORACLE_UNIGRAM_TRAIN_VOCAB,
     "hybrid_rrf_topk": ORACLE_HYBRID_RRF,
     "bpe_train_merges_bytes": ORACLE_BPE_TRAIN_MERGES_BYTES,
     "streaming_bpe_encode": ORACLE_STREAMING_BPE_ENCODE,

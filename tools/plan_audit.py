@@ -56,6 +56,8 @@ SKIP = {
     "bpe_train_merges",
     "bpe_encode_corpus",       # same: train jobs run at plan build
     "bpe_train_merges_bytes",  # same loop, byte-level base vocab
+    "unigram_train_vocab",     # EM rounds (vocab fetch + E-step usage
+                               # collects) run at plan build
     "streaming_bpe_encode",    # executes a stream at plan-build
     "streaming_embedding_admission",  # executes a stream at plan-build
     "streaming_ivfpq_index",  # executes a stream at plan-build
