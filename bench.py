@@ -159,6 +159,7 @@ HEADLINE = [
     "doc_quality_classifier",
     "streaming_ivfpq_index",
     "unigram_train_vocab",
+    "unigram_encode_corpus",
     # The three replay entries (pipeline_replay_31d, scd_replay_31d,
     # users_cumulated_replay_31d) are deliberately NOT headlines: their
     # wall time is ~90% driver-side plan composition of 31 sequential

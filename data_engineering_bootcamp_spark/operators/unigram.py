@@ -163,20 +163,17 @@ def piece_usage(segmented: DataFrame) -> DataFrame:
     )
 
 
-def unigram_train(
+def _train_costs(
     wf: DataFrame,
-    seed_k: int = 120,
-    vocab_k: int = 96,
-    max_piece_len: int = 4,
-    lmax: int = 16,
-) -> DataFrame:
-    """Full fixed-schedule unigram-LM training over a (token, freq)
-    word table. Returns one row per KEPT vocab piece:
-    (piece, usage, share_ppm, cost_micro) — usage from the final
-    E-step, share_ppm the exact integer ppm of total usage,
-    cost_micro the post-prune Laplace cost the final E-step ran with.
-    """
-    spark = wf.sparkSession
+    seed_k: int,
+    vocab_k: int,
+    max_piece_len: int,
+    lmax: int,
+) -> dict[str, int]:
+    """The shared training schedule up to the final cost table:
+    seed -> cost0 -> E-step 1 -> prune -> Laplace M-step. Returns the
+    post-prune cost table (piece -> micro-nats) the final E-step and
+    the encoder both run with."""
     stats = wf.agg(
         F.max(F.length("token")).alias("ml"),
         F.count(F.lit(1)).alias("n"),
@@ -220,12 +217,30 @@ def unigram_train(
     kept = sorted(p for p in seed if len(p) == 1) + multi_ranked
     u_kept_tot = sum(u1.get(p, 0) for p in kept)
     n_kept = len(kept)
-    cost1 = {
+    return {
         p: _cost_micro(u1.get(p, 0) + 1, u_kept_tot + n_kept)
         for p in kept
     }
 
-    # E-step 2 under the pruned/re-estimated costs
+
+def unigram_train(
+    wf: DataFrame,
+    seed_k: int = 120,
+    vocab_k: int = 96,
+    max_piece_len: int = 4,
+    lmax: int = 16,
+) -> DataFrame:
+    """Full fixed-schedule unigram-LM training over a (token, freq)
+    word table. Returns one row per KEPT vocab piece:
+    (piece, usage, share_ppm, cost_micro) — usage from the final
+    E-step, share_ppm the exact integer ppm of total usage,
+    cost_micro the post-prune Laplace cost the final E-step ran with.
+    """
+    spark = wf.sparkSession
+    cost1 = _train_costs(wf, seed_k, vocab_k, max_piece_len, lmax)
+    kept = sorted(cost1)
+
+    # final E-step under the pruned/re-estimated costs
     u2 = piece_usage(viterbi_segment(wf, cost1, max_piece_len))
     kept_df = spark.createDataFrame(
         [(p, cost1[p]) for p in kept], "piece string, cost_micro long"
@@ -244,6 +259,30 @@ def unigram_train(
             ).alias("share_ppm"),
             "cost_micro",
         )
+    )
+
+
+def unigram_encode(
+    wf: DataFrame,
+    seed_k: int = 120,
+    vocab_k: int = 96,
+    max_piece_len: int = 4,
+    lmax: int = 16,
+) -> DataFrame:
+    """Tokenizer APPLICATION for the unigram family — the
+    `bpe_apply_merges` twin: run the same fixed training schedule to
+    the post-prune cost table, then Viterbi-segment every word under
+    it. Returns (token, freq, encoded, n_pieces) where encoded is the
+    space-joined minimum-cost segmentation (ties to the longer piece)
+    — exactly the final E-step's segmentation, so the oracle reuses
+    the training oracle's DP chain verbatim."""
+    cost1 = _train_costs(wf, seed_k, vocab_k, max_piece_len, lmax)
+    seg = viterbi_segment(wf, cost1, max_piece_len)
+    return seg.select(
+        "token",
+        "freq",
+        F.col("seg").alias("encoded"),
+        F.size(F.split("seg", " ")).alias("n_pieces"),
     )
 
 

@@ -1653,7 +1653,49 @@ def _viterbi_ctes(pre: str, costs: str) -> str:
     return "\n".join(parts)
 
 
-def _unigram_oracle() -> str:
+def q_unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer APPLICATION — the `bpe_encode_corpus` twin
+    for the SentencePiece family: train to the post-prune cost table
+    (the `unigram_train_vocab` schedule, same constants) and emit
+    every word's minimum-cost Viterbi segmentation with its piece
+    count. The encode pass is the same ONE Arrow mapInPandas Viterbi
+    stage as the E-steps; the oracle reuses the training oracle's
+    unrolled DP chain and simply reports the final segmentation
+    instead of the usage rollup."""
+    from ..operators.unigram import unigram_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        _tokens(docs)
+        .groupBy(F.col("term").alias("token"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(
+            (F.length("token") >= 2) & F.col("token").rlike("^[a-z]+$")
+        )
+    )
+    return unigram_encode(
+        wf, seed_k=UNI_SEED_K, vocab_k=UNI_VOCAB_K,
+        max_piece_len=UNI_MAXP, lmax=UNI_LMAX,
+    )
+
+
+def _unigram_oracle(final: str = "report") -> str:
+    if final == "report":
+        tail = """shares AS (
+  SELECT c1.piece, COALESCE(e2u.u, 0)::BIGINT AS usage,
+         c1.cost AS cost_micro
+  FROM c1 LEFT JOIN e2u USING (piece))
+SELECT piece, usage,
+       ((usage * 1000000)
+          // (CASE WHEN SUM(usage) OVER () = 0 THEN 1
+                   ELSE SUM(usage) OVER () END))::BIGINT AS share_ppm,
+       cost_micro
+FROM shares"""
+    else:  # the encode twin: report the final segmentations
+        tail = """terminator AS (SELECT 1)  -- closes the DP chain's trailing comma
+SELECT token, freq, seg AS encoded,
+       len(string_split(seg, ' '))::INT AS n_pieces
+FROM e2fin"""
     return f"""
 WITH toks AS MATERIALIZED ({_TOKS_SQL}),
 wf AS MATERIALIZED (
@@ -1703,20 +1745,12 @@ c1 AS MATERIALIZED (
                     * 1000000 + 0.5) AS BIGINT) AS cost
   FROM kept LEFT JOIN e1u USING (piece), kt),
 {_viterbi_ctes("e2", "c1")}
-shares AS (
-  SELECT c1.piece, COALESCE(e2u.u, 0)::BIGINT AS usage,
-         c1.cost AS cost_micro
-  FROM c1 LEFT JOIN e2u USING (piece))
-SELECT piece, usage,
-       ((usage * 1000000)
-          // (CASE WHEN SUM(usage) OVER () = 0 THEN 1
-                   ELSE SUM(usage) OVER () END))::BIGINT AS share_ppm,
-       cost_micro
-FROM shares
+{tail}
 """
 
 
 ORACLE_UNIGRAM_TRAIN_VOCAB = _unigram_oracle()
+ORACLE_UNIGRAM_ENCODE_CORPUS = _unigram_oracle(final="encode")
 
 
 # ---------------------------------------------------------------------------
@@ -1834,6 +1868,7 @@ RANK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_classifier": q_doc_quality_classifier,
     "streaming_ivfpq_index": q_streaming_ivfpq_index,
     "unigram_train_vocab": q_unigram_train_vocab,
+    "unigram_encode_corpus": q_unigram_encode_corpus,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "bpe_train_merges_bytes": q_bpe_train_merges_bytes,
     "streaming_bpe_encode": q_streaming_bpe_encode,
@@ -1851,6 +1886,7 @@ RANK_ORACLES: dict[str, str] = {
     "doc_quality_classifier": ORACLE_DOC_QUALITY_CLASSIFIER,
     "streaming_ivfpq_index": ORACLE_STREAMING_IVFPQ_INDEX,
     "unigram_train_vocab": ORACLE_UNIGRAM_TRAIN_VOCAB,
+    "unigram_encode_corpus": ORACLE_UNIGRAM_ENCODE_CORPUS,
     "hybrid_rrf_topk": ORACLE_HYBRID_RRF,
     "bpe_train_merges_bytes": ORACLE_BPE_TRAIN_MERGES_BYTES,
     "streaming_bpe_encode": ORACLE_STREAMING_BPE_ENCODE,

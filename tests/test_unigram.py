@@ -98,3 +98,40 @@ def test_unigram_train_guards(spark):
     )
     with pytest.raises(ValueError, match="exceeds the"):
         unigram_train(long_word, lmax=16)
+
+
+def test_unigram_encode_matches_replay(spark, sf_dir):
+    """The encode twin: segmentations must equal the pure-Python
+    Viterbi under the replayed post-prune cost table, and n_pieces
+    must count the pieces."""
+    from data_engineering_bootcamp_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train_python,
+        viterbi_segment,
+    )
+    from data_engineering_bootcamp_spark.plans.catalog_rank import (
+        _tokens,
+    )
+    from data_engineering_bootcamp_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        _tokens(docs)
+        .groupBy(F.col("term").alias("token"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where((F.length("token") >= 2) & F.col("token").rlike("^[a-z]+$"))
+    )
+    words = [(r.token, r.freq) for r in wf.collect()]
+    model = unigram_train_python(words)  # {piece: (u, share, cost)}
+    cost1 = {p: v[2] for p, v in model.items()}
+    want = {
+        r.token: r.seg
+        for r in viterbi_segment(wf, cost1).collect()
+    }
+    got = {r.token: (r.encoded, r.n_pieces) for r in
+           unigram_encode(wf).collect()}
+    assert {t: g[0] for t, g in got.items()} == want
+    assert all(g[1] == g[0].count(" ") + 1 for g in got.values())
+    # every emitted piece is in the kept vocab
+    kept = set(cost1)
+    assert all(p in kept for g in got.values() for p in g[0].split(" "))

@@ -58,6 +58,7 @@ SKIP = {
     "bpe_train_merges_bytes",  # same loop, byte-level base vocab
     "unigram_train_vocab",     # EM rounds (vocab fetch + E-step usage
                                # collects) run at plan build
+    "unigram_encode_corpus",   # same training collects at plan build
     "streaming_bpe_encode",    # executes a stream at plan-build
     "streaming_embedding_admission",  # executes a stream at plan-build
     "streaming_ivfpq_index",  # executes a stream at plan-build
