@@ -157,6 +157,7 @@ HEADLINE = [
     # IVFPQ index maintainer
     "ann_ivfpq_fulltrain",
     "doc_quality_classifier",
+    "classifier_pr_eval",
     "streaming_ivfpq_index",
     "unigram_train_vocab",
     "unigram_encode_corpus",

@@ -1365,13 +1365,14 @@ _GATE_FIRST = [
     # r15 rotation (VERDICT r14 #2, the standing 3-round freshness
     # policy): promote (a) the 38 entries whose newest driver row is
     # r12 — exactly the cohort the r14 rotation queued in _GATE_REST,
-    # (b) the FIVE new r15 entries (full-scope-trained IVFPQ, the
-    # hashed Naive Bayes quality classifier, the streaming IVFPQ index
-    # maintainer, the unigram-LM tokenizer trainer and its encode twin
-    # — gated immediately so they never sit without a driver row), and
-    # (c) the first 7 of the 50 entries whose newest row is r13 (list
-    # order). After this rotation no entry's newest driver row is
-    # older than r13 and the cadence is self-sustaining.
+    # (b) the SIX new r15 entries (full-scope-trained IVFPQ, the
+    # hashed Naive Bayes quality classifier + its held-out PR eval,
+    # the streaming IVFPQ index maintainer, the unigram-LM tokenizer
+    # trainer and its encode twin — gated immediately so they never
+    # sit without a driver row), and (c) the first 6 of the 50 entries
+    # whose newest row is r13 (list order). After this rotation no
+    # entry's newest driver row is older than r13 and the cadence is
+    # self-sustaining.
     # the 38 entries whose newest driver row was r12
     "tfidf_top_terms",         # tf-idf keywords; r12 row
     "histogram_quantiles",     # bin-histogram quantiles; r12 row
@@ -1414,23 +1415,24 @@ _GATE_FIRST = [
     # new this round: gate immediately
     "ann_ivfpq_fulltrain",     # distributed full-corpus Lloyd; NEW r15
     "doc_quality_classifier",  # hashed NB quality scoring; NEW r15
+    "classifier_pr_eval",      # held-out PR/threshold sweep; NEW r15
     "streaming_ivfpq_index",   # incremental ANN index maint; NEW r15
     "unigram_train_vocab",     # SentencePiece-shape unigram EM; NEW r15
     "unigram_encode_corpus",   # unigram tokenizer application; NEW r15
-    # the first 7 of the 50 entries whose newest driver row was r13
+    # the first 6 of the 50 entries whose newest driver row was r13
     "partitioned_prune_rollup", # S6 S7; r13 row
     "streaming_tumbling_hits", # T1 T3 T4; r13 row
     "streaming_kafka_mirror",  # S12 S14; r13 row
     "streaming_session_windows", # T5; r13 row
     "streaming_foreachbatch_sink", # T7 T8 S13; r13 row
     "streaming_stateful_sessions", # stateful op; r13 row
-    "corpus_curation_pipeline", # flagship composed pipeline; r13 row
 ]
 
 _GATE_REST = [
-    # the 43 r13-row entries that didn't fit this round's 50 slots;
+    # the 44 r13-row entries that didn't fit this round's 50 slots;
     # FIRST IN LINE for the r16 prefix (they'll be exactly 3 rounds
     # old then — the standing maintenance cadence)
+    "corpus_curation_pipeline", # flagship composed pipeline; r13 row
     "streaming_dedup",         # dropDuplicatesWithinWatermark; r13 row
     "doc_dedup_exact",         # A14; r13 row
     "doc_lang_id",             # P9; r13 row

@@ -1322,6 +1322,126 @@ GROUP BY doc_id
 """
 
 
+NBQ_EVAL_THRESHOLDS = [
+    250_000, 500_000, 750_000, 1_000_000,
+    1_250_000, 1_500_000, 1_750_000, 2_000_000,
+]
+
+
+def q_classifier_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT evaluation of the learned quality classifier — the
+    train/test hygiene a production curation filter ships with: the
+    model trains on the md5 half-split seed set (inside
+    `doc_quality_classifier`), and THIS entry measures it only on the
+    COMPLEMENT half (bucket >= '80000000' — documents the trainer
+    never saw), sweeping 8 FIXED ppm decision thresholds and emitting
+    the confusion matrix + integer-ppm precision/recall/accuracy per
+    threshold. Fixed thresholds (not quantile cuts) keep the sweep
+    order-free and engine-exact; ratios are BIGINT floor divisions
+    with explicit zero-denominator guards.
+
+    Scale shape: scores come from the classifier's own plan (512-row
+    model broadcast into the corpus scan, one groupBy(doc)); the
+    holdout join is doc-keyed (both sides doc-scale — NOT broadcast);
+    the sweep is ONE complete aggregate with 8x4 conditional sums
+    (map-side partial, one 1-row result) unrolled to 8 rows by
+    inline() — no per-threshold rescan, no fanout of the test set."""
+    scored = q_doc_quality_classifier(spark, sf_dir).select(
+        "doc_id", "mean_ratio_ppm"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= NBQ_LABEL_CHARS, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    ).where(
+        F.substring(
+            F.md5(F.concat(F.lit("nbq_"), F.col("doc_id").cast("string"))),
+            1, 8,
+        )
+        >= NBQ_SPLIT_HEX
+    )
+    j = scored.join(test, "doc_id")
+    aggs = []
+    for t in NBQ_EVAL_THRESHOLDS:
+        pos = F.col("label") == 1
+        pred = F.col("mean_ratio_ppm") >= t
+        aggs += [
+            F.sum(F.when(pos & pred, 1).otherwise(0)).alias(f"tp_{t}"),
+            F.sum(F.when(~pos & pred, 1).otherwise(0)).alias(f"fp_{t}"),
+            F.sum(F.when(pos & ~pred, 1).otherwise(0)).alias(f"fn_{t}"),
+            F.sum(F.when(~pos & ~pred, 1).otherwise(0)).alias(f"tn_{t}"),
+        ]
+    one = j.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold_ppm"),
+                F.col(f"tp_{t}").alias("tp"),
+                F.col(f"fp_{t}").alias("fp"),
+                F.col(f"fn_{t}").alias("fn"),
+                F.col(f"tn_{t}").alias("tn"),
+            )
+            for t in NBQ_EVAL_THRESHOLDS
+        ]
+    )
+    return one.select(F.inline(cells)).select(
+        "threshold_ppm",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            f"CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE (tp * {NBQ_PPM}) div (tp + fp) END"
+        ).alias("precision_ppm"),
+        F.expr(
+            f"CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE (tp * {NBQ_PPM}) div (tp + fn) END"
+        ).alias("recall_ppm"),
+        F.expr(
+            f"((tp + tn) * {NBQ_PPM}) div (tp + fp + fn + tn)"
+        ).alias("accuracy_ppm"),
+    )
+
+
+ORACLE_CLASSIFIER_PR_EVAL = rf"""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id, mean_ratio_ppm FROM ({ORACLE_DOC_QUALITY_CLASSIFIER})),
+test AS (
+  SELECT doc_id,
+         CASE WHEN n_chars >= {NBQ_LABEL_CHARS} THEN 1 ELSE 0 END AS label
+  FROM documents
+  WHERE substr(md5('nbq_' || CAST(doc_id AS VARCHAR)), 1, 8)
+          >= '{NBQ_SPLIT_HEX}'),
+j AS (SELECT s.mean_ratio_ppm, t.label
+      FROM scored s JOIN test t USING (doc_id)),
+th AS (SELECT unnest({NBQ_EVAL_THRESHOLDS}) AS threshold_ppm),
+cm AS (
+  SELECT th.threshold_ppm,
+         SUM(CASE WHEN label = 1 AND mean_ratio_ppm >= threshold_ppm
+                  THEN 1 ELSE 0 END)::BIGINT AS tp,
+         SUM(CASE WHEN label = 0 AND mean_ratio_ppm >= threshold_ppm
+                  THEN 1 ELSE 0 END)::BIGINT AS fp,
+         SUM(CASE WHEN label = 1 AND mean_ratio_ppm < threshold_ppm
+                  THEN 1 ELSE 0 END)::BIGINT AS fn,
+         SUM(CASE WHEN label = 0 AND mean_ratio_ppm < threshold_ppm
+                  THEN 1 ELSE 0 END)::BIGINT AS tn
+  FROM j CROSS JOIN th
+  GROUP BY 1)
+SELECT threshold_ppm, tp, fp, fn, tn,
+       CASE WHEN tp + fp = 0 THEN 0
+            ELSE (tp * {NBQ_PPM}) // (tp + fp) END::BIGINT
+         AS precision_ppm,
+       CASE WHEN tp + fn = 0 THEN 0
+            ELSE (tp * {NBQ_PPM}) // (tp + fn) END::BIGINT AS recall_ppm,
+       ((tp + tn) * {NBQ_PPM}) // (tp + fp + fn + tn)
+         AS accuracy_ppm
+FROM cm
+"""
+
+
 # ---------------------------------------------------------------------------
 # Streaming IVFPQ index maintenance (VERDICT r14 #5)
 # ---------------------------------------------------------------------------
@@ -1866,6 +1986,7 @@ RANK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq": q_ann_ivfpq,
     "ann_ivfpq_fulltrain": q_ann_ivfpq_fulltrain,
     "doc_quality_classifier": q_doc_quality_classifier,
+    "classifier_pr_eval": q_classifier_pr_eval,
     "streaming_ivfpq_index": q_streaming_ivfpq_index,
     "unigram_train_vocab": q_unigram_train_vocab,
     "unigram_encode_corpus": q_unigram_encode_corpus,
@@ -1884,6 +2005,7 @@ RANK_ORACLES: dict[str, str] = {
     "ann_ivfpq": ORACLE_ANN_IVFPQ,
     "ann_ivfpq_fulltrain": ORACLE_ANN_IVFPQ_FULLTRAIN,
     "doc_quality_classifier": ORACLE_DOC_QUALITY_CLASSIFIER,
+    "classifier_pr_eval": ORACLE_CLASSIFIER_PR_EVAL,
     "streaming_ivfpq_index": ORACLE_STREAMING_IVFPQ_INDEX,
     "unigram_train_vocab": ORACLE_UNIGRAM_TRAIN_VOCAB,
     "unigram_encode_corpus": ORACLE_UNIGRAM_ENCODE_CORPUS,

@@ -104,6 +104,10 @@ BNLJ_ALLOWED = {
                                     # cross-joined to the 512-row
                                     # bucket spine (the NB model dim)
                                     # — bounded by construction
+    "classifier_pr_eval": 1,        # composes doc_quality_classifier,
+                                    # inherits its 1-row constants
+                                    # cross join; the eval itself is
+                                    # one complete aggregate + inline
     "ngram_jaccard_allpairs": 1,    # labeled exact all-pairs baseline
     "embedding_neardup_allpairs": 1,  # labeled exact all-pairs baseline
     "ann_cosine_topk": 1,           # labeled brute-force ANN baseline

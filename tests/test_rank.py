@@ -739,3 +739,86 @@ def test_streaming_ivfpq_index_split_independence(spark, sf_dir):
     release_caches()
     assert streamed == one_shot
     assert len(streamed) == emb.where(F.col("vec_id") % 4 == 0).count()
+
+
+def test_classifier_pr_eval_python_replay(spark, sf_dir):
+    """Held-out PR sweep replayed in pure Python: recompute the
+    classifier scores on the TEST half (the complement of the seed
+    split) and the confusion matrix + ppm ratios at every fixed
+    threshold — exact equality."""
+    import hashlib
+    import re as _re
+
+    from data_engineering_bootcamp_spark.plans.catalog_rank import (
+        NBQ_BUCKETS,
+        NBQ_EVAL_THRESHOLDS,
+        NBQ_LABEL_CHARS,
+        NBQ_PPM,
+        NBQ_SPLIT_HEX,
+        q_classifier_pr_eval,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+
+    def buckets(text):
+        toks = [
+            t
+            for t in _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+            if t
+        ]
+        return [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % NBQ_BUCKETS
+            for t in toks
+        ]
+
+    n_ph = [0] * NBQ_BUCKETS
+    n_nh = [0] * NBQ_BUCKETS
+    split = {
+        r.doc_id: hashlib.md5(f"nbq_{r.doc_id}".encode()).hexdigest()[:8]
+        for r in docs
+    }
+    for r in docs:
+        if split[r.doc_id] >= NBQ_SPLIT_HEX:
+            continue
+        tgt = n_ph if r.n_chars >= NBQ_LABEL_CHARS else n_nh
+        for h in buckets(r.text):
+            tgt[h] += 1
+    n_p, n_n = sum(n_ph), sum(n_nh)
+    r_ppm = [
+        ((n_ph[h] + 1) * (n_n + NBQ_BUCKETS) * NBQ_PPM)
+        // ((n_nh[h] + 1) * (n_p + NBQ_BUCKETS))
+        for h in range(NBQ_BUCKETS)
+    ]
+    rows = []
+    for r in docs:
+        if split[r.doc_id] < NBQ_SPLIT_HEX:
+            continue
+        hs = buckets(r.text)
+        if not hs:
+            continue
+        mean = sum(r_ppm[h] for h in hs) // len(hs)
+        rows.append((mean, 1 if r.n_chars >= NBQ_LABEL_CHARS else 0))
+    want = {}
+    for t in NBQ_EVAL_THRESHOLDS:
+        tp = sum(1 for m, y in rows if y == 1 and m >= t)
+        fp = sum(1 for m, y in rows if y == 0 and m >= t)
+        fn = sum(1 for m, y in rows if y == 1 and m < t)
+        tn = sum(1 for m, y in rows if y == 0 and m < t)
+        want[t] = (
+            tp, fp, fn, tn,
+            0 if tp + fp == 0 else tp * NBQ_PPM // (tp + fp),
+            0 if tp + fn == 0 else tp * NBQ_PPM // (tp + fn),
+            (tp + tn) * NBQ_PPM // (tp + fp + fn + tn),
+        )
+    got = {
+        r.threshold_ppm: (
+            r.tp, r.fp, r.fn, r.tn,
+            r.precision_ppm, r.recall_ppm, r.accuracy_ppm,
+        )
+        for r in q_classifier_pr_eval(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the sweep must be monotone where it should be: recall
+    # non-increasing as the threshold rises
+    rs = [got[t][5] for t in NBQ_EVAL_THRESHOLDS]
+    assert all(a >= b for a, b in zip(rs, rs[1:]))
