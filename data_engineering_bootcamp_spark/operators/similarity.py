@@ -562,6 +562,18 @@ def _round6_arr(a: np.ndarray) -> np.ndarray:
     return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6
 
 
+#: Fixed-point unit for the full-scope Lloyd shuffle sums (r15 ADVICE):
+#: per-Arrow-batch partial sums are rounded HALF_UP to 1e-12 units and
+#: shuffled as exact integers (summed as DECIMAL(38,0)), so the reduce
+#: side is ORDER-INSENSITIVE — full-scope training is bit-deterministic
+#: within the engine regardless of task completion order. The 0.5e-12
+#: per-batch quantization is ~100x below the double summation-order
+#: envelope the 6dp HALF_UP mean already absorbs cross-engine. An int64
+#: per-batch partial at pico units holds |batch sum| < 9.2e6 — three
+#: orders above a 10k-row Arrow batch of unit-scale embedding values.
+_PICO = 10**12
+
+
 def _md5_seed_rows(src: DataFrame, need: int) -> list:
     """The first `need` (vid, v) rows in md5(vid) order — the seed
     contract shared by the sampled and full-scope trainers (for the
@@ -582,30 +594,73 @@ def _full_coarse_lloyd(
     centroids = per-dimension raw-vector means ROUNDed 6dp HALF_UP,
     empty clusters keep their seed.
 
-    Scale shape: per iteration ONE broadcast-centroid Arrow assignment
-    pass over the corpus plus ONE groupBy(bucket) aggregate (partial
-    map-side combine; the shuffle carries n_centroids x (count +
-    dim sums) per map partition, not rows) — so codebooks can train on
-    the ENTIRE corpus, retiring the corpus<=sample_size oracle-parity
-    seam: the whole-corpus SQL oracle replays these iterations
-    exactly. The 6dp rounding absorbs summation-order noise the same
-    way the sampled path's numpy-mean-vs-DuckDB-AVG contract does.
+    Scale shape: per iteration ONE broadcast-centroid Arrow pass over
+    the corpus emitting per-batch PARTIAL sums (<= n_centroids rows of
+    (count, pico-unit dim sums) per Arrow batch — never full vectors
+    into the shuffle) plus ONE groupBy(bucket) aggregate — so
+    codebooks can train on the ENTIRE corpus, retiring the
+    corpus<=sample_size oracle-parity seam: the whole-corpus SQL
+    oracle replays these iterations exactly.
+
+    Determinism (r15 ADVICE): the per-batch partials are HALF_UP
+    pico-unit INTEGERS summed as DECIMAL(38,0), so the reduce-side
+    merge is order-insensitive — repeated runs produce bit-identical
+    codebooks regardless of task completion order (the earlier double
+    F.sum could flip a 6dp mean near a .5e-6 boundary between runs).
+    The driver finalizes each mean as the exactly-rounded double of
+    pico_sum / (cnt * 1e12) before the 6dp HALF_UP; the 0.5e-12
+    per-batch quantization sits ~100x below the cross-engine envelope
+    the 6dp round already absorbs (see _PICO).
     """
     spark = src.sparkSession
     seed_rows = _md5_seed_rows(src, n_centroids)
     C = np.array([r.v for r in seed_rows], dtype=np.float64)
     dim = C.shape[1]
     for _ in range(int(lloyd_iters)):
-        assigned = src.mapInPandas(
-            _ivf_assigner(spark, C),
-            schema="vid bigint, bucket int, v array<double>",
-        )
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast(Cn)
+
+        def partials(batches):
+            # self-contained closure (executors may lack this package)
+            import numpy as _np
+            import pandas as _pd
+
+            cents = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = _np.array(list(pdf["v"]), dtype=_np.float64)
+                Vn = V / _np.linalg.norm(V, axis=1, keepdims=True)
+                bucket = (Vn @ cents.T).argmax(axis=1)
+                bs, cnts, sums = [], [], []
+                for b in _np.unique(bucket):
+                    memb = V[bucket == b]
+                    bs.append(int(b))
+                    cnts.append(int(memb.shape[0]))
+                    s = memb.sum(axis=0)
+                    sums.append(
+                        [
+                            int(
+                                _np.copysign(
+                                    _np.floor(_np.abs(x) * 1e12 + 0.5), x
+                                )
+                            )
+                            for x in s
+                        ]
+                    )
+                yield _pd.DataFrame({"bucket": bs, "cnt": cnts, "s": sums})
+
         rows = (
-            assigned.groupBy("bucket")
+            src.mapInPandas(
+                partials, schema="bucket int, cnt bigint, s array<bigint>"
+            )
+            .groupBy("bucket")
             .agg(
-                F.count(F.lit(1)).alias("cnt"),
+                F.sum("cnt").alias("cnt"),
                 *[
-                    F.sum(F.element_at("v", d + 1)).alias(f"s{d}")
+                    F.sum(
+                        F.element_at("s", d + 1).cast("decimal(38,0)")
+                    ).alias(f"s{d}")
                     for d in range(dim)
                 ],
             )
@@ -613,9 +668,11 @@ def _full_coarse_lloyd(
         )
         newC = C.copy()  # empty clusters keep their seed
         for r in rows:
+            den = int(r["cnt"]) * _PICO
             mu = np.array(
-                [r[f"s{d}"] for d in range(dim)], dtype=np.float64
-            ) / float(r["cnt"])
+                [int(r[f"s{d}"]) / den for d in range(dim)],
+                dtype=np.float64,
+            )
             newC[r["bucket"]] = _round6_arr(mu)
         C = newC
     return C
@@ -643,6 +700,9 @@ def _full_subspace_lloyd(
     (count, dsub sums) per Arrow batch, independent of batch rows —
     and ONE groupBy(j, cell) aggregate reduces them; the driver
     finalizes <= m x n_codes means. No full-corpus collect anywhere.
+    Like the coarse trainer, partials are HALF_UP pico-unit INTEGERS
+    summed as DECIMAL(38,0) (r15 ADVICE) — the reduce is
+    order-insensitive, so training is bit-deterministic run-to-run.
     """
     spark = src.sparkSession
     seed_rows = _md5_seed_rows(src, n_codes)
@@ -688,7 +748,20 @@ def _full_subspace_lloyd(
                         js.append(j)
                         cells.append(int(c))
                         cnts.append(int(memb.shape[0]))
-                        sums.append(memb.sum(axis=0).tolist())
+                        s = memb.sum(axis=0)
+                        sums.append(
+                            [
+                                int(
+                                    _np.copysign(
+                                        _np.floor(
+                                            _np.abs(x) * 1e12 + 0.5
+                                        ),
+                                        x,
+                                    )
+                                )
+                                for x in s
+                            ]
+                        )
                 yield _pd.DataFrame(
                     {"j": js, "cell": cells, "cnt": cnts, "s": sums}
                 )
@@ -696,13 +769,15 @@ def _full_subspace_lloyd(
         rows = (
             src.mapInPandas(
                 partials,
-                schema="j int, cell int, cnt bigint, s array<double>",
+                schema="j int, cell int, cnt bigint, s array<bigint>",
             )
             .groupBy("j", "cell")
             .agg(
                 F.sum("cnt").alias("cnt"),
                 *[
-                    F.sum(F.element_at("s", d + 1)).alias(f"s{d}")
+                    F.sum(
+                        F.element_at("s", d + 1).cast("decimal(38,0)")
+                    ).alias(f"s{d}")
                     for d in range(dsub)
                 ],
             )
@@ -710,9 +785,11 @@ def _full_subspace_lloyd(
         )
         newB = books.copy()  # empty cells keep their seed
         for r in rows:
+            den = int(r["cnt"]) * _PICO
             mu = np.array(
-                [r[f"s{d}"] for d in range(dsub)], dtype=np.float64
-            ) / float(r["cnt"])
+                [int(r[f"s{d}"]) / den for d in range(dsub)],
+                dtype=np.float64,
+            )
             newB[r["j"], r["cell"]] = _round6_arr(mu)
         books = newB
     return books

@@ -1213,7 +1213,9 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the model is a 512-row dim BROADCAST into the corpus
     scan — scoring is one narrow map-side join + one groupBy(doc_id),
     no shuffle of the model, no join-back; training is one keyed
-    shuffle over seed tokens. BIGINT envelope: the ppm products stay
+    shuffle over seed tokens (the doc-scale seed-label join is a plain
+    doc_id-keyed shuffle join, NOT broadcast — only the bounded model
+    relation broadcasts). BIGINT envelope: the ppm products stay
     exact while per-class token totals < ~3e9 (a 100x-Wikipedia seed
     set); larger seed corpora would drop to per-mille scaling or
     DECIMAL. A pure-Python replay test pins the arithmetic end to end
@@ -1238,8 +1240,11 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         < NBQ_SPLIT_HEX
     )
+    # seed_docs is DOC-scale (~half the corpus), so the label join is a
+    # plain doc_id-keyed shuffle join (r15 ADVICE) — only the bounded
+    # 512-row model below earns a broadcast under the 100 TB posture.
     seed_counts = (
-        toks.join(F.broadcast(seed_docs), "doc_id")
+        toks.join(seed_docs, "doc_id")
         .groupBy("h")
         .agg(
             F.sum("pos").alias("n_ph"),
@@ -1337,8 +1342,12 @@ def q_classifier_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     never saw), sweeping 8 FIXED ppm decision thresholds and emitting
     the confusion matrix + integer-ppm precision/recall/accuracy per
     threshold. Fixed thresholds (not quantile cuts) keep the sweep
-    order-free and engine-exact; ratios are BIGINT floor divisions
-    with explicit zero-denominator guards.
+    order-free and engine-exact; ALL three ratios (precision, recall,
+    and — r15 ADVICE — accuracy) are BIGINT floor divisions with
+    explicit zero-denominator guards on BOTH engines, so even the
+    structurally unreachable empty-holdout case (every fixture SF
+    leaves both md5 halves non-empty) cannot divide by zero under the
+    gated ANSI axis.
 
     Scale shape: scores come from the classifier's own plan (512-row
     model broadcast into the corpus scan, one groupBy(doc)); the
@@ -1401,7 +1410,8 @@ def q_classifier_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE (tp * {NBQ_PPM}) div (tp + fn) END"
         ).alias("recall_ppm"),
         F.expr(
-            f"((tp + tn) * {NBQ_PPM}) div (tp + fp + fn + tn)"
+            f"CASE WHEN tp + fp + fn + tn = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE ((tp + tn) * {NBQ_PPM}) div (tp + fp + fn + tn) END"
         ).alias("accuracy_ppm"),
     )
 
@@ -1436,8 +1446,9 @@ SELECT threshold_ppm, tp, fp, fn, tn,
          AS precision_ppm,
        CASE WHEN tp + fn = 0 THEN 0
             ELSE (tp * {NBQ_PPM}) // (tp + fn) END::BIGINT AS recall_ppm,
-       ((tp + tn) * {NBQ_PPM}) // (tp + fp + fn + tn)
-         AS accuracy_ppm
+       CASE WHEN tp + fp + fn + tn = 0 THEN 0
+            ELSE ((tp + tn) * {NBQ_PPM}) // (tp + fp + fn + tn)
+       END::BIGINT AS accuracy_ppm
 FROM cm
 """
 

@@ -119,9 +119,15 @@ def build_replay(spark, sf_dir: str, days: int, cadence: int,
     firstd = dom.groupBy("user_id").agg(F.min("d").alias("fd"))
     # densify once (VERDICT r14 #6, mirrors q_scd_replay_31d): the
     # per-day snapshot becomes a single pushed filter over this
-    # checkpointed leaf instead of a filter+join+select per advance
+    # checkpointed leaf instead of a filter+join+select per advance.
+    # Users whose first day falls AFTER the sweep horizon must be
+    # excluded (r15 ADVICE): F.sequence(fd, days) with fd > days
+    # generates a DESCENDING fd..days range, injecting spurious
+    # (user, 'none') rows at shallow depths (8/16) that the replayed
+    # pipeline's own firstd.where(fd <= day) filter never produced.
     dense = (
-        firstd.select(
+        firstd.where(F.col("fd") <= F.lit(days))
+        .select(
             "user_id",
             F.explode(F.sequence(F.col("fd"), F.lit(days))).alias("d"),
         )
