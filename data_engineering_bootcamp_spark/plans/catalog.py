@@ -1529,6 +1529,11 @@ _GATE_REST = [
     "bpe_merge_candidates",    # BPE pair stats; r14 row
     "dup_span_extract",        # duplicate-span extraction; r14 row
     "dup_span_removal",        # cleaned-corpus rebuild; r14 row
+    # r16 WIP: registered here temporarily while the round's new
+    # entries land; the r16 rotation edit moves them into the prefix
+    "training_export_rollup",  # mix->pack->shard write->manifest; NEW r16
+    "doc_lang_id_learned",     # multi-class hashed NB lang id; NEW r16
+    "lang_id_confusion",       # held-out confusion matrix; NEW r16
 ]
 
 assert len(_GATE_FIRST) == GATE_CAP, (

@@ -1454,6 +1454,288 @@ FROM cm
 
 
 # ---------------------------------------------------------------------------
+# Learned language ID: multi-class hashed Naive Bayes (VERDICT r15 #4)
+# ---------------------------------------------------------------------------
+
+NBL_BUCKETS = 512          # hashed feature space (shared with NBQ)
+NBL_SPLIT_HEX = "80000000"  # md5 half-split, salt nbl_
+NBL_MICRO = 1_000_000
+NBL_MAX_LANGS = 64         # driver-collect bound on the class set
+
+
+def q_doc_lang_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned language identification (VERDICT r15 #4) — the
+    fastText-lid-shaped counterpart to the character-class heuristic
+    `text.lang_id_heuristic`, built on the r15 hashed-NB machinery
+    generalized to MULTI-class: the `lang` column of the md5 half-split
+    train half (salt ``nbl_``) supervises per-language token-bucket
+    counts, and every document is scored by the argmax of exact BIGINT
+    micro-nat sums.
+
+    - Features: the `doc_quality_classifier` coordinate — each token
+      hashes to one of 512 buckets via the 32-bit md5-prefix integer
+      mod 512, so the model is a FIXED langs x 512 table regardless of
+      vocabulary.
+    - Training = counting in ONE keyed shuffle: token rows join the
+      seed labels doc-keyed (plain shuffle join — doc-scale side, not
+      broadcast), then ONE groupBy(lang, bucket) with map-side partial
+      aggregation; per-language totals reduce that bounded table.
+    - Likelihoods, integer micro-nats (the bm25 micro-ln contract):
+      ``ROUND(1e6 * ln((n_lh + 1) / (n_l + 512)))`` — both engines
+      feed libm the same exact-ratio double (~1e-9/row flip envelope,
+      documented); class priors ``ROUND(1e6 * ln(n_docs_l / total))``
+      are computed in-plan from the same seed relation (1-row
+      constants cross join, bm25's allowlisted shape).
+    - Scoring: the bounded langs x 512 model BROADCASTS into the token
+      scan (equi join on the bucket id), per-language scores fold into
+      ONE groupBy(doc_id) of conditional BIGINT sums, and the argmax
+      is row-local (array_max over (score, -class_idx) structs =
+      score DESC, lang ASC ties — the lowest-class-id contract).
+
+    Driver contract: ONE bounded collect — the distinct train-half
+    class set, capped at {NBL_MAX_LANGS} (limit cap+1, raise on
+    overflow); the model itself never leaves the executors."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs, with_doc=True).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("term"), 1, 8), 16, 10)
+            .cast("long") % NBL_BUCKETS
+        ).alias("h"),
+    )
+    seed = docs.select("doc_id", "lang").where(
+        F.substring(
+            F.md5(F.concat(F.lit("nbl_"), F.col("doc_id").cast("string"))),
+            1, 8,
+        )
+        < NBL_SPLIT_HEX
+    )
+    lang_rows = (
+        seed.select("lang").distinct().orderBy("lang")
+        .limit(NBL_MAX_LANGS + 1).collect()
+    )
+    if len(lang_rows) > NBL_MAX_LANGS:
+        raise ValueError(
+            f"doc_lang_id_learned: >{NBL_MAX_LANGS} distinct languages "
+            "in the train half — raise NBL_MAX_LANGS deliberately"
+        )
+    langs = [r.lang for r in lang_rows]
+    if not langs:
+        raise ValueError("doc_lang_id_learned: empty train half")
+    counts = (
+        toks.join(seed, "doc_id")
+        .groupBy("lang", "h")
+        .agg(F.count(F.lit(1)).alias("n_lh"))
+    )
+    ltot = counts.groupBy("lang").agg(F.sum("n_lh").alias("n_l"))
+    # complete (lang, h) spine via row-local explode — no cross join
+    model = (
+        ltot.select(
+            "lang",
+            "n_l",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.lit(NBL_BUCKETS - 1).cast("long"),
+                )
+            ).alias("h"),
+        )
+        .join(counts, ["lang", "h"], "left")
+        .select(
+            "lang",
+            "h",
+            F.round(
+                F.lit(float(NBL_MICRO))
+                * F.log(
+                    (F.coalesce("n_lh", F.lit(0)) + 1)
+                    / (F.col("n_l") + NBL_BUCKETS)
+                )
+            ).cast("long").alias("llh_micro"),
+        )
+    )
+    lpri = seed.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs_l"))
+    tot = lpri.agg(F.sum("n_docs_l").alias("total"))
+    pri_row = (
+        lpri.crossJoin(tot)  # 1-row constants (allowlisted shape)
+        .select(
+            "lang",
+            F.round(
+                F.lit(float(NBL_MICRO))
+                * F.log(F.col("n_docs_l") / F.col("total"))
+            ).cast("long").alias("prior_micro"),
+        )
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("lang") == l, F.col("prior_micro"))
+                    .otherwise(0)
+                ).alias(f"p_{i}")
+                for i, l in enumerate(langs)
+            ]
+        )
+    )
+    per_doc = (
+        toks.join(F.broadcast(model), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(
+                    F.when(F.col("lang") == l, F.col("llh_micro"))
+                    .otherwise(0)
+                ).alias(f"s_{i}")
+                for i, l in enumerate(langs)
+            ],
+        )
+    )
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    (F.col(f"s_{i}") + F.col(f"p_{i}")).alias("sc"),
+                    F.lit(-i).cast("int").alias("nr"),
+                )
+                for i in range(len(langs))
+            ]
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(pri_row))  # 1-row constants
+        .select(
+            "doc_id",
+            F.expr(f"n_rows div {len(langs)}").alias("n_tokens"),
+            best.alias("_b"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.element_at(
+                F.array(*[F.lit(l) for l in langs]),
+                (F.lit(1) - F.col("_b.nr")).cast("int"),
+            ).alias("pred_lang"),
+            F.col("_b.sc").alias("score_micro"),
+        )
+    )
+
+
+ORACLE_DOC_LANG_ID = rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(term), 1, 8) AS BIGINT)
+           % {NBL_BUCKETS} AS h
+  FROM ({_TOKS_SQL})),
+seed AS (
+  SELECT doc_id, lang FROM documents
+  WHERE substr(md5('nbl_' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < '{NBL_SPLIT_HEX}'),
+counts AS (
+  SELECT lang, h, COUNT(*)::BIGINT AS n_lh
+  FROM toks JOIN seed USING (doc_id)
+  GROUP BY 1, 2),
+ltot AS (SELECT lang, SUM(n_lh)::BIGINT AS n_l FROM counts GROUP BY 1),
+model AS MATERIALIZED (
+  SELECT lt.lang, s.h,
+         CAST(ROUND({NBL_MICRO} * ln(
+             (COALESCE(c.n_lh, 0) + 1) / (lt.n_l + {NBL_BUCKETS})
+         )) AS BIGINT) AS llh_micro
+  FROM ltot lt
+  CROSS JOIN (SELECT unnest(range(0, {NBL_BUCKETS})) AS h) s
+  LEFT JOIN counts c ON c.lang = lt.lang AND c.h = s.h),
+lpri AS (SELECT lang, COUNT(*)::BIGINT AS n_docs_l FROM seed GROUP BY 1),
+tot AS (SELECT SUM(n_docs_l)::BIGINT AS total FROM lpri),
+pri AS (
+  SELECT lang,
+         CAST(ROUND({NBL_MICRO} * ln(n_docs_l / t.total)) AS BIGINT)
+           AS prior_micro
+  FROM lpri CROSS JOIN tot t),
+scores AS (
+  SELECT t.doc_id, m.lang,
+         COUNT(*)::BIGINT AS n_rows,
+         (p.prior_micro + SUM(m.llh_micro))::BIGINT AS score_micro
+  FROM toks t
+  JOIN model m USING (h)
+  JOIN pri p ON p.lang = m.lang
+  GROUP BY t.doc_id, m.lang, p.prior_micro),
+ranked AS (
+  SELECT doc_id, lang, n_rows, score_micro,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_micro DESC, lang ASC) AS rn
+  FROM scores)
+SELECT doc_id,
+       n_rows AS n_tokens,
+       lang AS pred_lang,
+       score_micro
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT confusion matrix for the learned language classifier —
+    the `classifier_pr_eval` shape at multi-class (VERDICT r15 #4):
+    predictions come from the classifier's own plan, ground truth is
+    the `lang` column of the COMPLEMENT md5 half (documents the
+    trainer never saw), and the matrix is one groupBy(true, pred)
+    with per-true-language totals and integer-ppm row shares folded
+    in by a window over the (bounded, <= langs^2-row) matrix itself.
+
+    Scale shape: the holdout join is doc-keyed (both sides doc-scale
+    — NOT broadcast, the pr_eval discipline); everything after the
+    matrix aggregate operates on a classes^2-bounded relation."""
+    scored = q_doc_lang_id_learned(spark, sf_dir).select(
+        "doc_id", "pred_lang"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.select(
+        "doc_id", F.col("lang").alias("true_lang")
+    ).where(
+        F.substring(
+            F.md5(F.concat(F.lit("nbl_"), F.col("doc_id").cast("string"))),
+            1, 8,
+        )
+        >= NBL_SPLIT_HEX
+    )
+    cm = (
+        scored.join(test, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("true_lang")
+    return cm.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.sum("n_docs").over(w).alias("n_true"),
+        F.expr(f"(n_docs * {NBL_MICRO})").cast("long").alias("_num"),
+    ).select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        "n_true",
+        F.expr("_num div n_true").alias("share_ppm"),
+    )
+
+
+ORACLE_LANG_ID_CONFUSION = rf"""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id, pred_lang FROM ({ORACLE_DOC_LANG_ID})),
+test AS (
+  SELECT doc_id, lang AS true_lang FROM documents
+  WHERE substr(md5('nbl_' || CAST(doc_id AS VARCHAR)), 1, 8)
+          >= '{NBL_SPLIT_HEX}'),
+cm AS (
+  SELECT t.true_lang, s.pred_lang, COUNT(*)::BIGINT AS n_docs
+  FROM scored s JOIN test t USING (doc_id)
+  GROUP BY 1, 2)
+SELECT true_lang, pred_lang, n_docs,
+       SUM(n_docs) OVER (PARTITION BY true_lang)::BIGINT AS n_true,
+       ((n_docs * {NBL_MICRO})
+          // SUM(n_docs) OVER (PARTITION BY true_lang))::BIGINT
+         AS share_ppm
+FROM cm
+"""
+
+
+# ---------------------------------------------------------------------------
 # Streaming IVFPQ index maintenance (VERDICT r14 #5)
 # ---------------------------------------------------------------------------
 
@@ -1998,6 +2280,8 @@ RANK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_fulltrain": q_ann_ivfpq_fulltrain,
     "doc_quality_classifier": q_doc_quality_classifier,
     "classifier_pr_eval": q_classifier_pr_eval,
+    "doc_lang_id_learned": q_doc_lang_id_learned,
+    "lang_id_confusion": q_lang_id_confusion,
     "streaming_ivfpq_index": q_streaming_ivfpq_index,
     "unigram_train_vocab": q_unigram_train_vocab,
     "unigram_encode_corpus": q_unigram_encode_corpus,
@@ -2017,6 +2301,8 @@ RANK_ORACLES: dict[str, str] = {
     "ann_ivfpq_fulltrain": ORACLE_ANN_IVFPQ_FULLTRAIN,
     "doc_quality_classifier": ORACLE_DOC_QUALITY_CLASSIFIER,
     "classifier_pr_eval": ORACLE_CLASSIFIER_PR_EVAL,
+    "doc_lang_id_learned": ORACLE_DOC_LANG_ID,
+    "lang_id_confusion": ORACLE_LANG_ID_CONFUSION,
     "streaming_ivfpq_index": ORACLE_STREAMING_IVFPQ_INDEX,
     "unigram_train_vocab": ORACLE_UNIGRAM_TRAIN_VOCAB,
     "unigram_encode_corpus": ORACLE_UNIGRAM_ENCODE_CORPUS,

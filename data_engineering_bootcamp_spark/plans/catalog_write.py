@@ -465,6 +465,134 @@ CROSS JOIN (SELECT COUNT(*) AS n_rows FROM lineitem) c
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-shard export (VERDICT r15 #1): mix -> pack -> partitioned
+# shard write -> FS-manifest rollup
+# ---------------------------------------------------------------------------
+
+def q_training_export_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final stage every production pretraining pipeline ends with
+    (VERDICT r15 #1): the curated corpus is MIXED (per-source quota
+    sampling — `operators.sampling.weighted_mix`, the same
+    deterministic rate schedule as `corpus_mix_plan`), PACKED into
+    fixed-capacity context windows (`operators.chunking.
+    pack_token_stream`, 256-token packs over 8 doc_id-mod shards), and
+    physically EXPORTED as a shard-partitioned parquet dataset that a
+    training job's data loader would mount per worker. The entry then
+    rolls the export up from BOTH sides of reality: per-shard pack /
+    doc / token totals are read BACK from the written files (the
+    export must be lossless), and the per-shard file count comes from
+    a Hadoop-FS manifest listing (the `metadata_scan` S8 pattern) —
+    while the oracle predicts every one of those numbers in CLOSED
+    FORM from the raw documents table (mix quota -> shard cumsum ->
+    pack cut -> exactly ONE file per shard directory).
+
+    Scale shape: the mix is one window shuffle on the source key; the
+    pack-and-write tail is ONE shuffle on the shard key — the pack
+    window partitions by shard, the (shard, pack_id) groupBy reuses
+    that hash layout (grouping on a superset of the partitioning keys
+    adds no Exchange), and the dynamic-partition write emits each
+    shard's single task straight to its shard= directory with NO
+    repartition and NO global sort. One file per shard is therefore a
+    STRUCTURAL consequence of the plan — each shard lives in exactly
+    one task — which is why the oracle can predict the file count;
+    tests/test_writers.py pins the layout and the two-Exchange plan
+    shape."""
+    from ..operators.chunking import pack_token_stream
+    from ..operators.sampling import weighted_mix
+
+    d = tempfile.mkdtemp(prefix="trainexp_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # per-source keep rate, derived from the source id so both engines
+    # replay it — the corpus_mix_plan schedule (catalog_mix.py)
+    rate = F.lit(20) + F.lit(5) * (
+        F.coalesce(
+            F.regexp_extract("source", r"(\d+)", 1).cast("int"), F.lit(0)
+        )
+        % 7
+    )
+    try:
+        kept = weighted_mix(docs, ["source"], "doc_id", rate)
+        packs = pack_token_stream(kept, capacity=256, n_shards=8)
+        out_path = f"{d}/shards"
+        packs.write.mode("overwrite").partitionBy("shard").parquet(out_path)
+
+        # FS-manifest rollup (S8): one listing per shard directory
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(out_path)
+        fs = root.getFileSystem(hconf)
+        manifest: list[tuple[int, int]] = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("shard="):
+                continue
+            n_files = sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            )
+            manifest.append((int(name.split("=", 1)[1]), n_files))
+        mdf = spark.createDataFrame(
+            manifest, "shard long, file_count long"
+        )
+        back = (
+            spark.read.parquet(out_path)
+            .groupBy(F.col("shard").cast("long").alias("shard"))
+            .agg(
+                F.count(F.lit(1)).alias("n_packs"),
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+            )
+        )
+        out = mdf.join(back, "shard").select(
+            "shard", "file_count", "n_packs", "n_docs", "n_tokens"
+        )
+        return _snapshot(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_TRAINING_EXPORT = r"""
+WITH rated AS (
+  SELECT doc_id, text,
+         20 + 5 * (COALESCE(TRY_CAST(regexp_extract(source, '(\d+)', 1)
+                            AS INT), 0) % 7)
+           AS rate_pct,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_docs
+  FROM documents),
+kept AS (
+  SELECT doc_id, text FROM rated
+  WHERE rk <= (n_docs * rate_pct + 99) // 100),
+toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM kept),
+offs AS (
+  SELECT shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+  FROM toks),
+packs AS (
+  SELECT shard, CAST(floor(off / 256.0) AS BIGINT) AS pack_id,
+         COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS n_tokens
+  FROM offs GROUP BY 1, 2)
+SELECT shard::BIGINT AS shard,
+       CAST(1 AS BIGINT) AS file_count,
+       COUNT(*) AS n_packs,
+       SUM(n_docs)::BIGINT AS n_docs,
+       SUM(n_tokens)::BIGINT AS n_tokens
+FROM packs GROUP BY shard
+"""
+
+
 WRITE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_join_rollup": q_bucketed_join_rollup,
     "partitioned_prune_rollup": q_partitioned_prune_rollup,
@@ -474,6 +602,7 @@ WRITE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "insert_select_rollup": q_insert_select_rollup,
     "metadata_scan": q_metadata_scan,
     "compaction_rollup": q_compaction_rollup,
+    "training_export_rollup": q_training_export_rollup,
 }
 
 WRITE_ORACLES: dict[str, str] = {
@@ -485,4 +614,5 @@ WRITE_ORACLES: dict[str, str] = {
     "orc_roundtrip_rollup": ORACLE_ORC_ROUNDTRIP,
     "insert_select_rollup": ORACLE_INSERT_SELECT,
     "compaction_rollup": ORACLE_COMPACTION,
+    "training_export_rollup": ORACLE_TRAINING_EXPORT,
 }

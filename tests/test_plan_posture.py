@@ -57,6 +57,7 @@ SKIP = {
     "insert_select_rollup",
     "metadata_scan",
     "compaction_rollup",
+    "training_export_rollup",
     "pagerank_parts",
     # iterative BPE training: each step's argmax winner is eagerly
     # localCheckpointed at plan-build (the merge decision feeds the
@@ -108,6 +109,15 @@ BNLJ_ALLOWED = {
                                     # inherits its 1-row constants
                                     # cross join; the eval itself is
                                     # one complete aggregate + inline
+    "doc_lang_id_learned": 2,       # 1-row seed-total constants into
+                                    # the (<=64-row) prior relation +
+                                    # the folded 1-row prior constants
+                                    # into the per-doc scores — both
+                                    # bounded by construction
+    "lang_id_confusion": 2,         # composes doc_lang_id_learned,
+                                    # inherits its two 1-row constants
+                                    # cross joins; the matrix itself
+                                    # is one equi groupBy + window
     "ngram_jaccard_allpairs": 1,    # labeled exact all-pairs baseline
     "embedding_neardup_allpairs": 1,  # labeled exact all-pairs baseline
     "ann_cosine_topk": 1,           # labeled brute-force ANN baseline

@@ -822,3 +822,85 @@ def test_classifier_pr_eval_python_replay(spark, sf_dir):
     # non-increasing as the threshold rises
     rs = [got[t][5] for t in NBQ_EVAL_THRESHOLDS]
     assert all(a >= b for a, b in zip(rs, rs[1:]))
+
+
+def test_doc_lang_id_learned_python_replay(spark, sf_dir):
+    """Pure-Python replay of the multi-class hashed-NB language
+    classifier (VERDICT r15 #4): recompute the seed split, per-language
+    bucket counts, micro-nat likelihoods/priors (math.log + the HALF_UP
+    integer twin), and per-doc argmax with hashlib + dict arithmetic —
+    bit-identical agreement required (the only floats are the ln calls,
+    rounded into micro units on both sides from the same exact ratios,
+    and the fixture sits nowhere near a .5-micro boundary)."""
+    import hashlib
+    import math
+    import re as _re
+
+    from data_engineering_bootcamp_spark.plans.catalog_rank import (
+        NBL_BUCKETS,
+        NBL_MICRO,
+        NBL_SPLIT_HEX,
+        q_doc_lang_id_learned,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+
+    def round_half_up(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    def buckets(text):
+        toks = [
+            t
+            for t in _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+            if t
+        ]
+        return [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % NBL_BUCKETS
+            for t in toks
+        ]
+
+    counts: dict = {}
+    n_docs_l: dict = {}
+    for r in docs:
+        key = hashlib.md5(f"nbl_{r.doc_id}".encode()).hexdigest()[:8]
+        if key >= NBL_SPLIT_HEX:
+            continue
+        n_docs_l[r.lang] = n_docs_l.get(r.lang, 0) + 1
+        tab = counts.setdefault(r.lang, [0] * NBL_BUCKETS)
+        for h in buckets(r.text):
+            tab[h] += 1
+    langs = sorted(counts)
+    total = sum(n_docs_l.values())
+    llh = {
+        lang: [
+            round_half_up(
+                NBL_MICRO
+                * math.log((counts[lang][h] + 1) / (n_l + NBL_BUCKETS))
+            )
+            for h in range(NBL_BUCKETS)
+        ]
+        for lang in langs
+        for n_l in [sum(counts[lang])]
+    }
+    pri = {
+        lang: round_half_up(NBL_MICRO * math.log(n_docs_l[lang] / total))
+        for lang in langs
+    }
+    want = {}
+    for r in docs:
+        hs = buckets(r.text)
+        if not hs:
+            continue
+        scores = {
+            lang: pri[lang] + sum(llh[lang][h] for h in hs)
+            for lang in langs
+        }
+        # argmax, ties to the LOWEST lang (ascending scan keeps first)
+        best = max(langs, key=lambda l: (scores[l], [-ord(c) for c in l]))
+        want[r.doc_id] = (len(hs), best, scores[best])
+
+    got = {
+        r.doc_id: (r.n_tokens, r.pred_lang, r.score_micro)
+        for r in q_doc_lang_id_learned(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -198,3 +198,56 @@ def test_snapshot_guard_bounds_driver_collect(spark):
     assert _snapshot(small, max_rows=10).count() == 10
     with pytest.raises(ValueError, match="exceeds"):
         _snapshot(spark.range(100).toDF("n"), max_rows=99)
+
+
+def test_training_export_shard_layout(spark, sf_small, tmp_path):
+    """VERDICT r15 #1: the training-shard export's physical layout is
+    the one the oracle predicts — exactly ONE parquet file per shard
+    directory (each shard lives in exactly one task: the pack window
+    hash-partitions on shard, the (shard, pack_id) groupBy reuses that
+    layout, and the dynamic-partition write adds no repartition) — and
+    the pack-and-write tail costs exactly ONE shuffle on the shard key
+    on top of the mix's source-key window."""
+    from data_engineering_bootcamp_spark.operators.chunking import (
+        pack_token_stream,
+    )
+    from data_engineering_bootcamp_spark.operators.sampling import (
+        weighted_mix,
+    )
+    from data_engineering_bootcamp_spark.plans.introspect import (
+        count_exchanges,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    rate = F.lit(20) + F.lit(5) * (
+        F.coalesce(
+            F.regexp_extract("source", r"(\d+)", 1).cast("int"), F.lit(0)
+        )
+        % 7
+    )
+    kept = weighted_mix(docs, ["source"], "doc_id", rate)
+    packs = pack_token_stream(kept, capacity=256, n_shards=8)
+    # plan posture: mix window (source) + pack window (shard) = 2
+    # Exchanges; the (shard, pack_id) groupBy must NOT add a third
+    # (hash(shard) satisfies clustering on the superset)
+    assert count_exchanges(packs) == 2, _formatted_plan(packs)
+
+    out = str(tmp_path / "shards")
+    packs.write.mode("overwrite").partitionBy("shard").parquet(out)
+    shard_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("shard=")
+    )
+    assert shard_dirs == [f"shard={s}" for s in range(8)]
+    for d in shard_dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{d}: {files}"
+    # losslessness: packed token totals survive the write
+    back = spark.read.parquet(out).agg(F.sum("n_tokens")).collect()[0][0]
+    want = packs.agg(F.sum("n_tokens")).collect()[0][0]
+    assert back == want

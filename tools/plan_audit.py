@@ -42,6 +42,7 @@ SKIP = {
     "insert_select_rollup",
     "metadata_scan",
     "compaction_rollup",
+    "training_export_rollup",
     # iterative: eager per-round localCheckpoints execute at plan-build,
     # so the final plan is just the checkpointed-ranks scan; the
     # per-iteration shape (1 join + 1 groupBy) is audited by the
