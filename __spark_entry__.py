@@ -19,10 +19,13 @@ from data_engineering_bootcamp_spark.plans.catalog import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the composed corpus-curation pipeline (quality →
-    lang-ID → exact dedup → near-dup connected-components cluster
-    retention → deterministic split → per-split stats) on sf0.001."""
-    return QUERIES["corpus_curation_pipeline"](spark, "/root/testdata/sf0.001")
+    """Flagship: the composed corpus-curation pipeline with the
+    LEARNED quality gate (in-pipeline hashed-NB classifier → lang-ID
+    → exact dedup → near-dup connected-components cluster retention →
+    deterministic split → per-split stats) on sf0.001."""
+    return QUERIES["corpus_curation_pipeline_learned"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -577,6 +577,181 @@ FROM final GROUP BY 1
 """
 
 
+def q_corpus_curation_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline with the LEARNED quality gate (VERDICT
+    r15 #3): identical curate flow to `corpus_curation_pipeline` —
+    lang-ID filter → exact dedup → near-dup CC cluster retention →
+    deterministic split → per-split stats — but the heuristic
+    `text.quality_score >= 0.9` gate is replaced by the hashed-NB
+    classifier the pipeline TRAINS ON ITS OWN SEED SPLIT
+    (`doc_quality_classifier`: md5 half-split weak supervision,
+    512-bucket hashed features, integer-ppm likelihood ratios): a
+    document passes iff its mean token likelihood ratio predicts the
+    high-quality class (``pred_hi = 1``, i.e. mean_ratio_ppm >= 1e6).
+    This is the CCNet/DCLM shape — train a cheap classifier on weak
+    labels inside the pipeline, gate the corpus with it — composed
+    with every downstream stage unchanged, and the final stats carry
+    the learned score (exact BIGINT ppm mean) instead of the
+    heuristic quality average.
+
+    Scale shape: classifier training is one keyed shuffle + the
+    bounded 512-row model broadcast (its entry's audited posture); the
+    score gate joins doc-keyed (doc-scale sides, shuffle join, NOT
+    broadcast); everything downstream keeps the flagship's audited
+    shape (groupBy dedup, lossless prefix-filtered gram equi join,
+    min-label CC over pairs, map-side split). The oracle threads the
+    classifier CTEs through the full-pipeline SQL, so any drift in
+    EITHER the model arithmetic OR the composed stage order breaks
+    the hash."""
+    from ..functions.text import (
+        doc_fingerprint,
+        lang_id_heuristic,
+        token_count,
+    )
+    from ..operators.clustering import connected_components
+    from ..operators.dedup import (
+        _persist,
+        dedup_keep_first,
+        dedup_ngram_jaccard,
+    )
+    from ..operators.sampling import _threshold_hex, sample_bucket
+    from .catalog_rank import q_doc_quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    cls = (
+        q_doc_quality_classifier(spark, sf_dir)
+        .where(F.col("pred_hi") == 1)
+        .select("doc_id", "mean_ratio_ppm")
+    )
+    base = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        lang_id_heuristic(F.col("text")).alias("lang_pred"),
+    )
+    filt = (
+        base.join(cls, "doc_id")
+        .where(F.col("lang_pred") == "en")
+        .drop("lang_pred")
+    )
+    kept = _persist(
+        dedup_keep_first(
+            filt.withColumn("fp", doc_fingerprint(F.col("text"))),
+            keys=["fp"],
+            order_by=[F.col("doc_id")],
+        ).drop("fp")
+    )
+    pairs = dedup_ngram_jaccard(
+        kept, block_col=None, ngram=3, threshold=0.5, prefix_filtered=True
+    )
+    comp = connected_components(pairs)
+    removed = comp.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    final = kept.join(removed, "doc_id", "left_anti")
+    split = F.when(
+        sample_bucket(F.col("doc_id")) < F.lit(_threshold_hex(0.25)),
+        "holdout",
+    ).otherwise("train")
+    return (
+        final.withColumn("split", split)
+        .withColumn("tc", token_count(F.col("text")))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("tc").cast("long").alias("total_tokens"),
+            F.expr("sum(mean_ratio_ppm) div count(1)").alias(
+                "avg_score_ppm"
+            ),
+        )
+        .select(
+            "split", "n_docs", "n_sources", "total_tokens", "avg_score_ppm"
+        )
+    )
+
+
+def _corpus_curation_learned_oracle() -> str:
+    from ..functions.text import LANG_MARKERS
+    from .catalog_rank import ORACLE_DOC_QUALITY_CLASSIFIER
+
+    hits = []
+    for lang, words in LANG_MARKERS.items():
+        expr = " + ".join(
+            f"(CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END)"
+            for w in words
+        )
+        hits.append(f"({expr}) AS h_{lang}")
+    cases = "\n           ".join(
+        f"WHEN h_{lang} = best THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return rf"""
+WITH RECURSIVE cls AS MATERIALIZED (
+  SELECT doc_id, mean_ratio_ppm
+  FROM ({ORACLE_DOC_QUALITY_CLASSIFIER})
+  WHERE pred_hi = 1),
+base AS (
+  SELECT d.doc_id, d.text, d.source, c.mean_ratio_ppm,
+         list_filter(string_split_regex(lower(d.text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents d JOIN cls c USING (doc_id)),
+scored AS (
+  SELECT doc_id, text, source, mean_ratio_ppm, toks,
+         len(toks)::DOUBLE AS tc,
+         {", ".join(hits)}
+  FROM base),
+lang AS (
+  SELECT *, greatest(h_en, h_es, h_fr, h_de) AS best FROM scored),
+filt AS (
+  SELECT doc_id, text, source, mean_ratio_ppm, toks, tc
+  FROM lang
+  WHERE (CASE WHEN best = 0 THEN 'und'
+           {cases}
+           ELSE 'und' END) = 'en'),
+kept AS (
+  SELECT * FROM filt
+  WHERE doc_id IN (
+    SELECT MIN(doc_id)
+    FROM filt
+    GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))),
+grams AS (
+  SELECT doc_id, toks, tc, mean_ratio_ppm, source,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+                                        i -> array_to_string(toks[i:i+2], ' ')))
+         ELSE [array_to_string(toks, ' ')] END AS g
+  FROM kept),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE ROUND(len(list_intersect(a.g, b.g))::DOUBLE /
+              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+        >= 0.5),
+edges AS MATERIALIZED (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+removed AS (
+  SELECT a AS doc_id FROM reach GROUP BY a
+  HAVING LEAST(a, MIN(b)) <> a),
+final AS (
+  SELECT g.*,
+         CASE WHEN substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8) < '40000000'
+              THEN 'holdout' ELSE 'train' END AS split
+  FROM grams g WHERE g.doc_id NOT IN (SELECT doc_id FROM removed))
+SELECT split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       SUM(tc)::BIGINT AS total_tokens,
+       (SUM(mean_ratio_ppm) // COUNT(*))::BIGINT AS avg_score_ppm
+FROM final GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Stratified deterministic sampling (sampling family)
 # ---------------------------------------------------------------------------
@@ -1118,6 +1293,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bulk_rename_summary": q_bulk_rename_summary,
     "hash_sample_split": q_hash_sample_split,
     "corpus_curation_pipeline": q_corpus_curation,
+    "corpus_curation_pipeline_learned": q_corpus_curation_learned,
     "stratified_sample": q_stratified_sample,
     "doc_priority_sample": q_doc_priority_sample,
     "doc_decontaminate": q_decontaminate,
@@ -1140,6 +1316,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "bulk_rename_summary": ORACLE_BULK_RENAME_SUMMARY,
     "hash_sample_split": ORACLE_HASH_SAMPLE_SPLIT,
     "corpus_curation_pipeline": _corpus_curation_oracle(),
+    "corpus_curation_pipeline_learned": _corpus_curation_learned_oracle(),
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "doc_priority_sample": ORACLE_DOC_PRIORITY_SAMPLE,
     "doc_decontaminate": ORACLE_DECONTAMINATE,

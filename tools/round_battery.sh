@@ -7,7 +7,7 @@
 # Axes (all via tools/gate_check.py, a vanilla SparkSession):
 #   1. UTC sf0.01 full registry (the driver's own gate semantics)
 #   2. TZ robustness: America/New_York session timezone
-#   3. sf0.1 scale-up for the 114 scalable-oracle entries (the 11
+#   3. sf0.1 scale-up for the scalable-oracle entries (the 12
 #      exclusions are entries whose DuckDB ORACLES are deliberately
 #      quadratic/exhaustive baselines -- infeasible at sf0.1 by design)
 #   4. sf0.001 scale-down (degenerate groups/windows/bands)
@@ -31,7 +31,8 @@ R="${1:?usage: round_battery.sh rNN}"
 cd "$(dirname "$0")/.."
 
 # oracles that are deliberately quadratic / exhaustive -> excluded at sf0.1
-SF01_EXCLUDE="corpus_curation_pipeline doc_winnow_neardup_pairs \
+SF01_EXCLUDE="corpus_curation_pipeline corpus_curation_pipeline_learned \
+doc_winnow_neardup_pairs \
 embedding_neardup embedding_neardup_allpairs minhash_lsh_pairs \
 neardup_clusters neardup_clusters_star ngram_jaccard_allpairs \
 ngram_jaccard_pairs simhash_pairs streaming_neardup_admission"
