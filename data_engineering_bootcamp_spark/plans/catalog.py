@@ -1535,6 +1535,7 @@ _GATE_REST = [
     "doc_lang_id_learned",     # multi-class hashed NB lang id; NEW r16
     "lang_id_confusion",       # held-out confusion matrix; NEW r16
     "corpus_curation_pipeline_learned",  # NB-gated flagship; NEW r16
+    "ivfpq_index_compact",     # posting-store compaction; NEW r16
 ]
 
 assert len(_GATE_FIRST) == GATE_CAP, (

@@ -1976,6 +1976,181 @@ ORACLE_STREAMING_IVFPQ_INDEX = _six_oracle()
 
 
 # ---------------------------------------------------------------------------
+# IVFPQ posting-store compaction (VERDICT r15 #6)
+# ---------------------------------------------------------------------------
+
+IXC_VERSIONS = 4        # delta versions in the append log
+IXC_ROWS_PER_FILE = 50  # compaction target (ceil(n_live / 50) files)
+
+
+def q_ivfpq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-store COMPACTION — the lifecycle step
+    `streaming_ivfpq_index` leaves open (VERDICT r15 #6): a maintained
+    ANN index accretes versioned posting deltas (upserts re-encoding
+    moved vectors, tombstones for deleted ones); compaction folds the
+    K-version append log into ONE published snapshot by keeping each
+    vector's LATEST posting row (the `dedup_keep_first` W3 shape over
+    code rows, version DESC) and dropping vectors whose latest op is a
+    tombstone, then rewrites the survivor set into
+    ceil(n_live / {IXC_ROWS_PER_FILE}) files and publishes it through
+    the SAME `_publish_version` atomic-swap publisher the streaming
+    maintainer uses — readers never see a half-compacted store.
+
+    The delta log is built deterministically from the embeddings ids
+    so the oracle replays the WHOLE lifecycle in closed form: version
+    t (t = 0..{IXC_VERSIONS - 1}) carries vectors with vid % 3 ==
+    t % 3 (so % 3 == 0 vectors appear in BOTH v0 and v3 and
+    keep-latest must actually choose), the payload (bucket = (vid + t)
+    % 16, eight md5-derived 4-bit codes) depends on the version (a
+    stale-row leak changes the sums), and a row is a tombstone iff its
+    salted md5 nibble < '2' (~1/8). The rollup reads the PUBLISHED
+    compacted store back (per-bucket vector counts + id/code sums) and
+    joins the Hadoop-FS manifest file count — which the oracle
+    PREDICTS from the live-row count, the `training_export_rollup`
+    grounding pattern.
+
+    Scale shape: keep-latest is ONE window shuffle on vid over code
+    rows (~10 bytes each — the whole point of PQ postings), the
+    tombstone drop is a map-side filter, and the rewrite is one
+    round-robin repartition (`compact_parquet`'s shape — no key
+    shuffle, no sort). Driver traffic: one bounded count (n_live) for
+    the file-count arithmetic."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import dedup_keep_first
+    from ..streaming.sinks import _publish_version
+
+    store = tempfile.mkdtemp(prefix="ivfpq_compact_")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vid")
+    )
+    try:
+        def version_rows(t: int) -> DataFrame:
+            salt_del = F.concat(
+                F.lit("del_"), F.col("vid").cast("string"), F.lit(f"_{t}")
+            )
+            code = lambda j: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("code_"),
+                                F.col("vid").cast("string"),
+                                F.lit(f"_{t}"),
+                            )
+                        ),
+                        j * 2 + 1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("long") % 16
+            )
+            return emb.where(F.col("vid") % 3 == t % 3).select(
+                "vid",
+                F.lit(t).alias("version"),
+                ((F.col("vid") + t) % 16).cast("int").alias("bucket"),
+                F.when(
+                    F.substring(F.md5(salt_del), 1, 1) < "2", F.lit("d")
+                ).otherwise(F.lit("u")).alias("op"),
+                *[code(j).alias(f"c{j}") for j in range(8)],
+            )
+
+        delta_paths = []
+        for t in range(IXC_VERSIONS):
+            p = os.path.join(store, "delta", f"v{t}")
+            version_rows(t).write.mode("overwrite").parquet(p)
+            delta_paths.append(p)
+
+        log = spark.read.parquet(*delta_paths)
+        latest = dedup_keep_first(
+            log, keys=["vid"], order_by=[F.col("version").desc()]
+        )
+        live = latest.where(F.col("op") == "u").drop("op")
+        n_live = live.count()
+        n_files = max(1, math.ceil(n_live / IXC_ROWS_PER_FILE))
+        _publish_version(
+            store, IXC_VERSIONS, live.repartition(n_files), None
+        )
+
+        # manifest grounding: the published snapshot really has the
+        # predicted layout (the metadata_scan S8 listing pattern)
+        live_dir = os.path.realpath(os.path.join(store, "live"))
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(live_dir)
+        fs = p.getFileSystem(hconf)
+        file_count = sum(
+            1
+            for st in fs.listStatus(p)
+            if st.getPath().getName().endswith(".parquet")
+        )
+        code_sum = sum(F.col(f"c{j}") for j in range(8))
+        out = (
+            spark.read.parquet(live_dir)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum("vid").alias("vid_sum"),
+                F.sum(code_sum).alias("code_sum"),
+            )
+            .withColumn("file_count", F.lit(file_count).cast("long"))
+            .select("bucket", "n_vecs", "vid_sum", "code_sum", "file_count")
+        )
+        return _snapshot(out)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _ixc_code_sql() -> str:
+    return " + ".join(
+        f"(CAST('0x' || substr(md5('code_' || CAST(vid AS VARCHAR) "
+        f"|| '_' || CAST(t AS VARCHAR)), {j * 2 + 1}, 2) AS BIGINT) % 16)"
+        for j in range(8)
+    )
+
+
+ORACLE_IVFPQ_INDEX_COMPACT = f"""
+WITH vids AS (SELECT vec_id AS vid FROM embeddings),
+vers AS (
+  SELECT v.vid, t.t
+  FROM vids v
+  CROSS JOIN (SELECT unnest(range(0, {IXC_VERSIONS})) AS t) t
+  WHERE v.vid % 3 = t.t % 3),
+log AS (
+  SELECT vid, t AS version,
+         ((vid + t) % 16)::INT AS bucket,
+         CASE WHEN substr(md5('del_' || CAST(vid AS VARCHAR)
+                            || '_' || CAST(t AS VARCHAR)), 1, 1) < '2'
+              THEN 'd' ELSE 'u' END AS op,
+         ({_ixc_code_sql()})::BIGINT AS code_sum
+  FROM vers),
+latest AS (
+  SELECT vid, bucket, op, code_sum FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                                 ORDER BY version DESC) AS rn
+    FROM log) WHERE rn = 1),
+live AS (SELECT * FROM latest WHERE op = 'u'),
+nl AS (
+  SELECT CAST(
+    CASE WHEN COUNT(*) = 0 THEN 1
+         ELSE (COUNT(*) + {IXC_ROWS_PER_FILE - 1}) // {IXC_ROWS_PER_FILE}
+    END AS BIGINT) AS file_count
+  FROM live)
+SELECT l.bucket,
+       COUNT(*) AS n_vecs,
+       SUM(l.vid)::BIGINT AS vid_sum,
+       SUM(l.code_sum)::BIGINT AS code_sum,
+       nl.file_count
+FROM live l CROSS JOIN nl
+GROUP BY l.bucket, nl.file_count
+"""
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM tokenizer training (SentencePiece-shape, VERDICT r14 #8)
 # ---------------------------------------------------------------------------
 
@@ -2283,6 +2458,7 @@ RANK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_id_learned": q_doc_lang_id_learned,
     "lang_id_confusion": q_lang_id_confusion,
     "streaming_ivfpq_index": q_streaming_ivfpq_index,
+    "ivfpq_index_compact": q_ivfpq_index_compact,
     "unigram_train_vocab": q_unigram_train_vocab,
     "unigram_encode_corpus": q_unigram_encode_corpus,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
@@ -2304,6 +2480,7 @@ RANK_ORACLES: dict[str, str] = {
     "doc_lang_id_learned": ORACLE_DOC_LANG_ID,
     "lang_id_confusion": ORACLE_LANG_ID_CONFUSION,
     "streaming_ivfpq_index": ORACLE_STREAMING_IVFPQ_INDEX,
+    "ivfpq_index_compact": ORACLE_IVFPQ_INDEX_COMPACT,
     "unigram_train_vocab": ORACLE_UNIGRAM_TRAIN_VOCAB,
     "unigram_encode_corpus": ORACLE_UNIGRAM_ENCODE_CORPUS,
     "hybrid_rrf_topk": ORACLE_HYBRID_RRF,

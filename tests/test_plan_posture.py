@@ -58,6 +58,7 @@ SKIP = {
     "metadata_scan",
     "compaction_rollup",
     "training_export_rollup",
+    "ivfpq_index_compact",
     "pagerank_parts",
     # iterative BPE training: each step's argmax winner is eagerly
     # localCheckpointed at plan-build (the merge decision feeds the
