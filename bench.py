@@ -161,6 +161,16 @@ HEADLINE = [
     "streaming_ivfpq_index",
     "unigram_train_vocab",
     "unigram_encode_corpus",
+    # round-16 additions: the physical training-shard export, learned
+    # language ID + its held-out confusion eval, the NB-gated flagship
+    # twin, posting-store compaction, and batched BPE merge rounds
+    # (the A side of its A/B — bpe_train_merges — is already above)
+    "training_export_rollup",
+    "doc_lang_id_learned",
+    "lang_id_confusion",
+    "corpus_curation_pipeline_learned",
+    "ivfpq_index_compact",
+    "bpe_train_merges_batched",
     # The three replay entries (pipeline_replay_31d, scd_replay_31d,
     # users_cumulated_replay_31d) are deliberately NOT headlines: their
     # wall time is ~90% driver-side plan composition of 31 sequential

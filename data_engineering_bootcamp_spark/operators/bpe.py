@@ -332,3 +332,101 @@ def bpe_apply_merges_arrow(
     return w.mapInPandas(encode, schema=out_schema).select(
         *in_cols, "encoded", "n_syms"
     )
+
+
+def bpe_train_merges_batched(
+    words: DataFrame,
+    rounds: int,
+    k: int,
+    word_col: str = "token",
+    freq_col: str = "freq",
+    checkpoint_every: int = 1,
+    segmenter=spaced_symbols,
+) -> DataFrame:
+    """BATCHED merge rounds (VERDICT r15 #8): per round, take the
+    top-``k`` pairs by (total DESC, lhs ASC, rhs ASC) from ONE
+    pair-count pass and apply all k merges in rank order — the
+    production-trainer batching (HF tokenizers merge many pairs per
+    counting round) that cuts rounds-per-vocab ~k-fold: one shuffle
+    now buys k rules instead of one.
+
+    Semantics, exactly replayable: ranks 2..k were counted BEFORE
+    rank 1's merge was applied (that approximation IS the batching
+    trade), but the application order is pinned — rule i transforms
+    the output of rule i-1 with the same greedy non-overlapping
+    double-space replace as the single-pair trainer — so a fixed
+    (rounds, k) schedule is deterministic and the oracle unrolls the
+    identical recurrence (one count CTE + k chained merge CTEs per
+    round). Global rule index: step = (round-1)*k + rank, and
+    ``total`` is the pair's count at its round's counting pass.
+
+    Plan per round: ONE pair-count shuffle, one TakeOrdered(k) +
+    rank window on the k-row winner table (eagerly checkpointed — an
+    O(k)-row decision read by k merge maps AND the result union), and
+    k narrow broadcast-constant-key maps. A missing rank (the vocab
+    ran out of pairs mid-round) left-joins NULL and leaves words
+    unchanged — never the crossJoin-with-empty hazard.
+    ``checkpoint_every`` counts ROUNDS (the pagerank cadence
+    contract, same as the single-pair trainer's steps).
+    """
+    if int(rounds) < 1 or int(k) < 1:
+        raise ValueError(f"rounds and k must be >= 1, got {rounds}, {k}")
+    from pyspark.sql import Window
+
+    w = words.select(
+        segmenter(F.col(word_col)).alias("w"),
+        F.col(freq_col).cast("long").alias("freq"),
+    ).localCheckpoint(eager=True)
+    every = int(checkpoint_every)
+    order = [F.desc("total"), F.asc("lhs"), F.asc("rhs")]
+    rules: list[DataFrame] = []
+    for rnd in range(1, int(rounds) + 1):
+        counts = (
+            w.select("freq", F.explode(adjacent_pairs(F.col("w"))).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("freq").alias("total"))
+        )
+        ranked = (
+            counts.orderBy(*order)
+            .limit(int(k))
+            .select(
+                "*", F.row_number().over(Window.orderBy(*order)).alias("rank")
+            )
+            .localCheckpoint(eager=True)
+        )
+        if ranked.isEmpty():
+            break  # vocabulary fully merged
+        rules.append(
+            ranked.select(
+                (F.lit((rnd - 1) * int(k)) + F.col("rank")).cast("int")
+                .alias("step"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                "total",
+            )
+        )
+        for i in range(1, int(k) + 1):
+            ri = ranked.where(F.col("rank") == i).select(
+                F.lit(1).alias("_j"),
+                F.col("lhs").alias("_l"),
+                F.col("rhs").alias("_r"),
+            )
+            w = (
+                w.withColumn("_j", F.lit(1))
+                .join(F.broadcast(ri), "_j", "left")
+                .select(
+                    F.when(
+                        F.col("_l").isNotNull(),
+                        merge_pair(F.col("w"), F.col("_l"), F.col("_r")),
+                    ).otherwise(F.col("w")).alias("w"),
+                    "freq",
+                )
+            )
+        if every > 0 and rnd % every == 0:
+            w = w.localCheckpoint(eager=True)
+    if not rules:
+        return words.sparkSession.createDataFrame(
+            [], "step int, lhs string, rhs string, merged string, total long"
+        )
+    return reduce(DataFrame.unionByName, rules)

@@ -1536,6 +1536,7 @@ _GATE_REST = [
     "lang_id_confusion",       # held-out confusion matrix; NEW r16
     "corpus_curation_pipeline_learned",  # NB-gated flagship; NEW r16
     "ivfpq_index_compact",     # posting-store compaction; NEW r16
+    "bpe_train_merges_batched",  # top-k batched merge rounds; NEW r16
 ]
 
 assert len(_GATE_FIRST) == GATE_CAP, (

@@ -68,6 +68,7 @@ SKIP = {
     # notes and the gate
     "bpe_train_merges",
     "bpe_encode_corpus",       # same: train jobs run at plan build
+    "bpe_train_merges_batched",  # same loop, k merges per round
     "pipeline_replay_31d",
     "scd_replay_31d",
     "users_cumulated_replay_31d",

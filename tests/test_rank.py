@@ -904,3 +904,71 @@ def test_doc_lang_id_learned_python_replay(spark, sf_dir):
         for r in q_doc_lang_id_learned(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_bpe_batched_k1_equals_single(spark, sf_dir):
+    """VERDICT r15 #8: with k = 1 the batched trainer degenerates to
+    the single-pair trainer exactly — same rules, same counts, same
+    step numbering — on the real corpus word table."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_bootcamp_spark.operators.bpe import (
+        bpe_train_merges,
+        bpe_train_merges_batched,
+    )
+    from data_engineering_bootcamp_spark.plans.catalog_rank import _tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = (
+        _tokens(docs)
+        .groupBy(F.col("term").alias("token"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where((F.length("token") >= 2) & F.col("token").rlike("^[a-z]+$"))
+    )
+    single = [
+        tuple(r)
+        for r in bpe_train_merges(wf, 4, checkpoint_every=0)
+        .orderBy("step").collect()
+    ]
+    batched = [
+        tuple(r)
+        for r in bpe_train_merges_batched(wf, rounds=4, k=1,
+                                          checkpoint_every=0)
+        .orderBy("step").collect()
+    ]
+    assert batched == single
+
+
+def test_bpe_batched_rank_order_semantics(spark):
+    """Pin the batching trade on a word where it is OBSERVABLE: for
+    'abc', round 1 counts (a,b) and (b,c) once each BEFORE any merge,
+    so both become rules (rank order: lhs ASC breaks the tie), but
+    applying rank 1 consumes the 'b' and rank 2 matches nothing; the
+    single-pair trainer instead recounts and learns (ab,c). Round 2
+    of the batched trainer then learns (ab,c) as rank 1 with rank 2
+    exhausted — the missing-rank LEFT JOIN must leave words intact,
+    not empty the table."""
+    from data_engineering_bootcamp_spark.operators.bpe import (
+        bpe_train_merges,
+        bpe_train_merges_batched,
+    )
+
+    wf = spark.createDataFrame([("abc", 1)], "token string, freq long")
+    got = [
+        tuple(r)
+        for r in bpe_train_merges_batched(wf, rounds=2, k=2)
+        .orderBy("step").collect()
+    ]
+    assert got == [
+        (1, "a", "b", "ab", 1),
+        (2, "b", "c", "bc", 1),
+        (3, "ab", "c", "abc", 1),
+    ]
+    single = [
+        tuple(r)
+        for r in bpe_train_merges(wf, 2).orderBy("step").collect()
+    ]
+    assert single == [
+        (1, "a", "b", "ab", 1),
+        (2, "ab", "c", "abc", 1),
+    ]

@@ -58,6 +58,7 @@ SKIP = {
     "bpe_train_merges",
     "bpe_encode_corpus",       # same: train jobs run at plan build
     "bpe_train_merges_bytes",  # same loop, byte-level base vocab
+    "bpe_train_merges_batched",  # same loop, k merges per round
     "unigram_train_vocab",     # EM rounds (vocab fetch + E-step usage
                                # collects) run at plan build
     "unigram_encode_corpus",   # same training collects at plan build
