@@ -372,11 +372,20 @@ def main() -> None:
         "min_total_sec": (
             round(sum(mins.values()), 3) if not hard_errors else None
         ),
-        # idle-host-normalized twins of "value"/"min_total_sec"
-        # (VERDICT r10 #3): wall / host_factor. On an idle box
-        # host_factor ~= 1 and these equal the raw numbers; on a
-        # contended box they are the comparable figure. Null when the
-        # run is partial or no committed marker baseline exists.
+        # host-normalized twins of "value"/"min_total_sec" (VERDICT
+        # r10 #3): wall / host_factor. CONVENTION (made explicit per
+        # VERDICT r15): host_factor = today's marker / the committed
+        # baseline marker, so dividing converts wall time into
+        # BASELINE-HOST seconds — the units of GATECHECK_times.json's
+        # host_marker_baseline. A box RUNNING FASTER than that
+        # baseline has host_factor < 1 and the normalized value reads
+        # ABOVE the raw one (r15: 0.895 -> 128.3 vs 114.8 raw); that
+        # is the symmetric counterpart of a contended box deflating
+        # (r14: 1.123 -> 97.1 vs 109.1), not an inversion. Normalized
+        # totals are comparable ROUND-OVER-ROUND exactly while
+        # host_marker_baseline is unchanged; after a rebaseline,
+        # compare raw values bracketed by their own markers instead.
+        # Null when the run is partial or no baseline exists.
         "host_factor": host_factor,
         # the baseline marker host_factor divided by — recorded so a
         # cross-round reader can tell a true slowdown from a

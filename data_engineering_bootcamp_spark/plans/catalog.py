@@ -1362,181 +1362,175 @@ GATE_CAP = 50  # the driver gates exactly this many leading entries
 
 _GATE_FIRST = [
     # -----------------------------------------------------------------
-    # r15 rotation (VERDICT r14 #2, the standing 3-round freshness
-    # policy): promote (a) the 38 entries whose newest driver row is
-    # r12 — exactly the cohort the r14 rotation queued in _GATE_REST,
-    # (b) the SIX new r15 entries (full-scope-trained IVFPQ, the
-    # hashed Naive Bayes quality classifier + its held-out PR eval,
-    # the streaming IVFPQ index maintainer, the unigram-LM tokenizer
-    # trainer and its encode twin — gated immediately so they never
-    # sit without a driver row), and (c) the first 6 of the 50 entries
-    # whose newest row is r13 (list order). After this rotation no
-    # entry's newest driver row is older than r13 and the cadence is
-    # self-sustaining.
-    # the 38 entries whose newest driver row was r12
-    "tfidf_top_terms",         # tf-idf keywords; r12 row
-    "histogram_quantiles",     # bin-histogram quantiles; r12 row
-    "hard_negative_mining",    # contrastive ANN; r12 row
-    "zorder_locality_stats",   # Morton clustering; r12 row
-    "incremental_agg_merge",   # partial-agg maintenance; r12 row
-    "last_touch_attribution",  # last_value window; r12 row
-    "orc_roundtrip_rollup",    # ORC round-trip; r12 row
-    "top_event_paths",         # trigram path mining; r12 row
-    "snapshot_cdc_diff",       # change-data-feed; r12 row
-    "compaction_rollup",       # OPTIMIZE round-trip; r12 row
-    "streaming_sliding_hits",  # hopping-window twin; r12 row
-    "streaming_interval_join", # stream-stream interval join; r12 row
-    "streaming_upsert_sink",   # streaming merge sink; r12 row
-    "table_profile_approx",    # HLL profile w/ 5-sigma envelope; r12 row
-    "percentiles_approx",      # GK-sketch rank-error envelope; r12 row
-    "doc_priority_sample",     # weighted priority sampling; r12 row
-    "scd_incremental",         # double-advance guard; r12 row
-    "scd_replay_31d",          # 31-day SCD incremental replay; r12 row
-    "users_cumulated_replay_31d", # 31-day datelist replay; r12 row
-    "pricing_summary",         # P3 A3 A17; r12 row
-    "customer_order_spine",    # J10 J11 J15; r12 row
-    "top_customers",           # J3 J13 A15 O1-O3; r12 row
-    "grouping_sets",           # A9 S3; r12 row
-    "funnel_conversion",       # P7 J8 A16; r12 row
-    "scd_streaks",             # W1 W2 A1; r12 row
-    "users_cumulated",         # P4 A7 J1; r12 row
-    "datelist_int",            # A10 A11; r12 row
-    "sessionization",          # W2 P4; r12 row
-    "doc_ttr_repetition",      # TTR/repetition stats; r12 row
-    "vocab_top_tokens",        # corpus vocabulary df table; r12 row
-    "neardup_clusters_star",   # large/small-star CC twin; r12 row
-    "ngram_jaccard_allpairs",  # exact baseline twin; r12 row
-    "rolling_revenue",         # W5-W8 W11; r12 row
-    "order_history",           # A6 W10; r12 row
-    "best_stretch",            # W9 W12; r12 row
-    "semi_anti_customers",     # J6 J7; r12 row
-    "merge_upsert",            # S11 J1; r12 row
-    "bucketed_join_rollup",    # S4 S5 J14; r12 row
+    # r16 rotation (VERDICT r15 #2, the standing 3-round freshness
+    # policy): promote (a) ALL 44 entries whose newest driver row is
+    # r13 — exactly the cohort the r15 rotation queued at the head of
+    # _GATE_REST — and (b) the SIX new r16 entries (training-shard
+    # export, learned lang-ID + its confusion eval, the NB-gated
+    # flagship twin, IVFPQ posting-store compaction, batched BPE),
+    # gated immediately so they never sit without a driver row.
+    # 44 + 6 = 50 = GATE_CAP exactly. After this rotation no entry's
+    # newest driver row is older than r14.
+    # the 44 entries whose newest driver row was r13
+    "corpus_curation_pipeline", # flagship composed pipeline; r13 row
+    "streaming_dedup",      # dropDuplicatesWithinWatermark; r13 row
+    "doc_dedup_exact",      # A14; r13 row
+    "doc_lang_id",          # P9; r13 row
+    "doc_decontaminate",    # leakage scrub; r13 row
+    "pack_token_stream",    # sequence packing; r13 row
+    "doc_chunks",           # chunking primary; r13 row
+    "table_profile",        # one-pass profiling; r13 row
+    "udf_enrich_broadcast", # T6 / SURVEY 2.10; r13 row
+    "metadata_scan",        # S8 layouts; r13 row
+    "insert_select_rollup", # S9 S10; r13 row
+    "longest_streak",       # W12 streak half; r13 row
+    "union_order_tiers",    # U1 U2 P6; r13 row
+    "retention_curve",      # A16 + channel LIKE; r13 row
+    "exact_percentiles",    # exact distributed percentiles; r13 row
+    "minhash_lsh_pairs",    # banded LSH primary; r13 row
+    "ann_cosine_ivf",       # IVF cell-blocked ANN; r13 row
+    "ann_cosine_lsh",       # LSH-bucketed ANN; r13 row
+    "embedding_neardup",    # blocked embedding near-dup; r13 row
+    "media_features",       # multimodal feature extraction; r13 row
+    "media_frame_sample",   # frame sampling; r13 row
+    "hash_sample_split",    # deterministic hash split; r13 row
+    "stratified_sample",    # per-stratum exact quotas; r13 row
+    "bpe_train_merges",     # iterative BPE vocab training; r13 row
+    "bpe_encode_corpus",    # merge-table tokenizer application; r13 row
+    "bm25_top_docs",        # BM25 retrieval scoring; r13 row
+    "ann_pq_adc",           # PQ/ADC third ANN scale path; r13 row
+    "simhash_pairs",        # 4x15-bit pigeonhole near-dup; r13 row
+    "skew_salted_agg",      # salted skewed aggregate; r13 row
+    "asof_latest_order",    # as-of join; r13 row
+    "ngram_jaccard_pairs",  # prefix-filtered primary; r13 row
+    "array_metrics",        # J2 J4 J5 A12 A13 A6; r13 row
+    "fuzzy_customer_pairs", # PassJoin edit-distance ER; r13 row
+    "interpolate_daily_revenue", # gap-fill + linear interp; r13 row
+    "hll_user_cardinality", # HyperLogLog registers; r13 row
+    "session_concurrency_daily", # sweep-line concurrency; r13 row
+    "media_ahash_neardup",  # perceptual-hash image dedup; r13 row
+    "media_curation_pipeline", # composed image-dedup pass; r13 row
+    "user_vertices",        # W3 + map-typed vertex props; r13 row
+    "part_pair_edges",      # J9 pair self-join; r13 row
+    "media_real_decode",    # stdlib PNG round-trip; r13 row
+    "skew_salted_join",     # salted join twin; r13 row
+    "semantic_dedup",       # SemDeDup cluster-then-dedup; r13 row
+    "media_resize",         # NN resize + re-encode; r13 row
     # new this round: gate immediately
-    "ann_ivfpq_fulltrain",     # distributed full-corpus Lloyd; NEW r15
-    "doc_quality_classifier",  # hashed NB quality scoring; NEW r15
-    "classifier_pr_eval",      # held-out PR/threshold sweep; NEW r15
-    "streaming_ivfpq_index",   # incremental ANN index maint; NEW r15
-    "unigram_train_vocab",     # SentencePiece-shape unigram EM; NEW r15
-    "unigram_encode_corpus",   # unigram tokenizer application; NEW r15
-    # the first 6 of the 50 entries whose newest driver row was r13
-    "partitioned_prune_rollup", # S6 S7; r13 row
-    "streaming_tumbling_hits", # T1 T3 T4; r13 row
-    "streaming_kafka_mirror",  # S12 S14; r13 row
-    "streaming_session_windows", # T5; r13 row
-    "streaming_foreachbatch_sink", # T7 T8 S13; r13 row
-    "streaming_stateful_sessions", # stateful op; r13 row
+    "training_export_rollup", # mix->pack->shard write->manifest; NEW r16
+    "doc_lang_id_learned",  # multi-class hashed NB lang id; NEW r16
+    "lang_id_confusion",    # held-out confusion matrix; NEW r16
+    "corpus_curation_pipeline_learned", # NB-gated flagship twin; NEW r16
+    "ivfpq_index_compact",  # posting-store compaction; NEW r16
+    "bpe_train_merges_batched", # top-k batched merge rounds; NEW r16
 ]
 
 _GATE_REST = [
-    # the 44 r13-row entries that didn't fit this round's 50 slots;
-    # FIRST IN LINE for the r16 prefix (they'll be exactly 3 rounds
-    # old then — the standing maintenance cadence)
-    "corpus_curation_pipeline", # flagship composed pipeline; r13 row
-    "streaming_dedup",         # dropDuplicatesWithinWatermark; r13 row
-    "doc_dedup_exact",         # A14; r13 row
-    "doc_lang_id",             # P9; r13 row
-    "doc_decontaminate",       # leakage scrub; r13 row
-    "pack_token_stream",       # sequence packing; r13 row
-    "doc_chunks",              # chunking primary; r13 row
-    "table_profile",           # one-pass profiling; r13 row
-    "udf_enrich_broadcast",    # T6 / SURVEY 2.10; r13 row
-    "metadata_scan",           # S8 layouts; r13 row
-    "insert_select_rollup",    # S9 S10; r13 row
-    "longest_streak",          # W12 streak half; r13 row
-    "union_order_tiers",       # U1 U2 P6; r13 row
-    "retention_curve",         # A16 + channel LIKE; r13 row
-    "exact_percentiles",       # exact distributed percentiles; r13 row
-    "minhash_lsh_pairs",       # banded LSH primary; r13 row
-    "ann_cosine_ivf",          # IVF cell-blocked ANN; r13 row
-    "ann_cosine_lsh",          # LSH-bucketed ANN; r13 row
-    "embedding_neardup",       # blocked embedding near-dup; r13 row
-    "media_features",          # multimodal feature extraction; r13 row
-    "media_frame_sample",      # frame sampling; r13 row
-    "hash_sample_split",       # deterministic hash split; r13 row
-    "stratified_sample",       # per-stratum exact quotas; r13 row
-    "bpe_train_merges",        # iterative BPE vocab training; r13 row
-    "bpe_encode_corpus",       # merge-table tokenizer application; r13 row
-    "bm25_top_docs",           # BM25 retrieval scoring; r13 row
-    "ann_pq_adc",              # PQ/ADC third ANN scale path; r13 row
-    "simhash_pairs",           # 4x15-bit pigeonhole near-dup; r13 row
-    "skew_salted_agg",         # salted skewed aggregate; r13 row
-    "asof_latest_order",       # as-of join; r13 row
-    "ngram_jaccard_pairs",     # prefix-filtered primary; r13 row
-    "array_metrics",           # J2 J4 J5 A12 A13 A6; r13 row
-    "fuzzy_customer_pairs",    # PassJoin edit-distance ER; r13 row
-    "interpolate_daily_revenue", # gap-fill + linear interp; r13 row
-    "hll_user_cardinality",    # HyperLogLog registers; r13 row
-    "session_concurrency_daily", # sweep-line concurrency; r13 row
-    "media_ahash_neardup",     # perceptual-hash image dedup; r13 row
-    "media_curation_pipeline", # composed image-dedup pass; r13 row
-    "user_vertices",           # W3 + map-typed vertex props; r13 row
-    "part_pair_edges",         # J9 pair self-join; r13 row
-    "media_real_decode",       # stdlib PNG round-trip; r13 row
-    "skew_salted_join",        # salted join twin; r13 row
-    "semantic_dedup",          # SemDeDup cluster-then-dedup; r13 row
-    "media_resize",            # NN resize + re-encode; r13 row
-    # rotated out r15: the r14 prefix (each entry holds a fresh r14
-    # driver row; operator ids stay covered by the gate_check
-    # full-registry run at HEAD each round)
-    "doc_bigram_lm_score",     # bigram-LM quality score; r14 row
-    "line_dedup_rebuild",      # C4/RefinedWeb segment removal; r14 row
-    "kmv_set_ops",             # bottom-k sketch set algebra; r14 row
-    "doc_winnow_fingerprint",  # set-stats winnow twin; r14 row
-    "doc_pii_redact",          # regex PII counting + masking; r14 row
-    "neardup_clusters",        # CC + keep-one retention; r14 row
-    "pivot_lang_counts",       # groupBy().pivot(); r14 row
+    # the 50 r14-row entries: FIRST IN LINE for the r17 prefix (they
+    # will be exactly 3 rounds old then — the standing cadence)
+    "doc_bigram_lm_score",  # bigram-LM quality score; r14 row
+    "line_dedup_rebuild",   # C4/RefinedWeb segment removal; r14 row
+    "kmv_set_ops",          # bottom-k sketch set algebra; r14 row
+    "doc_winnow_fingerprint", # set-stats winnow twin; r14 row
+    "doc_pii_redact",       # regex PII counting + masking; r14 row
+    "neardup_clusters",     # CC + keep-one retention; r14 row
+    "pivot_lang_counts",    # groupBy().pivot(); r14 row
     "streaming_neardup_admission", # stream-static LSH; r14 row
-    "pagerank_parts",          # guard off hot path; r14 row
-    "bloom_prune_stats",       # digest-fence family; r14 row
-    "countmin_token_freq",     # digest-fence family; r14 row
-    "distinct_sketch_users",   # digest-fence family; r14 row
-    "streaming_countmin",      # digest-fence family; r14 row
-    "region_revenue",          # J3 J13; r14 row
-    "tumbling_hits",           # batch T3/T4 twin; r14 row
-    "host_activity_reduced",   # J2 J12; r14 row
+    "pagerank_parts",       # guard off hot path; r14 row
+    "bloom_prune_stats",    # digest-fence family; r14 row
+    "countmin_token_freq",  # digest-fence family; r14 row
+    "distinct_sketch_users", # digest-fence family; r14 row
+    "streaming_countmin",   # digest-fence family; r14 row
+    "region_revenue",       # J3 J13; r14 row
+    "tumbling_hits",        # batch T3/T4 twin; r14 row
+    "host_activity_reduced", # J2 J12; r14 row
     "top_supplier_per_nation", # J13 A15 W9; r14 row
     "embedding_neardup_allpairs", # exact baseline twin; r14 row
-    "acctbal_tiers",           # P6; r14 row
-    "ann_cosine_topk",         # brute-force ANN baseline; r14 row
-    "bulk_rename_summary",     # P2; r14 row
-    "csv_roundtrip_rollup",    # S2; r14 row
-    "dedup_keep_first",        # W3 W4; r14 row
-    "distinct_users",          # A4 A5; r14 row
-    "doc_quality",             # text quality score; r14 row
-    "doc_token_stats",         # token counting; r14 row
+    "acctbal_tiers",        # P6; r14 row
+    "ann_cosine_topk",      # brute-force ANN baseline; r14 row
+    "bulk_rename_summary",  # P2; r14 row
+    "csv_roundtrip_rollup", # S2; r14 row
+    "dedup_keep_first",     # W3 W4; r14 row
+    "distinct_users",       # A4 A5; r14 row
+    "doc_quality",          # text quality score; r14 row
+    "doc_token_stats",      # token counting; r14 row
     "doc_winnow_neardup_pairs", # winnow primary; r14 row
-    "filter_by_top1",          # P8 O6; r14 row
-    "growth_accounting",       # J1; r14 row
-    "json_props",              # JSON family; r14 row
-    "part_type_tiers",         # P5; r14 row
-    "sorted_layout_rollup",    # O4 O5; r14 row
-    "ann_ivfpq",               # IVF + PQ-on-residuals (IVFADC); r14 row
-    "hybrid_rrf_topk",         # BM25 + ANN reciprocal-rank fusion; r14 row
-    "bpe_train_merges_bytes",  # byte-level BPE training; r14 row
-    "streaming_bpe_encode",    # streaming tokenizer application; r14 row
-    "vocab_coverage_curve",    # Zipf coverage curve; r14 row
-    "streaming_embedding_admission",  # vector ingest gate; r14 row
-    "pipeline_replay_31d",     # 31-day growth replay; r14 row
-    "rolling_time_revenue",    # RANGE frame; r14 row
-    "zscore_anomaly_days",     # integer-exact z-score; r14 row
-    "unpivot_region_metrics",  # unpivot wide->long; r14 row
-    "chunk_dedup_rebuild",     # sub-document dedup; r14 row
-    "corpus_mix_plan",         # mixing quotas; r14 row
-    "quantile_band_filter",    # percentile trimming; r14 row
+    "filter_by_top1",       # P8 O6; r14 row
+    "growth_accounting",    # J1; r14 row
+    "json_props",           # JSON family; r14 row
+    "part_type_tiers",      # P5; r14 row
+    "sorted_layout_rollup", # O4 O5; r14 row
+    "ann_ivfpq",            # IVF + PQ-on-residuals (IVFADC); r14 row
+    "hybrid_rrf_topk",      # BM25 + ANN reciprocal-rank fusion; r14 row
+    "bpe_train_merges_bytes", # byte-level BPE training; r14 row
+    "streaming_bpe_encode", # streaming tokenizer application; r14 row
+    "vocab_coverage_curve", # Zipf coverage curve; r14 row
+    "streaming_embedding_admission", # vector ingest gate; r14 row
+    "pipeline_replay_31d",  # 31-day growth replay; r14 row
+    "rolling_time_revenue", # RANGE frame; r14 row
+    "zscore_anomaly_days",  # integer-exact z-score; r14 row
+    "unpivot_region_metrics", # unpivot wide->long; r14 row
+    "chunk_dedup_rebuild",  # sub-document dedup; r14 row
+    "corpus_mix_plan",      # mixing quotas; r14 row
+    "quantile_band_filter", # percentile trimming; r14 row
     "embedding_quantize_error", # int8 SQ error; r14 row
-    "ann_q8_rerank",           # SQ8 + rerank; r14 row
-    "bpe_merge_candidates",    # BPE pair stats; r14 row
-    "dup_span_extract",        # duplicate-span extraction; r14 row
-    "dup_span_removal",        # cleaned-corpus rebuild; r14 row
-    # r16 WIP: registered here temporarily while the round's new
-    # entries land; the r16 rotation edit moves them into the prefix
-    "training_export_rollup",  # mix->pack->shard write->manifest; NEW r16
-    "doc_lang_id_learned",     # multi-class hashed NB lang id; NEW r16
-    "lang_id_confusion",       # held-out confusion matrix; NEW r16
-    "corpus_curation_pipeline_learned",  # NB-gated flagship; NEW r16
-    "ivfpq_index_compact",     # posting-store compaction; NEW r16
-    "bpe_train_merges_batched",  # top-k batched merge rounds; NEW r16
+    "ann_q8_rerank",        # SQ8 + rerank; r14 row
+    "bpe_merge_candidates", # BPE pair stats; r14 row
+    "dup_span_extract",     # duplicate-span extraction; r14 row
+    "dup_span_removal",     # cleaned-corpus rebuild; r14 row
+    # rotated out r16: the r15 prefix (each entry holds a fresh r15
+    # driver row; operator ids stay covered by the gate_check
+    # full-registry run at HEAD each round)
+    "datelist_int",         # A10 A11; r15 row
+    "tfidf_top_terms",      # tf-idf keywords; r15 row
+    "histogram_quantiles",  # bin-histogram quantiles; r15 row
+    "hard_negative_mining", # contrastive ANN; r15 row
+    "zorder_locality_stats", # Morton clustering; r15 row
+    "incremental_agg_merge", # partial-agg maintenance; r15 row
+    "last_touch_attribution", # last_value window; r15 row
+    "orc_roundtrip_rollup", # ORC round-trip; r15 row
+    "top_event_paths",      # trigram path mining; r15 row
+    "snapshot_cdc_diff",    # change-data-feed; r15 row
+    "compaction_rollup",    # OPTIMIZE round-trip; r15 row
+    "streaming_sliding_hits", # hopping-window twin; r15 row
+    "streaming_interval_join", # stream-stream interval join; r15 row
+    "streaming_upsert_sink", # streaming merge sink; r15 row
+    "table_profile_approx", # HLL profile w/ 5-sigma envelope; r15 row
+    "percentiles_approx",   # GK-sketch rank-error envelope; r15 row
+    "doc_priority_sample",  # weighted priority sampling; r15 row
+    "scd_incremental",      # double-advance guard; r15 row
+    "scd_replay_31d",       # 31-day SCD incremental replay; r15 row
+    "users_cumulated_replay_31d", # 31-day datelist replay; r15 row
+    "pricing_summary",      # P3 A3 A17; r15 row
+    "customer_order_spine", # J10 J11 J15; r15 row
+    "top_customers",        # J3 J13 A15 O1-O3; r15 row
+    "grouping_sets",        # A9 S3; r15 row
+    "funnel_conversion",    # P7 J8 A16; r15 row
+    "scd_streaks",          # W1 W2 A1; r15 row
+    "users_cumulated",      # P4 A7 J1; r15 row
+    "sessionization",       # W2 P4; r15 row
+    "doc_ttr_repetition",   # TTR/repetition stats; r15 row
+    "vocab_top_tokens",     # corpus vocabulary df table; r15 row
+    "neardup_clusters_star", # large/small-star CC twin; r15 row
+    "ngram_jaccard_allpairs", # exact baseline twin; r15 row
+    "rolling_revenue",      # W5-W8 W11; r15 row
+    "order_history",        # A6 W10; r15 row
+    "best_stretch",         # W9 W12; r15 row
+    "semi_anti_customers",  # J6 J7; r15 row
+    "merge_upsert",         # S11 J1; r15 row
+    "bucketed_join_rollup", # S4 S5 J14; r15 row
+    "ann_ivfpq_fulltrain",  # distributed full-corpus Lloyd; NEW r15; r15 row
+    "doc_quality_classifier", # hashed NB quality scoring; NEW r15; r15 row
+    "classifier_pr_eval",   # held-out PR/threshold sweep; NEW r15; r15 row
+    "streaming_ivfpq_index", # incremental ANN index maint; NEW r15; r15 row
+    "unigram_train_vocab",  # SentencePiece-shape unigram EM; NEW r15; r15 row
+    "unigram_encode_corpus", # unigram tokenizer application; NEW r15; r15 row
+    "partitioned_prune_rollup", # S6 S7; r15 row
+    "streaming_tumbling_hits", # T1 T3 T4; r15 row
+    "streaming_kafka_mirror", # S12 S14; r15 row
+    "streaming_session_windows", # T5; r15 row
+    "streaming_foreachbatch_sink", # T7 T8 S13; r15 row
+    "streaming_stateful_sessions", # stateful op; r15 row
 ]
 
 assert len(_GATE_FIRST) == GATE_CAP, (

@@ -120,11 +120,18 @@ BNLJ_ALLOWED = {
                                     # inherits its two 1-row constants
                                     # cross joins; the matrix itself
                                     # is one equi groupBy + window
-    "corpus_curation_pipeline_learned": 1,  # composes
-                                    # doc_quality_classifier, inherits
-                                    # its 1-row class-totals constants
-                                    # cross join; the pipeline's own
-                                    # joins are all equi/anti
+    "corpus_curation_pipeline_learned": 2,  # composes
+                                    # doc_quality_classifier, whose
+                                    # 1-row class-totals constants
+                                    # cross join appears TWICE in the
+                                    # lazy plan (the persisted `kept`
+                                    # relation feeds both gram-pair
+                                    # join sides, duplicating the
+                                    # upstream classifier subtree);
+                                    # both instances are the same
+                                    # bounded 1-row shape — the
+                                    # pipeline's own joins are all
+                                    # equi/anti
     "ngram_jaccard_allpairs": 1,    # labeled exact all-pairs baseline
     "embedding_neardup_allpairs": 1,  # labeled exact all-pairs baseline
     "ann_cosine_topk": 1,           # labeled brute-force ANN baseline
