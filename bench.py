@@ -166,6 +166,7 @@ HEADLINE = [
     # twin, posting-store compaction, and batched BPE merge rounds
     # (the A side of its A/B — bpe_train_merges — is already above)
     "training_export_rollup",
+    "training_export_tokenized",
     "doc_lang_id_learned",
     "lang_id_confusion",
     "corpus_curation_pipeline_learned",

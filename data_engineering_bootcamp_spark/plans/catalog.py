@@ -1426,6 +1426,14 @@ _GATE_FIRST = [
 ]
 
 _GATE_REST = [
+    # SEVENTH new r16 entry: the 50-slot prefix is exactly filled by
+    # the 44-entry freshness cohort (displacing any of them would
+    # leave an r13 row aging past the 3-round invariant) + the six
+    # new entries above, so this one leads the r17 prefix instead of
+    # gating immediately; until then it is covered by the
+    # full-registry gate_check battery at HEAD like every rotated-out
+    # entry (GATECHECK_r16 logs), just without a driver row yet.
+    "training_export_tokenized",  # BPE ids -> packed windows -> shards; NEW r16
     # the 50 r14-row entries: FIRST IN LINE for the r17 prefix (they
     # will be exactly 3 rounds old then — the standing cadence)
     "doc_bigram_lm_score",  # bigram-LM quality score; r14 row

@@ -1552,6 +1552,244 @@ FROM cm
 
 
 # ---------------------------------------------------------------------------
+# Tokenized training export: trained tokenizer -> id stream -> packed
+# context windows -> sharded parquet (the end-to-end payload twin of
+# training_export_rollup)
+# ---------------------------------------------------------------------------
+
+TET_CAPACITY = 256  # token ids per context window
+TET_SHARDS = 8
+
+
+def q_training_export_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-payload completion of the export story: where
+    `training_export_rollup` packs whitespace-token COUNTS, this entry
+    ships what a training job actually mounts — context windows of
+    TOKEN IDS from a tokenizer trained in-pipeline. Train 8 BPE merges
+    (`bpe_train_merges`), encode the vocabulary with the Arrow kernel
+    (`bpe_apply_merges_arrow` — the production rule-count path), mint
+    symbol ids deterministically (distinct encoded symbols, ROW_NUMBER
+    by symbol ASC), flatten the corpus token stream (document order,
+    token position, symbol position) into ids, cut it into 256-id
+    windows within 8 doc_id-mod shards (TET_CAPACITY / TET_SHARDS),
+    and EXPORT each window as one row (shard, pack_id, ids ARRAY) of a
+    shard-partitioned parquet dataset. The rollup reads the written
+    shards BACK and reduces each pack's id array with an
+    ORDER-SENSITIVE checksum (sum of (pos+1)*(id+1) via
+    aggregate/zip_with — a transposition changes it), so the oracle —
+    which replays train -> encode -> vocab -> stream -> cut entirely
+    in SQL — verifies the physical payload's CONTENT AND ORDER, plus
+    the one-file-per-shard layout via the FS manifest (the
+    `training_export_rollup` grounding pattern).
+
+    Scale shape: corpus-scale work is one token-count shuffle (the
+    word table), ONE broadcast-dictionary join (the encoded vocab —
+    KB-scale even at production vocabulary sizes) + one broadcast
+    vocab-id join on the symbol stream, and ONE token-scale shuffle on
+    the shard key (the pack window; the (shard, pack_id) groupBy and
+    the dynamic-partition write reuse its hash layout — the structural
+    one-file-per-shard argument). The vocab-id mint is a ROW_NUMBER
+    over the bounded distinct-symbol set (single-partition exchange of
+    <= base-chars + merges rows). Charset contract: the id stream
+    covers the ^[a-z]+$ len>=2 tokens the trainer's word table is
+    pinned to (the `bpe_train_merges` engine-agnostic subset) —
+    position indices still count ALL whitespace tokens, so filtered
+    gaps are observable in neither engine's packing (both drop them
+    before the cumsum)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.bpe import bpe_apply_merges_arrow
+
+    store = tempfile.mkdtemp(prefix="trainexp_tok_")
+    docs = _t(spark, sf_dir, "documents")
+    try:
+        wf = (
+            _tokens(docs)
+            .groupBy(F.col("term").alias("token"))
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .where(
+                (F.length("token") >= 2) & F.col("token").rlike("^[a-z]+$")
+            )
+            .localCheckpoint(eager=True)
+        )
+        rules = bpe_train_merges(wf, iterations=BPE_STEPS, checkpoint_every=0)
+        enc = bpe_apply_merges_arrow(wf, rules).select("token", "encoded")
+        vocab = (
+            enc.select(F.explode(F.split("encoded", " ")).alias("sym"))
+            .distinct()
+            .select(
+                "sym",
+                (F.row_number().over(Window.orderBy("sym")) - 1)
+                .cast("long").alias("sym_id"),
+            )
+        )
+        toks_arr = F.filter(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            ),
+            lambda t: t != F.lit(""),
+        )
+        stream = (
+            docs.select("doc_id", F.posexplode(toks_arr).alias("pos", "term"))
+            .where(
+                (F.length("term") >= 2) & F.col("term").rlike("^[a-z]+$")
+            )
+        )
+        syms = (
+            stream.join(F.broadcast(enc), stream.term == enc.token)
+            .select(
+                "doc_id",
+                "pos",
+                F.posexplode(F.split("encoded", " ")).alias(
+                    "sym_idx", "sym"
+                ),
+            )
+        )
+        ids = (
+            syms.join(F.broadcast(vocab), "sym")
+            .select(
+                (F.col("doc_id") % TET_SHARDS).cast("int").alias("shard"),
+                "doc_id",
+                "pos",
+                "sym_idx",
+                "sym_id",
+            )
+        )
+        w = Window.partitionBy("shard").orderBy("doc_id", "pos", "sym_idx")
+        off = F.row_number().over(w) - 1
+        packs = (
+            ids.withColumn("off", off)
+            .select(
+                "shard",
+                F.expr(f"off div {TET_CAPACITY}").alias("pack_id"),
+                (F.col("off") % TET_CAPACITY).alias("ppos"),
+                "sym_id",
+            )
+            .groupBy("shard", "pack_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ppos", "sym_id"))
+                    ),
+                    lambda x: x["sym_id"],
+                ).alias("ids")
+            )
+        )
+        out_path = os.path.join(store, "shards")
+        packs.write.mode("overwrite").partitionBy("shard").parquet(out_path)
+
+        # FS manifest (one listing per shard dir)
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(out_path)
+        fs = root.getFileSystem(hconf)
+        manifest = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("shard="):
+                continue
+            n_files = sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            )
+            manifest.append((int(name.split("=", 1)[1]), n_files))
+        mdf = spark.createDataFrame(manifest, "shard long, file_count long")
+
+        # order-sensitive per-pack checksum over the READ-BACK arrays
+        back = (
+            spark.read.parquet(out_path)
+            .select(
+                F.col("shard").cast("long").alias("shard"),
+                F.size("ids").alias("n_ids"),
+                F.expr(
+                    "aggregate(ids, CAST(0 AS BIGINT), (a, x) -> a + x)"
+                ).alias("id_sum"),
+                F.expr(
+                    "aggregate(zip_with(ids, sequence(1, size(ids)), "
+                    "(x, i) -> CAST(i AS BIGINT) * (x + 1)), "
+                    "CAST(0 AS BIGINT), (a, b) -> a + b)"
+                ).alias("ord_checksum"),
+            )
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_packs"),
+                F.sum("n_ids").cast("long").alias("n_ids"),
+                F.sum("id_sum").cast("long").alias("id_sum"),
+                F.sum("ord_checksum").cast("long").alias("ord_checksum"),
+            )
+        )
+        out = mdf.join(back, "shard").select(
+            "shard", "file_count", "n_packs", "n_ids", "id_sum",
+            "ord_checksum",
+        )
+        return _snapshot(out)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _tet_oracle() -> str:
+    """Replay of the tokenized export in closed form: the 8-step
+    encode chain (`_bpe_encode_oracle`'s CTE recurrence), symbol-id
+    mint by symbol ASC, positional token stream, per-shard cumsum cut
+    every 256 ids, and the same order-sensitive checksum — plus the
+    predicted one-file-per-shard count."""
+    # reuse the encode chain body through w8 (strip its final SELECT)
+    enc = _bpe_encode_oracle(BPE_STEPS)
+    body = enc[: enc.rindex("SELECT token, freq")].rstrip()
+    # _bpe_encode_oracle strips the chain's trailing comma before its
+    # final SELECT — restore it to keep appending CTEs
+    assert body.endswith("ON TRUE)"), body[-40:]
+    return body + "," + rf"""
+vocab AS MATERIALIZED (
+  SELECT sym, (ROW_NUMBER() OVER (ORDER BY sym) - 1)::BIGINT AS sym_id
+  FROM (SELECT DISTINCT unnest(string_split(w, ' ')) AS sym
+        FROM w{BPE_STEPS})),
+stream AS (
+  SELECT d.doc_id, u.i - 1 AS pos, d.t[u.i] AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text),
+                                        '\s+', ' ', 'g')), ' '),
+                           x -> x <> '') AS t
+        FROM documents) d,
+       UNNEST(range(1, len(d.t) + 1)) AS u(i)
+  WHERE len(d.t[u.i]) >= 2 AND regexp_matches(d.t[u.i], '^[a-z]+$')),
+wsyms AS (
+  SELECT e.doc_id, e.pos, v.i - 1 AS sym_idx, e.sy[v.i] AS sym
+  FROM (SELECT s.doc_id, s.pos, string_split(w8.w, ' ') AS sy
+        FROM stream s JOIN w{BPE_STEPS} w8 ON w8.token = s.term) e,
+       UNNEST(range(1, len(e.sy) + 1)) AS v(i)),
+ids AS (
+  SELECT doc_id % {TET_SHARDS} AS shard, doc_id, pos, sym_idx, sym_id
+  FROM wsyms JOIN vocab USING (sym)),
+offs AS (
+  SELECT shard, sym_id,
+         ROW_NUMBER() OVER (PARTITION BY shard
+                            ORDER BY doc_id, pos, sym_idx) - 1 AS off
+  FROM ids),
+pk AS (
+  SELECT shard, off // {TET_CAPACITY} AS pack_id,
+         COUNT(*) AS n_ids,
+         SUM(sym_id)::BIGINT AS id_sum,
+         SUM((off % {TET_CAPACITY} + 1) * (sym_id + 1))::BIGINT
+           AS ord_checksum
+  FROM offs GROUP BY 1, 2)
+SELECT shard::BIGINT AS shard,
+       CAST(1 AS BIGINT) AS file_count,
+       COUNT(*) AS n_packs,
+       SUM(n_ids)::BIGINT AS n_ids,
+       SUM(id_sum)::BIGINT AS id_sum,
+       SUM(ord_checksum)::BIGINT AS ord_checksum
+FROM pk GROUP BY shard
+"""
+
+
+ORACLE_TRAINING_EXPORT_TOKENIZED = _tet_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Learned language ID: multi-class hashed Naive Bayes (VERDICT r15 #4)
 # ---------------------------------------------------------------------------
 
@@ -2557,6 +2795,7 @@ RANK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_confusion": q_lang_id_confusion,
     "streaming_ivfpq_index": q_streaming_ivfpq_index,
     "ivfpq_index_compact": q_ivfpq_index_compact,
+    "training_export_tokenized": q_training_export_tokenized,
     "unigram_train_vocab": q_unigram_train_vocab,
     "unigram_encode_corpus": q_unigram_encode_corpus,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
@@ -2580,6 +2819,7 @@ RANK_ORACLES: dict[str, str] = {
     "lang_id_confusion": ORACLE_LANG_ID_CONFUSION,
     "streaming_ivfpq_index": ORACLE_STREAMING_IVFPQ_INDEX,
     "ivfpq_index_compact": ORACLE_IVFPQ_INDEX_COMPACT,
+    "training_export_tokenized": ORACLE_TRAINING_EXPORT_TOKENIZED,
     "unigram_train_vocab": ORACLE_UNIGRAM_TRAIN_VOCAB,
     "unigram_encode_corpus": ORACLE_UNIGRAM_ENCODE_CORPUS,
     "hybrid_rrf_topk": ORACLE_HYBRID_RRF,

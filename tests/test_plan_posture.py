@@ -59,6 +59,7 @@ SKIP = {
     "compaction_rollup",
     "training_export_rollup",
     "ivfpq_index_compact",
+    "training_export_tokenized",
     "pagerank_parts",
     # iterative BPE training: each step's argmax winner is eagerly
     # localCheckpointed at plan-build (the merge decision feeds the

@@ -44,6 +44,7 @@ SKIP = {
     "compaction_rollup",
     "training_export_rollup",
     "ivfpq_index_compact",     # writes/publishes the store at plan build
+    "training_export_tokenized",  # trains + writes shards at plan build
     # iterative: eager per-round localCheckpoints execute at plan-build,
     # so the final plan is just the checkpointed-ranks scan; the
     # per-iteration shape (1 join + 1 groupBy) is audited by the
