@@ -277,6 +277,27 @@ def main() -> None:
                     release_caches()
                 except Exception:
                     pass
+                # Measurement-hygiene fix (r16, guide §1): collect BOTH
+                # runtimes in the untimed gap between reps. Py4j frees
+                # JVM-side DataFrame/RDD handles lazily, so checkpoint
+                # blocks and shuffle state from rep N survived into rep
+                # N+1's timed window and surfaced as 2-5x spikes on the
+                # iterative queries (pagerank_parts measured
+                # [17.0, 8.7, 10.2, 21.9] s back-to-back vs
+                # [7.5, 6.4, 7.3, 6.1] s with this collection — same
+                # code). The timed region still contains every cost the
+                # query itself incurs, including its own GC pressure;
+                # what this removes is CROSS-QUERY contamination, the
+                # same class as the pre-paid first-createDataFrame init
+                # above. Old artifacts (BENCH_r15/earlier) were measured
+                # without it — see OPTIMIZATION_r16.md.
+                try:
+                    import gc as _gc
+
+                    _gc.collect()
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
             # noise guardrail (VERDICT r9 #5): a >2x spread across reps
             # of identical code means at least one rep was contended
             # (r9 neardup_clusters: [7.3, 15.7, 6.1] moved the headline

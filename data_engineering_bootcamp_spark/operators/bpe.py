@@ -122,9 +122,22 @@ def bpe_train_merges(
     lazily (each winner job then re-runs the narrow merge chain from
     the base table — cheap maps, no extra shuffles — right for small
     fixed iteration counts where job-launch overhead dominates).
-    The per-step winner is always eagerly checkpointed: it is an
-    O(1)-row decision that two downstream consumers (the merge map and
-    the result union) must see identically.
+
+    Per-step winner handling (r16, guide §1.2 per-task work): the
+    winner is an O(1)-ROW decision, so it is COLLECTED to the driver
+    (a contract-bounded limit(1) transfer — the same bound class as
+    every audited collect site) and the merge map is built with
+    LITERAL lhs/rhs. The r15 form instead localCheckpoint'ed the
+    winner, probed isEmpty, and crossJoined a broadcast of it into the
+    word table: per step that cost two extra driver actions plus one
+    broadcast build, and under the lazy cadence step k's counting job
+    re-planned k-1 accumulated broadcast joins. With literals the
+    chain is pure narrow string projections (isolated sf0.1 medians:
+    chars 3.35 -> 1.65 s, bytes 3.47 -> 2.15 s; the trainer also sits
+    inside bpe_encode_corpus, streaming_bpe_encode and
+    training_export_tokenized). Semantics are unchanged — same counts,
+    same total order, same greedy merge — pinned by the Python-replay
+    equivalence tests.
 
     `segmenter` picks the base vocabulary: `spaced_symbols`
     (character-level, callers pin an engine-agnostic charset) or
@@ -144,7 +157,7 @@ def bpe_train_merges(
     # (measured at sf0.1: ~0.5 s/scan), while one |vocab|-row
     # checkpoint costs a single pass
     w = w.localCheckpoint(eager=True)
-    rules: list[DataFrame] = []
+    rules: list[tuple[int, str, str, str, int]] = []
     for step in range(1, int(iterations) + 1):
         counts = (
             w.select("freq", F.explode(adjacent_pairs(F.col("w"))).alias("p"))
@@ -154,41 +167,22 @@ def bpe_train_merges(
         winner = (
             counts.orderBy(F.desc("total"), F.asc("lhs"), F.asc("rhs"))
             .limit(1)
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        if winner.isEmpty():
-            # vocabulary fully merged — no adjacent pairs remain; an
-            # empty winner must NOT flow into the crossJoin (it would
-            # silently empty the word table and every later step)
+        if not winner:
+            # vocabulary fully merged — no adjacent pairs remain
             break
-        rules.append(
-            winner.select(
-                F.lit(step).alias("step"),
-                "lhs",
-                "rhs",
-                F.concat("lhs", "rhs").alias("merged"),
-                "total",
-            )
-        )
-        w = w.crossJoin(
-            F.broadcast(
-                winner.select(
-                    F.col("lhs").alias("_l"), F.col("rhs").alias("_r")
-                )
-            )
-        ).select(
-            merge_pair(F.col("w"), F.col("_l"), F.col("_r")).alias("w"),
+        lhs, rhs, total = winner[0]["lhs"], winner[0]["rhs"], winner[0]["total"]
+        rules.append((step, lhs, rhs, lhs + rhs, int(total)))
+        w = w.select(
+            merge_pair(F.col("w"), F.lit(lhs), F.lit(rhs)).alias("w"),
             "freq",
         )
         if every > 0 and step % every == 0:
             w = w.localCheckpoint(eager=True)
-    if not rules:
-        # no pair existed even at step 1 (all words single-symbol):
-        # schema-stable empty result
-        return words.sparkSession.createDataFrame(
-            [], "step int, lhs string, rhs string, merged string, total long"
-        )
-    return reduce(DataFrame.unionByName, rules)
+    return words.sparkSession.createDataFrame(
+        rules, "step int, lhs string, rhs string, merged string, total long"
+    )
 
 
 def bpe_apply_merges(
@@ -206,12 +200,20 @@ def bpe_apply_merges(
     training) and `n_syms` (token count for the word).
 
     `merges` is the (step, lhs, rhs, ...) output of
-    `bpe_train_merges`; rules are applied as a chain of `steps`
-    broadcast left joins on a constant key — a missing step (the
-    trainer stopped early) joins NULL and leaves words unchanged,
-    never empties the table (the crossJoin-with-empty hazard). Each
-    step is one narrow broadcast join + one string map: no shuffle of
-    the word table at any rule count in this form.
+    `bpe_train_merges`. The rule table is collected ONCE (a
+    contract-bounded transfer: at most one rule per step, enforced
+    below — same bound class as every audited collect site) and the
+    chain is built as `steps` LITERAL string projections. A missing
+    step (the trainer stopped early) simply adds no projection and
+    leaves words unchanged — the same no-op the r15 NULL-joining
+    broadcast chain produced, pinned by the early-stop test. The r15
+    form instead planned one broadcast left join on a constant key
+    per rule; per executed plan that was `steps` BroadcastExchanges +
+    join operators at run time for rules the driver already knows at
+    plan time (r16, guide §2.4 — remove exchanges outright; isolated
+    sf0.1 encode exec 2.0 s -> narrow-map floor with identical
+    output). No shuffle of the word table at any rule count, as
+    before.
 
     Scale seam: this exact-replay chain is right for the bounded rule
     counts the oracle can unroll (each rule adds one projection). A
@@ -224,27 +226,35 @@ def bpe_apply_merges(
     """
     if int(steps) < 1:
         raise ValueError(f"steps must be >= 1, got {steps}")
+    # contract-bounded collect: <= 1 rule per step by the trainer's
+    # semantics, so <= `steps` rows total. limit(steps + 1) bounds the
+    # transfer even on malformed input, and a duplicate step raises
+    # (the r15 join form would have silently duplicated word rows).
+    rows = (
+        merges.select("step", "lhs", "rhs")
+        .where((F.col("step") >= 1) & (F.col("step") <= int(steps)))
+        .limit(int(steps) + 1)
+        .collect()
+    )
+    by_step: dict[int, tuple[str, str]] = {}
+    for r in rows:
+        k = int(r["step"])
+        if k in by_step:
+            raise ValueError(
+                f"bpe_apply_merges: duplicate rule for step {k} — the "
+                "merge table must carry at most one rule per step"
+            )
+        by_step[k] = (r["lhs"], r["rhs"])
     w = words.withColumn("encoded", segmenter(F.col(word_col)))
     for k in range(1, int(steps) + 1):
-        rk = (
-            merges.where(F.col("step") == k)
-            .select(
-                F.lit(1).alias("_j"),
-                F.col("lhs").alias("_l"),
-                F.col("rhs").alias("_r"),
-            )
-        )
-        w = (
-            w.withColumn("_j", F.lit(1))
-            .join(F.broadcast(rk), "_j", "left")
-            .withColumn(
-                "encoded",
-                F.when(
-                    F.col("_l").isNotNull(),
-                    merge_pair(F.col("encoded"), F.col("_l"), F.col("_r")),
-                ).otherwise(F.col("encoded")),
-            )
-            .drop("_j", "_l", "_r")
+        rule = by_step.get(k)
+        if rule is None or rule[0] is None or rule[1] is None:
+            # early-stopped / absent step: leave words unchanged (the
+            # r15 chain's NULL-join no-op branch)
+            continue
+        w = w.withColumn(
+            "encoded",
+            merge_pair(F.col("encoded"), F.lit(rule[0]), F.lit(rule[1])),
         )
     return w.withColumn("n_syms", F.size(F.split("encoded", " ")))
 

@@ -82,13 +82,15 @@ def _pagerank_step(
 ) -> DataFrame:
     """ONE PageRank iteration — the hot path `pagerank` loops over,
     extracted so the plan-posture suite can pin its physical shape
-    (tests/test_plan_posture.py::test_pagerank_iteration_plan_shape):
-    per iteration exactly TWO Exchanges — the persisted adjacency
-    re-partitioned on the join key `s`, and the destination groupBy —
-    because the incoming `ranks` (the previous step's groupBy output,
-    hash-partitioned on `v`) reaches the join already partitioned via
-    alias propagation (`v` AS `s`), and the sum is map-side partial
-    before its Exchange."""
+    (tests/test_plan_posture.py::test_pagerank_iteration_plan_shape).
+    Over a generic adjacency each iteration plans TWO Exchanges (the
+    adjacency re-partitioned on the join key `s`, and the destination
+    groupBy); over `pagerank()`'s CO-PARTITIONED checkpointed
+    adjacency (hash-partitioned on `s`, r16) the adjacency Exchange is
+    elided and only ONE remains — the groupBy, whose sum is map-side
+    partial before its Exchange. The incoming `ranks` (the previous
+    step's groupBy output, hash-partitioned on `v`) reaches the join
+    already partitioned via alias propagation (`v` AS `s`)."""
     contribs = adj.join(
         ranks.select(F.col("v").alias("s"), "r"), "s"
     ).select(F.col("d").alias("v"), F.expr("r DIV deg").alias("c"))
@@ -125,9 +127,11 @@ def pagerank(
     receives >= 1 contribution per round (no dangling-mass term).
 
     Scale shape: per iteration ONE join (ranks onto the degree-annotated
-    adjacency, both hash-partitioned on the source key; the persisted
-    adjacency's shuffle is planned once and reused) and ONE groupBy-sum
-    keyed by destination — the canonical distributed-PageRank plan.
+    adjacency; the adjacency is hash-partitioned on the source key ONCE
+    — repartition + eager localCheckpoint, whose captured partitioning
+    every iteration's join reuses, so the 2|E|-row side is never
+    re-shuffled) and ONE groupBy-sum keyed by destination — the
+    canonical distributed-PageRank plan.
     `checkpoint_every` trades job count against plan depth: the
     default (1) eagerly localCheckpoints each round (same lineage
     discipline as `clustering.connected_components` — constant plan
@@ -249,9 +253,42 @@ def pagerank(
         sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     # adjacency annotated with the source's degree ONCE, outside the
-    # loop — each iteration then needs only the rank join
-    adj = sym.join(deg, "s").persist()
+    # loop — each iteration then needs only the rank join.
+    #
+    # r16 optimization (guide §2.4 — remove shuffles outright): the
+    # adjacency is REPARTITIONED ON THE JOIN KEY `s`, persisted, and
+    # MATERIALIZED EAGERLY before the loop. Two effects, both measured
+    # at sf0.1 (5 iterations, 1.76M-row adjacency):
+    #
+    # - The InMemoryTableScan over the cached repartition exposes
+    #   hashpartitioning(s), so EVERY iteration's rank join reuses it
+    #   — the per-iteration adjacency Exchange (the big side: 2|E|
+    #   rows, re-shuffled once per iteration = 5x here) disappears
+    #   from the plan; only the |V|-row rank relation and the
+    #   map-side-partial groupBy output move per iteration. (A
+    #   localCheckpoint would NOT do this: under AQE the captured
+    #   LogicalRDD partitioning is lost — verified against this
+    #   session's Spark.) Partition count comes from the session's
+    #   spark.sql.shuffle.partitions (repartition with no explicit N),
+    #   so the layout stays scale-adaptive, not tuned to local core
+    #   counts.
+    # - Eager materialization removes a cache-population RACE the
+    #   lazy persist had under the composed (checkpoint_every=0) plan:
+    #   several stages of the single nested job raced to populate the
+    #   un-materialized cache and sporadically recomputed the whole
+    #   edge build (observed: identical-code reps swinging 6.6-33 s;
+    #   eager + co-partitioned runs 4.6-6.5 s with the worst rep at
+    #   the host's noise floor).
+    #
+    # The introspection cadence (checkpoint_every < 0) keeps the lazy
+    # un-partitioned persist: its contract is a composed plan whose
+    # per-iteration Exchanges posture tests can count.
     every = int(checkpoint_every)
+    if every >= 0:
+        adj = sym.join(deg, "s").repartition("s").persist()
+        adj.count()
+    else:
+        adj = sym.join(deg, "s").persist()
     ranks = deg.select(
         F.col("s").alias("v"), F.lit(int(scale)).cast("long").alias("r")
     )

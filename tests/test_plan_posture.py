@@ -318,6 +318,58 @@ def test_pagerank_iteration_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan5
     assert "CartesianProduct" not in plan5
 
+    # r16 optimization pin: pagerank() co-partitions the PERSISTED
+    # adjacency on the join key `s` (repartition("s").persist() +
+    # eager count — the InMemoryTableScan exposes the hash
+    # partitioning; a localCheckpoint would lose it under AQE), so
+    # over THAT adjacency each iteration must plan only ONE top-level
+    # Exchange (the destination groupBy) — the 2|E|-row adjacency side
+    # is never re-shuffled. Counted OUTSIDE cached-plan subtrees
+    # (executedPlan().toString() prints the InMemoryRelation's
+    # internal build plan per reference, which would inflate a naive
+    # count), with broadcast disabled so the tiny fixture plans the
+    # same SMJ shape as real data.
+    import re as _re
+
+    def _top_level_exchanges(df) -> int:
+        s = df._jdf.queryExecution().executedPlan().toString()
+        n, skip_indent = 0, None
+        for line in s.splitlines():
+            indent = len(_re.match(r"^[\s:+\-]*", line).group(0))
+            if skip_indent is not None and indent > skip_indent:
+                continue
+            skip_indent = None
+            if "InMemoryRelation" in line:
+                skip_indent = indent
+                continue
+            if _re.search(r"\bExchange ", line) and "ReusedExchange" not in line:
+                n += 1
+        return n
+
+    bcast_before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        adj_cp = sym.join(deg, "s").repartition("s").persist()
+        adj_cp.count()
+        try:
+
+            def compose_cp(k):
+                ranks = seed
+                for _ in range(k):
+                    ranks = _pagerank_step(adj_cp, ranks, 85, 150_000)
+                return ranks
+
+            c1, c2, c5 = (_top_level_exchanges(compose_cp(k)) for k in (1, 2, 5))
+            assert c2 - c1 == 1 and c5 - c2 == 3, (
+                f"co-partitioned adjacency no longer elides its "
+                f"per-iteration Exchange: c1={c1} c2={c2} c5={c5} "
+                "(expected slope 1/iteration: destination groupBy only)"
+            )
+        finally:
+            adj_cp.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_before)
+
     # the public function wires that step: the fully-lazy introspection
     # cadence (checkpoint_every=-1) must show the same linear growth
     # through pagerank() itself, loop and all

@@ -381,6 +381,18 @@ def main() -> int:
             + ("" if ok else f"  {problems[0][:200]}"),
             flush=True,
         )
+        # untimed-gap collection (r16, same as bench.py): py4j frees
+        # JVM handles lazily, so entry N's checkpoint blocks/shuffle
+        # garbage otherwise lands in entry N+1's timed window — the
+        # cross-entry contamination behind sporadic 2-5x one-off SLOW
+        # flags on iterative entries deep into a 151-entry run
+        try:
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — hygiene must never fail the gate
+            pass
     print(json.dumps({k: v["ok"] for k, v in results.items()}))
     print(f"\n{len(results) - n_fail}/{len(results)} pass")
     if perf_fails:

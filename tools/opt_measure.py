@@ -85,6 +85,16 @@ def main() -> None:
                     release_caches()
                 except Exception:
                     pass
+                # same untimed-gap collection as bench.py (r16): py4j
+                # frees JVM handles lazily; without this, rep N's
+                # garbage lands in rep N+1's timed window
+                try:
+                    import gc as _gc
+
+                    _gc.collect()
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
         spark.sparkContext.setJobDescription(None)
         med = sorted(per)[len(per) // 2] if per else None
         results[name] = {"reps": per, "median": med}
