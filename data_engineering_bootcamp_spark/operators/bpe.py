@@ -132,12 +132,14 @@ def bpe_train_merges(
     word table: per step that cost two extra driver actions plus one
     broadcast build, and under the lazy cadence step k's counting job
     re-planned k-1 accumulated broadcast joins. With literals the
-    chain is pure narrow string projections (isolated sf0.1 medians:
-    chars 3.35 -> 1.65 s, bytes 3.47 -> 2.15 s; the trainer also sits
-    inside bpe_encode_corpus, streaming_bpe_encode and
-    training_export_tokenized). Semantics are unchanged — same counts,
-    same total order, same greedy merge — pinned by the Python-replay
-    equivalence tests.
+    chain is pure narrow string projections (measured evidence in
+    OPTIMIZATION_r16.md — isolated medians on the round's host are
+    warm-up-noisy, so the steady claims rest on the downstream
+    probes: bpe_encode_corpus build 4.8 -> 3.6 s and
+    training_export_tokenized 7.26 -> 6.02 s at sf0.1; the trainer
+    also sits inside streaming_bpe_encode). Semantics are unchanged —
+    same counts, same total order, same greedy merge — pinned by the
+    Python-replay equivalence tests.
 
     `segmenter` picks the base vocabulary: `spaced_symbols`
     (character-level, callers pin an engine-agnostic charset) or

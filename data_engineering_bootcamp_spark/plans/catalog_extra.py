@@ -161,7 +161,8 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value independently, so three calls held the 600k-row column
     # three times per group in the merge path; one 9-point call holds
     # it once and answers the same 9 order statistics (isolated
-    # median 4.9 s -> 2.0 s at sf0.1, values bit-identical).
+    # sf0.1 medians 3.28 -> 2.33 s on the round's host — see
+    # OPTIMIZATION_r16.md; values bit-identical).
     nine = qs + lo + hi
     p = li.groupBy("l_returnflag").agg(
         F.expr(
