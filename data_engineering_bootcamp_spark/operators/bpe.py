@@ -175,7 +175,10 @@ def bpe_train_merges(
             # vocabulary fully merged — no adjacent pairs remain
             break
         lhs, rhs, total = winner[0]["lhs"], winner[0]["rhs"], winner[0]["total"]
-        rules.append((step, lhs, rhs, lhs + rhs, int(total)))
+        # ADVICE r16: an all-NULL freq column makes sum(freq) NULL —
+        # emit a 0-total rule (the r15 NULL-total row's spirit) rather
+        # than raising TypeError on int(None)
+        rules.append((step, lhs, rhs, lhs + rhs, 0 if total is None else int(total)))
         w = w.select(
             merge_pair(F.col("w"), F.lit(lhs), F.lit(rhs)).alias("w"),
             "freq",

@@ -99,11 +99,30 @@ def _cc_minlabel(edges: DataFrame, max_iter: int) -> DataFrame:
     verts = (
         edges.select("a").union(edges.select(F.col("b").alias("a"))).distinct()
     )
+    # r17 optimization (guide §2.4 — remove shuffles outright; the
+    # pagerank co-partition pattern, r16): the symmetric edge list is
+    # the BIG side of every iteration's label join, and it is loop
+    # INVARIANT — so repartition it ON THE JOIN KEY `b`, persist, and
+    # materialize EAGERLY before the loop. The InMemoryTableScan then
+    # exposes hashpartitioning(b) and each iteration's join re-shuffles
+    # only the |V|-row label relation, not the (2|E| + |V|)-row edge
+    # relation: one edge Exchange TOTAL instead of one per iteration
+    # (pinned by tests/test_plan_posture.py's CC slope test). Partition
+    # count comes from spark.sql.shuffle.partitions — scale-adaptive,
+    # not a local tune. Eager count also removes the cache-population
+    # race (parallel stages of one composed job racing to fill a lazy
+    # cache recompute the whole edge build — the r16 pagerank finding).
     sym = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .union(verts.select("a", F.col("a").alias("b")))
+        .repartition("b")
         .persist()
     )
+    try:
+        sym.count()
+    except Exception:
+        sym.unpersist()
+        raise
     # Lineage discipline (the textbook iterative-Spark requirement):
     # every iteration's labels are eagerly localCheckpoint'ed, which
     # materializes them AND truncates lineage — otherwise plan depth

@@ -419,7 +419,12 @@ def q_media_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _ahash_pattern_media(spark, sf_dir)
     pairs = ahash_neardup_pairs(ahash_images(media, grid=8), max_hamming=3)
-    docs = media.select(F.col("media_id").alias("doc_id"))
+    # r17 (guide §1.2 — don't compute things you throw away): the
+    # retention spine needs only the id SET, and media_id is documents
+    # .doc_id row-for-row (see _ahash_pattern_media), so list ids from
+    # the parquet scan instead of re-running the whole PNG-encode
+    # mapInPandas a second time just to project its key column
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
     return neardup_retention(
         docs, pairs, src_col="id_a", dst_col="id_b"
     ).select(

@@ -2408,8 +2408,12 @@ def q_ivfpq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         live = latest.where(F.col("op") == "u").drop("op")
         n_live = live.count()
         n_files = max(1, math.ceil(n_live / IXC_ROWS_PER_FILE))
+        # target_files=None: the file count here is the QUERY RESULT
+        # (the oracle predicts ceil(n_live / rows_per_file)) — the
+        # repartition above is the layout, not a default to override
         _publish_version(
-            store, IXC_VERSIONS, live.repartition(n_files), None
+            store, IXC_VERSIONS, live.repartition(n_files), None,
+            target_files=None,
         )
 
         # manifest grounding: the published snapshot really has the

@@ -43,6 +43,35 @@ def count_exchanges(df: DataFrame) -> int:
     return len(_EXCHANGE_NODE.findall(plan))
 
 
+def count_top_level_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange nodes OUTSIDE InMemoryRelation
+    subtrees.
+
+    The executedPlan string prints a cached relation's internal build
+    plan under every InMemoryRelation reference, so a naive count
+    charges the (already materialized, runtime-free) cache-build
+    exchanges to every consumer. Iteration-slope assertions over a
+    persisted loop-invariant relation (pagerank adjacency, CC edge
+    list) need the per-iteration cost only — this skips everything
+    indented under an InMemoryRelation line and ignores
+    ReusedExchange pointers and BroadcastExchange builds (hold
+    broadcast structure constant between compared plans).
+    """
+    s = df._jdf.queryExecution().executedPlan().toString()
+    n, skip_indent = 0, None
+    for line in s.splitlines():
+        indent = len(re.match(r"^[\s:+\-]*", line).group(0))
+        if skip_indent is not None and indent > skip_indent:
+            continue
+        skip_indent = None
+        if "InMemoryRelation" in line:
+            skip_indent = indent
+            continue
+        if re.search(r"\bExchange ", line) and "ReusedExchange" not in line:
+            n += 1
+    return n
+
+
 def formatted_plan(df: DataFrame) -> str:
     """explain('formatted') as a string, for regex-level assertions."""
     return df._jdf.queryExecution().explainString(

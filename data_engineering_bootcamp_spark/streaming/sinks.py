@@ -140,7 +140,11 @@ def upsert_merge_sql(
 
 
 def _publish_version(
-    store_dir: str, batch_id: int, merged: DataFrame, prev_target
+    store_dir: str,
+    batch_id: int,
+    merged: DataFrame,
+    prev_target,
+    target_files: int | None = 1,
 ) -> None:
     """Atomic store publication shared by the foreachBatch sinks:
     write a fresh versioned directory, flip the `live` symlink in ONE
@@ -148,13 +152,28 @@ def _publish_version(
     readers, reclaim everything older. Staging dirs are unique PER
     ATTEMPT (not per batch id) so a foreachBatch retry after a crash
     between flip and commit never overwrites the directory `live`
-    still resolves to."""
+    still resolves to.
+
+    ``target_files`` coalesces the version write (r17, guide §6 —
+    small-files hurt twice, and here they COMPOUND: every trigger
+    re-reads the live store, so N shuffle-partition files per version
+    x T triggers means O(N·T) file opens across the run, dominated by
+    per-file open/footer cost for these KB-scale stores). Default 1:
+    every current store is bounded (count-min: depth x width rows
+    forever; upsert: one row per key; index postings: ~10 B/row), so
+    one file per version is the right layout until a version
+    approaches the 128 MB - 1 GB file band — callers whose stores
+    grow past that pass a larger value or None (leave partitioning
+    alone). Coalesce, not repartition: it folds into the write stage
+    without an extra Exchange."""
     import os
     import shutil
     import uuid
 
     live = os.path.join(store_dir, "live")
     staged = os.path.join(store_dir, f"v_{batch_id}_{uuid.uuid4().hex[:8]}")
+    if target_files:
+        merged = merged.coalesce(target_files)
     merged.write.mode("overwrite").parquet(staged)
     # atomic publish: repoint the live symlink in ONE rename. A stale
     # tmp link from a crashed earlier attempt of this batch must not

@@ -325,26 +325,11 @@ def test_pagerank_iteration_plan_shape(spark):
     # over THAT adjacency each iteration must plan only ONE top-level
     # Exchange (the destination groupBy) — the 2|E|-row adjacency side
     # is never re-shuffled. Counted OUTSIDE cached-plan subtrees
-    # (executedPlan().toString() prints the InMemoryRelation's
-    # internal build plan per reference, which would inflate a naive
-    # count), with broadcast disabled so the tiny fixture plans the
-    # same SMJ shape as real data.
-    import re as _re
-
-    def _top_level_exchanges(df) -> int:
-        s = df._jdf.queryExecution().executedPlan().toString()
-        n, skip_indent = 0, None
-        for line in s.splitlines():
-            indent = len(_re.match(r"^[\s:+\-]*", line).group(0))
-            if skip_indent is not None and indent > skip_indent:
-                continue
-            skip_indent = None
-            if "InMemoryRelation" in line:
-                skip_indent = indent
-                continue
-            if _re.search(r"\bExchange ", line) and "ReusedExchange" not in line:
-                n += 1
-        return n
+    # (introspect.count_top_level_exchanges), with broadcast disabled
+    # so the tiny fixture plans the same SMJ shape as real data.
+    from data_engineering_bootcamp_spark.plans.introspect import (
+        count_top_level_exchanges as _top_level_exchanges,
+    )
 
     bcast_before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -384,6 +369,90 @@ def test_pagerank_iteration_plan_shape(spark):
     assert count_exchanges(
         pagerank(edges, iterations=8, checkpoint_every=-1)
     ) == d5 + int(per_iter * 3), "exchange growth is not linear in depth"
+
+
+def test_cc_minlabel_adjacency_copartition(spark):
+    """r17 optimization pin (VERDICT r16 #4, the pagerank pattern):
+    `_cc_minlabel` repartitions the loop-invariant symmetric edge list
+    on the iteration join key `b` and persists it eagerly, so each
+    iteration's join re-shuffles only the |V|-row label relation —
+    the (2|E| + |V|)-row edge side contributes ZERO top-level
+    Exchanges per iteration. Pinned by planning one iteration body
+    over the co-partitioned adjacency vs a plain-persisted twin:
+    the co-partitioned plan must show exactly one fewer top-level
+    Exchange (the elided edge-side shuffle), with broadcast disabled
+    so the tiny fixture plans the same SMJ shape as real data."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_bootcamp_spark.plans.introspect import (
+        count_top_level_exchanges,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 6)], "a long, b long"
+    ).localCheckpoint(eager=True)
+    verts = (
+        edges.select("a").union(edges.select(F.col("b").alias("a"))).distinct()
+    )
+    sym_plan = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).union(verts.select("a", F.col("a").alias("b")))
+    labels = verts.select(
+        F.col("a").alias("doc_id"), F.col("a").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+
+    def body(sym_df):
+        return (
+            sym_df.join(
+                labels.select(
+                    F.col("doc_id").alias("b"),
+                    F.col("cluster_id").alias("nb_label"),
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("nb_label").alias("cluster_id"))
+        )
+
+    bcast_before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sym_cp = sym_plan.repartition("b").persist()
+    sym_plain = sym_plan.persist()
+    try:
+        sym_cp.count()
+        sym_plain.count()
+        n_cp = count_top_level_exchanges(body(sym_cp))
+        n_plain = count_top_level_exchanges(body(sym_plain))
+        assert n_cp == n_plain - 1, (
+            f"co-partitioned CC adjacency no longer elides its "
+            f"iteration-join Exchange: co-partitioned={n_cp}, "
+            f"plain={n_plain} (expected exactly one fewer)"
+        )
+        # absolute shape: label-side shuffle + destination groupBy only
+        assert n_cp == 2, (
+            f"CC iteration body over the co-partitioned adjacency "
+            f"should plan 2 top-level Exchanges, got {n_cp}"
+        )
+    finally:
+        sym_cp.unpersist()
+        sym_plain.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_before)
+
+    # and the public operator still resolves components correctly over
+    # the co-partitioned loop (mixed: chain, pair, self-loop singleton)
+    from data_engineering_bootcamp_spark.operators.clustering import (
+        connected_components,
+    )
+
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(
+            spark.createDataFrame(
+                [(1, 2), (2, 3), (4, 5), (6, 6)], "doc_id_a long, doc_id_b long"
+            )
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)}
 
 
 def test_ivfpq_probe_join_is_equi(plans):

@@ -489,6 +489,44 @@ def test_countmin_merge_sink_split_independent(spark, tmp_path):
     # only current + previous versions retained
     versions = [n for n in os.listdir(store) if n.startswith("v_")]
     assert len(versions) <= 2
+    # r17 (guide §6): the bounded per-trigger store write coalesces to
+    # ONE file per version — N shuffle-partition files x T triggers
+    # compounds into O(N*T) file opens across the run otherwise
+    live_dir = os.path.realpath(os.path.join(store, "live"))
+    pq = [n for n in os.listdir(live_dir) if n.endswith(".parquet")]
+    assert len(pq) == 1, f"expected 1 file per published version, got {pq}"
+
+
+def test_publish_version_target_files(spark, tmp_path):
+    """`_publish_version(target_files=...)`: 1 (default) coalesces the
+    bounded store version to a single file; None leaves the caller's
+    partitioning alone (ivfpq_index_compact's file count IS its query
+    result); content is identical either way."""
+    import os
+
+    from data_engineering_bootcamp_spark.streaming.sinks import (
+        _publish_version,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    ).repartition(8)
+
+    def live_files(store: str) -> list[str]:
+        d = os.path.realpath(os.path.join(store, "live"))
+        return [n for n in os.listdir(d) if n.endswith(".parquet")]
+
+    s1 = str(tmp_path / "s1")
+    os.makedirs(s1)
+    _publish_version(s1, 0, df, None)
+    assert len(live_files(s1)) == 1
+    sn = str(tmp_path / "sn")
+    os.makedirs(sn)
+    _publish_version(sn, 0, df, None, target_files=None)
+    assert len(live_files(sn)) == 8
+    a = spark.read.parquet(os.path.join(s1, "live"))
+    b = spark.read.parquet(os.path.join(sn, "live"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
 def test_streaming_bpe_encode_batch_split_independence(spark, tmp_path):

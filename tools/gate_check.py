@@ -25,8 +25,16 @@ correctness gate can't see.
 Flags:
 
   --no-perf-gate   report ratios but never fail on them (override)
-  --update-times   rewrite the baseline from this run's timings
-                   (use after an intentional change, on an idle host)
+  --update-times   fold this run's timings into the baseline: per-entry
+                   clean-run history is kept (newest 5, same sf_dir)
+                   and the published threshold is the MEDIAN of the
+                   history (VERDICT r16 #3/#8 — a single run is noisy
+                   and min-of-runs is an optimistic floor that flags on
+                   noise; median-of-clean-runs is the defensible
+                   typical cost). Run 2-3 times on an idle host.
+  --fresh-times    with --update-times: drop the accumulated history
+                   first (use when the code or host changed enough
+                   that old samples no longer describe typical cost)
   --tz=ZONE        set spark.sql.session.timeZone (e.g.
                    America/New_York) — VERDICT r6 #4's TZ-robustness
                    mode: the DuckDB oracles are TZ-naive, so a green
@@ -403,9 +411,42 @@ def main() -> int:
             + (" [overridden by --no-perf-gate]" if no_perf_gate else "")
         )
     if update_times and not only:
+        # multi-core marker baseline (VERDICT r16 #1): bench.py's
+        # host_factor_mc divides today's N-thread marker by this;
+        # sampled here so --update-times on an idle host pins BOTH
+        # the single-thread and the full-width speed of the box
+        try:
+            from bench import _cpu_marker_mc_mean
+
+            marker_mc = _cpu_marker_mc_mean()
+        except Exception:  # noqa: BLE001 — marker must never fail the gate
+            marker_mc = None
         # only ok entries: a failed entry's wall time is an error path
         # (often seconds short of a real run) and would poison every
         # future ratio against it
+        #
+        # median-of-clean-runs (VERDICT r16 #3/#8): per-entry history
+        # accumulates across --update-times runs on the same sf_dir
+        # (newest 5 samples) and the published `times` is the MEDIAN —
+        # not this run's point sample, and never a min-of-runs floor
+        # (optimistic floors make future ratios flag on plain noise).
+        import statistics as _st
+
+        runs: dict[str, list[float]] = {}
+        if "--fresh-times" not in flags:
+            try:
+                with open(TIMES_PATH) as fh:
+                    _old = json.load(fh)
+                if _old.get("sf_dir") == sf_dir:
+                    runs = {
+                        k: [float(x) for x in v][-5:]
+                        for k, v in (_old.get("times_runs") or {}).items()
+                    }
+            except Exception:  # noqa: BLE001 — missing/legacy file: fresh start
+                runs = {}
+        for k, v in results.items():
+            if v["ok"]:
+                runs[k] = (runs.get(k, []) + [v["sec"]])[-5:]
         with open(TIMES_PATH, "w") as fh:
             json.dump(
                 {
@@ -416,15 +457,23 @@ def main() -> int:
                     # it must divide by a mean-based baseline, not this
                     # tool's best-of floor
                     "cpu_marker_mean": cur_marker_mean,
+                    "cpu_marker_mc_mean": marker_mc,
                     "times": {
-                        k: v["sec"] for k, v in results.items() if v["ok"]
+                        k: round(_st.median(v), 2)
+                        for k, v in runs.items()
+                        if v
                     },
+                    "times_runs": runs,
                 },
                 fh,
                 indent=1,
                 sort_keys=True,
             )
-        print(f"baseline updated: {os.path.normpath(TIMES_PATH)}")
+        n_hist = max((len(v) for v in runs.values()), default=0)
+        print(
+            f"baseline updated: {os.path.normpath(TIMES_PATH)} "
+            f"(median of <= {n_hist} clean runs per entry)"
+        )
     if n_fail:
         return 1
     if perf_fails and not no_perf_gate:

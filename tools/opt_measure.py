@@ -7,7 +7,8 @@ to plans/r16/<name>_<suffix>.txt, and time the noop-sink execution
 (guide §1.4) REPS times, printing per-rep seconds + median.
 
 Usage:
-  python tools/opt_measure.py [--suffix=before] [--reps=3] [--no-plan] q1 q2 ...
+  python tools/opt_measure.py [--suffix=before] [--reps=3] [--no-plan]
+                              [--dir=r17] q1 q2 ...
 """
 
 from __future__ import annotations
@@ -27,12 +28,15 @@ def main() -> None:
     suffix = "before"
     reps = 3
     plan = True
+    plan_dir = "r17"
     names: list[str] = []
     for a in sys.argv[1:]:
         if a.startswith("--suffix="):
             suffix = a.split("=", 1)[1]
         elif a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
+        elif a.startswith("--dir="):
+            plan_dir = a.split("=", 1)[1]
         elif a == "--no-plan":
             plan = False
         else:
@@ -40,7 +44,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r16",
+        "plans", plan_dir,
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="opt-measure")
