@@ -755,7 +755,11 @@ def _ngram_jaccard_prefix(
 
     Stages, all linear except the candidate join itself:
       1. gram sets per doc (+ set size s)
-      2. corpus gram frequencies (one groupBy over exploded grams)
+      2. corpus gram frequencies: a COUNT window over gram partitions
+         (r17, guide §2.4 — one Exchange on the exploded relation
+         attaches df to every row; the previous groupBy + join-back
+         shuffled the same exploded rows by gram AND planned a second
+         Exchange + sort-merge join for the frequency relation)
       3. per-doc rare-first order: window by (freq, gram); keep the
          first s - ceil(t*s) + 1 grams as the PREFIX, remembering each
          gram's position p in the sorted order
@@ -773,7 +777,14 @@ def _ngram_jaccard_prefix(
          Shuffled equi joins on doc_id — candidate volume tracks true-
          pair volume, and the grams side scales with the corpus, so a
          broadcast here would OOM at scale (AQE may still choose one
-         when the runtime sizes are small).
+         when the runtime sizes are small). A pair that shares K
+         prefix grams is verified K times and deduplicated AFTER the
+         threshold filter (r17, guide §2.3): the survivor set is
+         true-pair-sized, so deduplicating it costs a shuffle of
+         ~nothing, where deduplicating the raw candidate set shuffled
+         the whole candidate volume to remove the few multi-collision
+         repeats (measured sf0.1: 98k candidate rows -> 93k — a 5%
+         reduction bought with a full-width Exchange).
 
     All pruning bounds use exact integer arithmetic via
     ``_rational_threshold`` — see its docstring for why floats here
@@ -790,16 +801,30 @@ def _ngram_jaccard_prefix(
     base = _persist(base)  # feeds frequency pass, prefixes, and verify
 
     exploded = base.select("doc_id", "s", F.explode("grams").alias("gram"))
-    freq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # df per gram via a partition-only window: numerically identical to
+    # the groupBy count (each exploded row carries its gram's corpus
+    # document frequency; grams are distinct within a doc), one fewer
+    # Exchange and no join — see docstring stage 2
+    wg = Window.partitionBy("gram")
     w = Window.partitionBy("doc_id").orderBy("df", "gram")
     # ceil(s * num / den) in exact long arithmetic
     ceil_ts = F.expr(f"(s * {num}L + {den - 1}L) div {den}L")
-    prefix = (
-        exploded.join(freq, "gram")
+    prefix = _persist(
+        exploded.withColumn("df", F.count(F.lit(1)).over(wg))
         .withColumn("p", F.row_number().over(w))
         .where(F.col("p") <= F.col("s") - ceil_ts + 1)
         .select("doc_id", "s", "gram", "p")
     )
+    # both sides of the candidate self-join consume `prefix`; without
+    # the persist the two-window chain above is planned (and run) once
+    # PER SIDE, and with it the materialization must be EAGER or the
+    # two stages of one join job race to populate the cache and each
+    # recompute the chain anyway (the r16 pagerank cache-race finding)
+    try:
+        prefix.count()
+    except Exception:
+        prefix.unpersist()
+        raise
     # overlap lower bound: J >= t  <=>  inter >= t/(1+t) * (s_a + s_b)
     alpha = F.expr(
         f"((a.s + b.s) * {num}L + {num + den - 1}L) div {num + den}L"
@@ -823,7 +848,6 @@ def _ngram_jaccard_prefix(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
     sh = base.select("doc_id", "grams")
     verified = cand.join(
@@ -844,6 +868,10 @@ def _ngram_jaccard_prefix(
             F.round(inter / union, 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        # multi-collision candidates deduplicate HERE, on the
+        # true-pair-sized survivor set (docstring stage 5); jaccard is
+        # deterministic per pair, so repeats are identical rows
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
 
 

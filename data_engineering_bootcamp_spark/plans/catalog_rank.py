@@ -1311,38 +1311,82 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the model is a 512-row dim BROADCAST into the corpus
     scan — scoring is one narrow map-side join + one groupBy(doc_id),
     no shuffle of the model, no join-back; training is one keyed
-    shuffle over seed tokens (the doc-scale seed-label join is a plain
-    doc_id-keyed shuffle join, NOT broadcast — only the bounded model
-    relation broadcasts). BIGINT envelope: the ppm products stay
+    shuffle over seed tokens (r17: the seed label and membership are
+    expressions of scan columns, computed per document before the
+    token explode — no doc-keyed label join at all; only the bounded
+    model relation is ever joined, as a broadcast). The shared hashed
+    token stream is persisted and eagerly materialized — it feeds both
+    the training and scoring passes. BIGINT envelope: the ppm products
+    stay
     exact while per-class token totals < ~3e9 (a 100x-Wikipedia seed
     set); larger seed corpora would drop to per-mille scaling or
     DECIMAL. A pure-Python replay test pins the arithmetic end to end
     (tests/test_rank.py)."""
+    from ..operators.dedup import _persist
+
     docs = _t(spark, sf_dir, "documents")
-    toks = _tokens(docs, with_doc=True).select(
+    # r17 (guide §2.4 + §5). Two structural changes, results identical:
+    #
+    # 1. The seed label (n_chars >= threshold) and seed membership
+    #    (md5 half-split of doc_id) are PURE EXPRESSIONS of scan
+    #    columns, so the r15 doc_id-keyed shuffle join that attached
+    #    them to the token stream was a shuffle for something the scan
+    #    already knows — compute both BEFORE the token explode (once
+    #    per document, not per token) and carry them as two tiny
+    #    columns. Training becomes a map-side filter + one keyed
+    #    aggregation; the only join left in the classifier is the
+    #    bounded 512-row model broadcast.
+    # 2. The hashed token stream feeds BOTH the seed-count pass and
+    #    the scoring pass; persist the narrow relation (no extra
+    #    shuffle — unlike the r16-rejected (doc_id, h, tf)
+    #    pre-aggregation whose keyed shuffle cost more than the second
+    #    tokenize it saved) and materialize EAGERLY so the model's
+    #    broadcast-build job and the scoring job never race to
+    #    populate the cache (the r16 pagerank cache-race finding).
+    #    Registry-released like every dedup-family cache.
+    tok = F.explode(
+        F.filter(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                " ",
+            ),
+            lambda t: t != F.lit(""),
+        )
+    ).alias("term")
+    pre = docs.select(
         "doc_id",
-        (
-            F.conv(F.substring(F.md5("term"), 1, 8), 16, 10)
-            .cast("long") % NBQ_BUCKETS
-        ).alias("h"),
-    )
-    seed_docs = docs.select(
-        "doc_id",
+        "text",
         F.when(F.col("n_chars") >= NBQ_LABEL_CHARS, F.lit(1))
         .otherwise(F.lit(0))
         .alias("pos"),
-    ).where(
-        F.substring(
-            F.md5(F.concat(F.lit("nbq_"), F.col("doc_id").cast("string"))),
-            1, 8,
-        )
-        < NBQ_SPLIT_HEX
+        (
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("nbq_"), F.col("doc_id").cast("string"))
+                ),
+                1, 8,
+            )
+            < NBQ_SPLIT_HEX
+        ).alias("seed"),
     )
-    # seed_docs is DOC-scale (~half the corpus), so the label join is a
-    # plain doc_id-keyed shuffle join (r15 ADVICE) — only the bounded
-    # 512-row model below earns a broadcast under the 100 TB posture.
+    toks = _persist(
+        pre.select("doc_id", "pos", "seed", tok).select(
+            "doc_id",
+            "pos",
+            "seed",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10)
+                .cast("long") % NBQ_BUCKETS
+            ).alias("h"),
+        )
+    )
+    try:
+        toks.count()
+    except Exception:
+        toks.unpersist()
+        raise
     seed_counts = (
-        toks.join(seed_docs, "doc_id")
+        toks.where(F.col("seed"))
         .groupBy("h")
         .agg(
             F.sum("pos").alias("n_ph"),
@@ -1370,7 +1414,7 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r_ppm"),
         )
     )
-    scored = toks.join(F.broadcast(model), "h")
+    scored = toks.select("doc_id", "h").join(F.broadcast(model), "h")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("r_ppm").alias("sum_ratio_ppm"),
