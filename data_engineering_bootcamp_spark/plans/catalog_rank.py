@@ -1856,10 +1856,14 @@ def q_doc_lang_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
       hashes to one of 512 buckets via the 32-bit md5-prefix integer
       mod 512, so the model is a FIXED langs x 512 table regardless of
       vocabulary.
-    - Training = counting in ONE keyed shuffle: token rows join the
-      seed labels doc-keyed (plain shuffle join — doc-scale side, not
-      broadcast), then ONE groupBy(lang, bucket) with map-side partial
-      aggregation; per-language totals reduce that bounded table.
+    - Training = counting in ONE keyed shuffle (r17: the seed label
+      `lang` and seed membership are scan columns / doc_id
+      expressions, computed per document before the token explode —
+      no doc-keyed label join at all): a map-side seed filter, then
+      ONE groupBy(lang, bucket) with map-side partial aggregation;
+      per-language totals reduce that bounded table. The shared
+      hashed token stream is persisted and eagerly materialized — it
+      feeds both the training counts and the scoring pass.
     - Likelihoods, integer micro-nats (the bm25 micro-ln contract):
       ``ROUND(1e6 * ln((n_lh + 1) / (n_l + 512)))`` — both engines
       feed libm the same exact-ratio double (~1e-9/row flip envelope,
@@ -1875,14 +1879,55 @@ def q_doc_lang_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver contract: ONE bounded collect — the distinct train-half
     class set, capped at {NBL_MAX_LANGS} (limit cap+1, raise on
     overflow); the model itself never leaves the executors."""
+    from ..operators.dedup import _persist
+
     docs = _t(spark, sf_dir, "documents")
-    toks = _tokens(docs, with_doc=True).select(
+    # r17 (guide §2.4 + §5, the doc_quality_classifier treatment): the
+    # seed label (`lang`) and seed membership (md5 half-split of
+    # doc_id) are scan columns / expressions of scan columns, so the
+    # r15 token-scale seed shuffle join is replaced by computing both
+    # per DOCUMENT before the token explode; the shared hashed token
+    # stream feeds the training counts AND the scoring pass, so it is
+    # persisted and eagerly materialized (cache-race discipline).
+    tok = F.explode(
+        F.filter(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                " ",
+            ),
+            lambda t: t != F.lit(""),
+        )
+    ).alias("term")
+    pre = docs.select(
         "doc_id",
+        "text",
+        "lang",
         (
-            F.conv(F.substring(F.md5("term"), 1, 8), 16, 10)
-            .cast("long") % NBL_BUCKETS
-        ).alias("h"),
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("nbl_"), F.col("doc_id").cast("string"))
+                ),
+                1, 8,
+            )
+            < NBL_SPLIT_HEX
+        ).alias("seed"),
     )
+    toks = _persist(
+        pre.select("doc_id", "lang", "seed", tok).select(
+            "doc_id",
+            "lang",
+            "seed",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10)
+                .cast("long") % NBL_BUCKETS
+            ).alias("h"),
+        )
+    )
+    try:
+        toks.count()
+    except Exception:
+        toks.unpersist()
+        raise
     seed = docs.select("doc_id", "lang").where(
         F.substring(
             F.md5(F.concat(F.lit("nbl_"), F.col("doc_id").cast("string"))),
@@ -1903,7 +1948,7 @@ def q_doc_lang_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not langs:
         raise ValueError("doc_lang_id_learned: empty train half")
     counts = (
-        toks.join(seed, "doc_id")
+        toks.where(F.col("seed"))
         .groupBy("lang", "h")
         .agg(F.count(F.lit(1)).alias("n_lh"))
     )
@@ -1955,7 +2000,7 @@ def q_doc_lang_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_doc = (
-        toks.join(F.broadcast(model), "h")
+        toks.select("doc_id", "h").join(F.broadcast(model), "h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
