@@ -478,7 +478,18 @@ def main() -> None:
         # ratio captures the 1.3-1.5x MULTI-core drift the
         # single-thread marker provably misses on this box
         _base_marker_mc = _doc.get("cpu_marker_mc_mean")
-        if _base_marker_mc:
+        # thread-count guard: the mc marker runs $SPARK_GRAFT_CPUS
+        # concurrent streams (fixed work PER THREAD), so its value is
+        # only comparable to a baseline taken at the SAME thread
+        # count — the driver's lower-core scaling run would otherwise
+        # divide an 8-thread marker by a 32-thread baseline and read
+        # the box as impossibly fast. A baseline file without the
+        # thread count predates this guard and is assumed 32.
+        _base_mc_threads = int(_doc.get("cpu_marker_mc_threads") or 32)
+        _cur_mc_threads = max(
+            1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        )
+        if _base_marker_mc and _cur_mc_threads == _base_mc_threads:
             host_factor_mc = round(cpu_marker_mc / _base_marker_mc, 3)
     except Exception:
         pass

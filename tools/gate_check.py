@@ -458,6 +458,12 @@ def main() -> int:
                     # tool's best-of floor
                     "cpu_marker_mean": cur_marker_mean,
                     "cpu_marker_mc_mean": marker_mc,
+                    # the mc marker runs one stream per
+                    # $SPARK_GRAFT_CPUS; bench.py only applies
+                    # host_factor_mc when its thread count matches
+                    "cpu_marker_mc_threads": max(
+                        1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+                    ),
                     "times": {
                         k: round(_st.median(v), 2)
                         for k, v in runs.items()
